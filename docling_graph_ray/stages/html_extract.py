@@ -1,0 +1,437 @@
+"""Deterministic HTML main-content extraction with char-offset spans.
+
+The flagship per-batch operator (SURVEY.md §7.1-7.2).  A stdlib
+``html.parser``-based block model: the page is decomposed into text blocks
+at block-level tag boundaries; each block carries text length, link-char
+count, inline-tag count and a boilerplate-scope flag; a
+boilerpipe/trafilatura-style classifier (text density + link density +
+neighbor smoothing) keeps content blocks and drops chrome.
+
+Analogue of the reference's chunk/span machinery: blocks ≙ chunks with
+metadata (reference: docling_graph/core/extractors/document_processor.py:
+375-458 ``extract_chunks_with_metadata``), spans ≙ ``SourceAnchor`` char
+spans (reference: docling_graph/core/provenance/models.py:157-172).  The
+per-row salvage ladder (encoding sniff → lenient decode → crawler-text
+fallback → ``failed`` flag, never a thrown-away row) mirrors the
+reference's validation salvage ladder
+(docling_graph/core/extractors/backends/llm_backend.py:774-855).
+
+Everything here is a pure function of the input bytes — no clock, no
+randomness — which is what makes the "byte-identical extracted text per
+url" golden contract and idempotent resume possible.
+"""
+
+from __future__ import annotations
+
+import gzip
+import re
+import zlib
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+from docling_graph_ray.functions.hashing import sha256_hex
+
+# ---------------------------------------------------------------------------
+# schema
+
+SPAN_TYPE = pa.struct(
+    [
+        ("span_id", pa.int32()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("kind", pa.string()),
+        ("path", pa.string()),
+        ("block_class", pa.string()),
+    ]
+)
+
+EXTRACT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("lang", pa.string()),
+        ("extracted_text", pa.large_string()),
+        ("text_sha256", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+        ("n_blocks_kept", pa.int32()),
+        ("n_blocks_dropped", pa.int32()),
+        ("parse_status", pa.string()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# decoding (encoding sniff rung of the salvage ladder)
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+_CODEC_ALIASES = {
+    "windows-1252": "cp1252",
+    "iso-8859-1": "latin-1",
+    "utf8": "utf-8",
+}
+
+
+def decode_html(raw: bytes) -> tuple[str, str]:
+    """bytes → (text, decode_status in {ok, salvaged, failed})."""
+    if raw[:2] == _GZIP_MAGIC:
+        try:
+            raw = gzip.decompress(raw)
+        except (OSError, EOFError, zlib.error):
+            return "", "failed"
+    try:
+        return raw.decode("utf-8"), "ok"
+    except UnicodeDecodeError:
+        pass
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        name = m.group(1).decode("ascii", "ignore").lower()
+        codec = _CODEC_ALIASES.get(name, name)
+        if codec not in ("utf-8",):
+            try:
+                return raw.decode(codec), "ok"
+            except (UnicodeDecodeError, LookupError):
+                pass
+    # lenient last rung: never throw a row away
+    return raw.decode("cp1252", errors="replace"), "salvaged"
+
+
+# ---------------------------------------------------------------------------
+# block model
+
+# tags that open/close a block boundary (flush accumulated text)
+_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li dt dd td th tr table ul ol section article "
+    "blockquote pre main figure figcaption header footer aside nav form "
+    "fieldset br hr body html".split()
+)
+# content inside these is invisible
+_SKIP_TAGS = frozenset(
+    "script style noscript template svg iframe object select textarea "
+    "button title head".split()
+)
+# blocks opened while inside these are page chrome
+_BOILER_TAGS = frozenset("nav aside footer header form".split())
+# containers recorded in the span path
+_PATH_TAGS = frozenset("body article section main table ul ol nav aside header footer".split())
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_VOID_TAGS = frozenset("br hr img meta link input area base col embed source track wbr".split())
+
+_WS_RE = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "n_tags", "tag_class", "boiler", "path")
+
+    def __init__(self, tag_class: str, boiler: bool, path: str) -> None:
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.n_tags = 0
+        self.tag_class = tag_class
+        self.boiler = boiler
+        self.path = path
+
+
+class _BlockParser(HTMLParser):
+    """Streams the document into a flat list of text blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur: _Block | None = None
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._a_depth = 0
+        self._path_stack: list[str] = []
+        self._cur_tag = "body"
+
+    # -- block lifecycle ----------------------------------------------------
+    def _flush(self) -> None:
+        b = self._cur
+        if b is not None and b.parts:
+            self.blocks.append(b)
+        self._cur = None
+
+    def _block(self) -> _Block:
+        if self._cur is None:
+            self._cur = _Block(
+                self._cur_tag,
+                self._boiler_depth > 0,
+                "/".join(self._path_stack) or "body",
+            )
+        return self._cur
+
+    # -- parser callbacks ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            if tag not in _VOID_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag not in ("br", "hr"):
+                self._cur_tag = tag
+            if tag in _BOILER_TAGS:
+                self._boiler_depth += 1
+            if tag in _PATH_TAGS:
+                self._path_stack.append(tag)
+        else:
+            if self._cur is not None:
+                self._cur.n_tags += 1
+            if tag == "a":
+                self._a_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            if tag not in _VOID_TAGS and self._skip_depth > 0:
+                self._skip_depth -= 1
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_TAGS and self._boiler_depth > 0:
+                self._boiler_depth -= 1
+            if tag in _PATH_TAGS and self._path_stack and self._path_stack[-1] == tag:
+                self._path_stack.pop()
+            self._cur_tag = self._path_stack[-1] if self._path_stack else "body"
+        elif tag == "a" and self._a_depth > 0:
+            self._a_depth -= 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in ("br", "hr"):
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth > 0 or not data:
+            return
+        if not data.strip():
+            return
+        b = self._block()
+        b.parts.append(data)
+        if self._a_depth > 0:
+            b.link_chars += len(data)
+
+    def close(self) -> None:
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html_text: str) -> list[dict]:
+    """Parse → list of normalized block dicts (whitespace-collapsed text)."""
+    p = _BlockParser()
+    p.feed(html_text)
+    p.close()
+    out = []
+    for b in p.blocks:
+        text = _WS_RE.sub(" ", "".join(b.parts)).strip()
+        if not text:
+            continue
+        out.append(
+            {
+                "text": text,
+                "len": len(text),
+                "link_chars": min(b.link_chars, len("".join(b.parts))),
+                "n_tags": b.n_tags,
+                "tag_class": b.tag_class,
+                "boiler": b.boiler,
+                "path": b.path,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# classification (boilerpipe-style densities + neighbor smoothing)
+
+_MIN_CONTENT_LEN = 80
+_MIN_DENSE_LEN = 25
+_MIN_TEXT_DENSITY = 12.0
+_MAX_LINK_DENSITY = 0.33
+_CELL_MAX_LINK_DENSITY = 0.2
+_SMOOTH_MIN_LEN = 20
+
+
+def classify_blocks(blocks: list[dict]) -> list[bool]:
+    """True = content.  Deterministic three-pass rule:
+
+    1. density rule per block (link density + text density thresholds;
+       cells/items get a lighter rule; chrome-scope blocks always drop),
+    2. boilerpipe neighbor smoothing (short block between two kept
+       neighbors is rescued),
+    3. headings kept only when followed by kept content within 3 blocks.
+    """
+    n = len(blocks)
+    keep = [False] * n
+    heading = [False] * n
+    for i, b in enumerate(blocks):
+        if b["boiler"]:
+            continue
+        ld = b["link_chars"] / b["len"] if b["len"] else 1.0
+        cls = b["tag_class"]
+        if cls in _HEADINGS:
+            heading[i] = b["len"] >= 3 and ld < 0.5
+            continue
+        if cls in ("td", "th", "li", "dt", "dd", "tr"):
+            keep[i] = ld < _CELL_MAX_LINK_DENSITY and b["len"] >= 3
+            continue
+        if ld >= _MAX_LINK_DENSITY:
+            continue
+        density = b["len"] / (1.0 + b["n_tags"])
+        keep[i] = b["len"] >= _MIN_CONTENT_LEN or (
+            b["len"] >= _MIN_DENSE_LEN and density >= _MIN_TEXT_DENSITY
+        )
+    # pass 2: neighbor smoothing over non-heading blocks
+    for i in range(1, n - 1):
+        b = blocks[i]
+        if keep[i] or heading[i] or b["boiler"]:
+            continue
+        ld = b["link_chars"] / b["len"] if b["len"] else 1.0
+        if (
+            b["len"] >= _SMOOTH_MIN_LEN
+            and ld < _MAX_LINK_DENSITY
+            and keep[i - 1]
+            and any(keep[j] for j in range(i + 1, min(n, i + 3)))
+        ):
+            keep[i] = True
+    # pass 3: headings attach to following content
+    for i in range(n):
+        if heading[i] and any(keep[j] for j in range(i + 1, min(n, i + 4))):
+            keep[i] = True
+    return keep
+
+
+_KIND_BY_CLASS = {
+    "h1": "heading", "h2": "heading", "h3": "heading", "h4": "heading",
+    "h5": "heading", "h6": "heading",
+    "td": "cell", "th": "cell", "tr": "cell",
+    "li": "item", "dt": "item", "dd": "item",
+}
+
+
+def extract_html_doc(raw: bytes, fallback_text: str | None) -> dict:
+    """One url end-to-end: decode → parse → classify → text + spans.
+
+    Returns dict with extracted_text / spans / counters / parse_status.
+    Never raises: the last rungs are the crawler ``text`` column
+    (``fallback_text`` status) and the ``failed`` flag.
+    """
+    empty = {
+        "extracted_text": "",
+        "spans": [],
+        "n_blocks_kept": 0,
+        "n_blocks_dropped": 0,
+    }
+    html_text, status = decode_html(raw)
+    if status == "failed" or not html_text:
+        if fallback_text:
+            return {
+                **empty,
+                "extracted_text": fallback_text,
+                "spans": [
+                    {"span_id": 0, "start": 0, "end": len(fallback_text),
+                     "kind": "fallback", "path": "text", "block_class": "text"}
+                ],
+                "n_blocks_kept": 1,
+                "parse_status": "fallback_text",
+            }
+        return {**empty, "parse_status": "failed"}
+    try:
+        blocks = parse_blocks(html_text)
+    except Exception:
+        if fallback_text:
+            return {
+                **empty,
+                "extracted_text": fallback_text,
+                "spans": [
+                    {"span_id": 0, "start": 0, "end": len(fallback_text),
+                     "kind": "fallback", "path": "text", "block_class": "text"}
+                ],
+                "n_blocks_kept": 1,
+                "parse_status": "fallback_text",
+            }
+        return {**empty, "parse_status": "failed"}
+
+    keep = classify_blocks(blocks)
+    parts: list[str] = []
+    spans: list[dict] = []
+    pos = 0
+    for b, k in zip(blocks, keep):
+        if not k:
+            continue
+        if parts:
+            pos += 2  # "\n\n" separator
+        start = pos
+        pos += b["len"]
+        parts.append(b["text"])
+        spans.append(
+            {
+                "span_id": len(spans),
+                "start": start,
+                "end": pos,
+                "kind": _KIND_BY_CLASS.get(b["tag_class"], "block"),
+                "path": b["path"],
+                "block_class": b["tag_class"],
+            }
+        )
+    n_kept = len(spans)
+    return {
+        "extracted_text": "\n\n".join(parts),
+        "spans": spans,
+        "n_blocks_kept": n_kept,
+        "n_blocks_dropped": len(blocks) - n_kept,
+        "parse_status": status,  # ok | salvaged
+    }
+
+
+# ---------------------------------------------------------------------------
+# the batch operator (pyarrow in → pyarrow out; html projected away)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` UDF: pages schema in, EXTRACT_SCHEMA out.
+
+    The per-row work (DOM parse) is inherently row-wise Python; columns are
+    assembled as Arrow arrays and the ``html`` binary column is dropped
+    here, as early as possible (SURVEY.md §7.5 wide-record rule).
+    """
+    urls = batch.column("url").to_pylist()
+    htmls = batch.column("html").to_pylist()
+    texts = batch.column("text").to_pylist()
+
+    out = {
+        "extracted_text": [], "text_sha256": [], "spans": [],
+        "n_blocks_kept": [], "n_blocks_dropped": [], "parse_status": [],
+        "bytes_in": [], "bytes_out": [],
+    }
+    for raw, fb in zip(htmls, texts):
+        raw = raw or b""
+        r = extract_html_doc(raw, fb)
+        t = r["extracted_text"]
+        out["extracted_text"].append(t)
+        out["text_sha256"].append(sha256_hex(t))
+        out["spans"].append(r["spans"])
+        out["n_blocks_kept"].append(r["n_blocks_kept"])
+        out["n_blocks_dropped"].append(r["n_blocks_dropped"])
+        out["parse_status"].append(r["parse_status"])
+        out["bytes_in"].append(len(raw))
+        out["bytes_out"].append(len(t.encode("utf-8", "surrogatepass")))
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            batch.column("warc_ts"),
+            batch.column("lang"),
+            pa.array(out["extracted_text"], pa.large_string()),
+            pa.array(out["text_sha256"], pa.string()),
+            pa.array(out["spans"], pa.list_(SPAN_TYPE)),
+            pa.array(out["n_blocks_kept"], pa.int32()),
+            pa.array(out["n_blocks_dropped"], pa.int32()),
+            pa.array(out["parse_status"], pa.string()),
+            pa.array(out["bytes_in"], pa.int64()),
+            pa.array(out["bytes_out"], pa.int64()),
+        ],
+        schema=EXTRACT_SCHEMA,
+    )

@@ -1,0 +1,57 @@
+"""Golden end-to-end: distributed pipeline == eager single-process oracle.
+
+The north-rule invariant (BASELINE.json): extracted text must be
+byte-identical per url, for any parallelism."""
+
+import pandas as pd
+import pytest
+
+from docling_graph_ray.fixtures.pages import pages_dataset
+from docling_graph_ray.pipelines.extract import (
+    dedup_extracted,
+    extract_pages_dataset,
+    run_extract_pipeline,
+)
+from docling_graph_ray.pipelines.golden import golden_extract
+
+N = 300
+P = 8
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return golden_extract(N, profile="t1", num_partitions=P)
+
+
+def test_extracted_text_byte_identical_per_url(ray_session, golden):
+    gold_ded, _ = golden
+    ded = dedup_extracted(
+        extract_pages_dataset(pages_dataset(N, profile="t1"), num_partitions=P)
+    )
+    dt = ded.to_pandas().sort_values("url").reset_index(drop=True)
+    gd = gold_ded.to_pandas().reset_index(drop=True)
+    assert list(dt["url"]) == list(gd["url"])
+    assert (dt["extracted_text"] == gd["extracted_text"]).all()
+    assert (dt["text_sha256"] == gd["text_sha256"]).all()
+    # span equality, not just text equality
+    for a, b in zip(dt["spans"], gd["spans"]):
+        assert list(a) == list(b)
+
+
+def test_lineage_matches_golden(ray_session, golden, tmp_path):
+    _, gold_lin = golden
+    lineage = run_extract_pipeline(
+        pages_dataset(N, profile="t1"),
+        out_dir=str(tmp_path / "out"),
+        num_partitions=P,
+    )
+    lt = lineage.to_pandas().sort_values("part_id").reset_index(drop=True)
+    gl = gold_lin.to_pandas().sort_values("part_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(lt, gl)
+
+
+def test_parse_status_population(ray_session, golden):
+    gold_ded, _ = golden
+    statuses = set(gold_ded.column("parse_status").to_pylist())
+    # fixture guarantees ok + salvaged rows at this scale
+    assert "ok" in statuses and "salvaged" in statuses

@@ -1,0 +1,53 @@
+"""Resume idempotence (SURVEY.md §5.2 item 4, FIXTURES.md §3).
+
+Kill after K partitions → re-run → lineage equals the full-run lineage and
+no partition is recomputed twice."""
+
+import os
+import shutil
+
+import pandas as pd
+
+from docling_graph_ray.fixtures.pages import pages_dataset
+from docling_graph_ray.pipelines.extract import run_extract_pipeline
+from docling_graph_ray.state.manifest import completed_parts, read_lineage
+
+N = 200
+P = 8
+
+
+def _run(out_dir):
+    return run_extract_pipeline(
+        pages_dataset(N, profile="t1"), out_dir=out_dir, num_partitions=P
+    ).to_pandas()
+
+
+def test_resume_after_partial_failure(ray_session, tmp_path):
+    full_dir = str(tmp_path / "full")
+    _run(full_dir)
+    full = sorted(read_lineage(full_dir), key=lambda r: r["part_id"])
+    assert len(full) == P
+
+    # simulate a crash: keep only 3 committed partitions
+    part_dir = str(tmp_path / "partial")
+    _run(part_dir)
+    for pid in range(3, P):
+        os.remove(os.path.join(part_dir, "_manifests", f"part-{pid:05d}.json"))
+        shutil.rmtree(os.path.join(part_dir, f"part_id={pid}"))
+    assert completed_parts(part_dir) == {0, 1, 2}
+
+    # resume: only the missing partitions are recomputed
+    resumed = _run(part_dir)
+    assert sorted(resumed["part_id"]) == list(range(3, P))
+
+    after = sorted(read_lineage(part_dir), key=lambda r: r["part_id"])
+    assert after == full  # byte-identical lineage incl. content_hash rollups
+
+
+def test_rerun_when_complete_is_noop(ray_session, tmp_path):
+    out = str(tmp_path / "out")
+    _run(out)
+    before = read_lineage(out)
+    again = _run(out)
+    assert len(again) == 0  # nothing left to do
+    assert read_lineage(out) == before
