@@ -1,44 +1,192 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the docling_graph_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver owns ``ray.init``; nothing here (or in the library) calls
+``ray.init``/``ray.shutdown``.  ``queries()`` exposes one entry per
+implemented operator/pipeline (SURVEY.md §2 + the training-data operator
+set); ``oracle_sql()`` provides the DuckDB-checkable subset with EXACTLY
+matching column names (aggregates carried as integer minor units so the
+value-hash comparison is float-drift-free).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: deterministic synthetic pages → extraction → lineage."""
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.pipelines.extract import run_extract_pipeline
+
+    return run_extract_pipeline(
+        pages_dataset(300, profile="t1"), out_dir=None, num_partitions=8
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from docling_graph_ray.pipelines import relational as r
+    from docling_graph_ray.pipelines import textops as t
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator coverage (oracle-checked)
+        "q1_pricing_summary": r.q1_pricing_summary,
+        "top_orders": r.top_orders,
+        "filter_project_lineitem": r.filter_project_lineitem,
+        "distinct_brand_type": r.distinct_brand_type,
+        "mktsegment_revenue": r.mktsegment_revenue,
+        "orderpriority_lineitem_counts": r.orderpriority_lineitem_counts,
+        "nation_region": r.nation_region,
+        "semi_join_customers": r.semi_join_customers,
+        "anti_join_customers": r.anti_join_customers,
+        "latest_event_per_user": r.latest_event_per_user,
+        "events_by_type": r.events_by_type,
+        "events_daily": r.events_daily,
+        # documents / text analysis (oracle-checked)
+        "doc_token_counts": t.doc_token_counts,
+        "doc_quality": t.doc_quality,
+        "doc_exact_dedup": t.doc_exact_dedup,
+        # similarity (oracle-checked)
+        "emb_topk": t.emb_topk,
+        # rows-only (non-SQL-expressible)
+        "doc_langid": t.doc_langid,
+        "doc_fingerprints": t.doc_fingerprints,
+        "doc_bpe_tokens": t.doc_bpe_tokens,
+        "doc_minhash_dedup": t.doc_minhash_dedup,
+        "doc_simhash_dedup": t.doc_simhash_dedup,
+        "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
+        "emb_near_dedup": t.emb_near_dedup,
+        "emb_lsh_topk": t.emb_lsh_topk,
+        "pages_flagship": t.pages_flagship,
+        "media_features": t.media_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "filter_project_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity >= 49 AND l_discount <= 0.01
+        """,
+        "distinct_brand_type": """
+            SELECT DISTINCT p_brand, p_type FROM part
+        """,
+        "mktsegment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "orderpriority_lineitem_counts": """
+            SELECT o_orderpriority, COUNT(*) AS n_late_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate
+            GROUP BY o_orderpriority
+        """,
+        "nation_region": """
+            SELECT n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "semi_join_customers": """
+            SELECT c_nationkey, COUNT(*) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_nationkey
+        """,
+        "anti_join_customers": """
+            SELECT c_nationkey, COUNT(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            GROUP BY c_nationkey
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+                   value AS last_value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS BIGINT) AS sum_value_millis,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) AS BIGINT) AS sum_value_millis,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                   END AS n_tokens,
+                   LENGTH(text) AS n_chars
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                   END AS n_tokens,
+                   ROUND(LENGTH(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g'))
+                         / GREATEST(LENGTH(text), 1)::DOUBLE, 6) AS alpha_ratio,
+                   ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / GREATEST(LENGTH(text), 1)::DOUBLE, 6) AS digit_ratio,
+                   ROUND(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / GREATEST(LENGTH(text), 1)::DOUBLE, 6) AS punct_ratio,
+                   ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+                         / GREATEST(LENGTH(text), 1)::DOUBLE, 6) AS space_ratio,
+                   ROUND(LENGTH(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g'))
+                         / GREATEST(CASE WHEN TRIM(text) = '' THEN 0
+                                         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                                    END, 1)::DOUBLE, 6) AS mean_word_len
+            FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "emb_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 4
+            )
+            SELECT query_id, vec_id,
+                   ROUND(list_cosine_similarity(embedding, qe), 6) AS cos
+            FROM q CROSS JOIN embeddings
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) <= 10
+        """,
+    }

@@ -1,0 +1,373 @@
+"""Relational operator pipelines over the TPC-H-ish test tables.
+
+Each function takes ``sf_dir`` and returns a Ray Dataset whose column
+names match the DuckDB oracle SQL in ``__ray_entry__`` exactly.
+
+Scale patterns demonstrated (SURVEY.md §4.2, §7.4):
+- column-pruned reads (``read_parquet(columns=[...])`` — only needed
+  columns leave storage);
+- partial (combiner) aggregation inside ``map_batches`` BEFORE the small
+  groupby — the all-to-all shuffle moves pre-aggregated partials, not rows;
+- broadcast joins: the small side is ``ray.put`` once and read zero-copy
+  in every task — never a shuffle, never re-shipped per batch;
+- hash-shuffle join (``Dataset.join``) where both sides are large;
+- monetary aggregates carried as integer cents (exact in int64), so the
+  Ray and DuckDB sides hash byte-equal — no float-summation-order drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col, factor: int = 100):
+    """double → exact integer minor units (row-wise identical to the SQL
+    ``CAST(ROUND(x*factor, 0) AS BIGINT)`` — half_towards_infinity equals
+    DuckDB's half-away-from-zero ROUND on the non-negative values here)."""
+    return pc.round(
+        pc.multiply(col, float(factor)), ndigits=0, round_mode="half_towards_infinity"
+    ).cast(pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary (TPC-H Q1 shape) — partial agg then tiny groupby
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(
+            batch.column("l_shipdate"), pa.scalar(np.datetime64("1998-09-02", "us"))
+        )
+        b = batch.filter(mask)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_price_cents": pa.array([], pa.int64()),
+                    "sum_disc_price_e4": pa.array([], pa.int64()),
+                    "sum_charge_e6": pa.array([], pa.int64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        price = b.column("l_extendedprice")
+        disc = b.column("l_discount")
+        tax = b.column("l_tax")
+        disc_price = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), tax))
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty": b.column("l_quantity").cast(pa.int64()),
+                "base_cents": _cents(price, 100),
+                "disc_e4": _cents(disc_price, 10_000),
+                "charge_e6": _cents(charge, 1_000_000),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("disc_e4", "sum"),
+             ("charge_e6", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents",
+             "sum_disc_price_e4", "sum_charge_e6", "count_order"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base_price_cents", "sum_disc_price_e4",
+              "sum_charge_e6", "count_order"])
+    )
+    return final.map_batches(
+        lambda t: t.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price_cents",
+             "sum_disc_price_e4", "sum_charge_e6", "count_order"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sort / limit / filter / distinct
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+def filter_project_lineitem(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch.column("l_quantity"), 49.0),
+            pc.less_equal(batch.column("l_discount"), 0.01),
+        )
+        return batch.filter(mask).select(["l_orderkey", "l_linenumber", "l_quantity"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_brand_type(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+    return (
+        ds.groupby(["p_brand", "p_type"])
+        .count()
+        .map_batches(lambda t: t.select(["p_brand", "p_type"]), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def mktsegment_revenue(sf_dir: str):
+    """Broadcast join: customer segment lookup shipped once via ray.put."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()
+    seg_map: dict[int, str] = {}
+    for ref in cust:
+        t = ray.get(ref)
+        seg_map.update(zip(t.column("c_custkey").to_pylist(),
+                           t.column("c_mktsegment").to_pylist()))
+    seg_ref = ray.put(seg_map)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        segs = pa.array(
+            [m.get(k) for k in batch.column("o_custkey").to_pylist()], pa.string()
+        )
+        t = pa.table(
+            {"c_mktsegment": segs,
+             "cents": _cents(batch.column("o_totalprice"), 100)}
+        )
+        g = t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .sum(["revenue_cents", "n_orders"])
+        .map_batches(
+            lambda t: t.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def orderpriority_lineitem_counts(sf_dir: str, num_partitions: int = 8):
+    """Hash-shuffle join of the two largest tables (Dataset.join), then a
+    tiny aggregate: lineitems shipped strictly after their order date,
+    counted per order priority."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch.column("l_shipdate"), batch.column("o_orderdate"))
+        t = pa.table({"o_orderpriority": batch.filter(mask).column("o_orderpriority")})
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return g.rename_columns(["o_orderpriority", "n_late_items"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum("n_late_items")
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "n_late_items"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def nation_region(sf_dir: str):
+    """Broadcast join of two small dims: nation ⋈ region names."""
+    region = {
+        k: v
+        for ref in _read(sf_dir, "region").to_arrow_refs()
+        for k, v in zip(
+            ray.get(ref).column("r_regionkey").to_pylist(),
+            ray.get(ref).column("r_name").to_pylist(),
+        )
+    }
+    r_ref = ray.put(region)
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = ray.get(r_ref)
+        r_names = pa.array(
+            [m.get(k) for k in batch.column("n_regionkey").to_pylist()], pa.string()
+        )
+        return pa.table({"n_name": batch.column("n_name"), "r_name": r_names})
+
+    return nation.map_batches(fn, batch_format="pyarrow")
+
+
+def _order_custkeys(sf_dir: str, min_totalprice: float | None = None) -> object:
+    keys: set[int] = set()
+    cols = ["o_custkey"] + (["o_totalprice"] if min_totalprice is not None else [])
+    for ref in _read(sf_dir, "orders", cols).to_arrow_refs():
+        t = ray.get(ref)
+        if min_totalprice is not None:
+            t = t.filter(pc.greater(t.column("o_totalprice"), min_totalprice))
+        keys.update(t.column("o_custkey").to_pylist())
+    return ray.put(np.array(sorted(keys), dtype=np.int64))
+
+
+def semi_join_customers(sf_dir: str):
+    """Semi-join via broadcast key set: customers WITH orders, per nation."""
+    keys_ref = _order_custkeys(sf_dir)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array(np.isin(
+            batch.column("c_custkey").to_numpy(zero_copy_only=False), keys
+        ))
+        t = pa.table({"c_nationkey": batch.filter(mask).column("c_nationkey")})
+        g = t.group_by("c_nationkey").aggregate([([], "count_all")])
+        return g.rename_columns(["c_nationkey", "n_customers"])
+
+    return (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum("n_customers")
+        .map_batches(
+            lambda t: t.rename_columns(["c_nationkey", "n_customers"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def anti_join_customers(sf_dir: str):
+    """Anti-join via broadcast key set: customers with no order above
+    300000 totalprice, per nation (the plain customers-without-orders
+    anti-join is degenerate on this data — every customer has orders)."""
+    keys_ref = _order_custkeys(sf_dir, min_totalprice=300_000.0)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = pa.array(~np.isin(
+            batch.column("c_custkey").to_numpy(zero_copy_only=False), keys
+        ))
+        t = pa.table({"c_nationkey": batch.filter(mask).column("c_nationkey")})
+        g = t.group_by("c_nationkey").aggregate([([], "count_all")])
+        return g.rename_columns(["c_nationkey", "n_customers"])
+
+    return (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .sum("n_customers")
+        .map_batches(
+            lambda t: t.rename_columns(["c_nationkey", "n_customers"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: latest-wins, grouped aggregates, time bucketing
+
+
+def latest_event_per_user(sf_dir: str):
+    """Per-user latest event — the per-group-first/latest pattern
+    (reference analogue: duplicate absorption keyed latest-wins,
+    docling_graph/core/merge/merger.py:175-238)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def top1(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        g = group.take(idx[:1])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "last_ts": g.column("ts"),
+                "last_event_type": g.column("event_type"),
+                "last_value": g.column("value"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(top1, batch_format="pyarrow")
+
+
+def events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value_millis": _cents(batch.column("value"), 1000),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("value_millis", "sum"), ("value_millis", "count")]
+        )
+        return g.rename_columns(["event_type", "sum_value_millis", "n_events"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["sum_value_millis", "n_events"])
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "sum_value_millis", "n_events"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def events_daily(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"day": day, "value_millis": _cents(batch.column("value"), 1000)})
+        g = t.group_by("day").aggregate([("value_millis", "sum"), ("value_millis", "count")])
+        return g.rename_columns(["day", "sum_value_millis", "n_events"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .sum(["sum_value_millis", "n_events"])
+        .map_batches(
+            lambda t: t.rename_columns(["day", "sum_value_millis", "n_events"]),
+            batch_format="pyarrow",
+        )
+    )

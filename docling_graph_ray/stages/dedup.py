@@ -1,0 +1,414 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Shapes chosen for 100 TB (task brief "Deduplication" + SURVEY.md §2.8):
+
+- **exact**: hash-partition on the key + per-group first — the canonical
+  groupby-first pattern (reference analogue: node-id dedup,
+  docling_graph/core/converters/node_id_registry.py:58-113);
+- **near-dup family**: one shared template —
+    1. ``map_batches`` computes per-doc signatures (vectorized numpy) and
+       *emits (band_idx, band_key, doc_id[, payload]) candidate rows*,
+    2. ``groupby(band)`` buckets candidates; each bucket nominates the
+       minimum doc id as representative and (optionally) verifies members
+       against it (hamming / jaccard / cosine),
+    3. ``groupby(doc_id).min(rep)`` assigns every doc its final
+       representative; ``rep == doc_id`` ⇒ keep, else duplicate.
+  Both wide steps shuffle only tiny (hash, id) rows — never text — so the
+  all-to-all cost is O(rows × bands × ~32 bytes), not O(corpus bytes).
+  Bucket-chains deduplicate transitively (A~B, B~C drops both B and C),
+  the standard LSH-dedup approximation for web corpora.
+
+Determinism: signature permutations derive from a fixed seed; crc32 base
+hashes are process-independent; representatives are min-ids — same input
+⇒ same survivors on any cluster shape.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(ds, key_cols: list[str], order_col: str):
+    """Keep the first row (min ``order_col``) per exact key. Returns the
+    deduped dataset.  Key columns shuffle as-is; callers with long text
+    keys should pre-hash (see ``exact_text_dedup``)."""
+
+    def first_per_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        return group.take(idx[:1])
+
+    return ds.groupby(key_cols).map_groups(first_per_group, batch_format="pyarrow")
+
+
+def add_text_hash(text_col: str, out_col: str = "text_hash"):
+    """map_batches UDF factory: 64-bit content hash column for cheap
+    shuffling of long-text keys."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.blake2b((t or "").encode("utf-8", "surrogatepass"), digest_size=8).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# signature machinery (vectorized per doc)
+
+
+def _word_shingles(text: str, n: int) -> list[bytes]:
+    words = text.split()
+    if len(words) < n:
+        return [" ".join(words).encode("utf-8", "surrogatepass")] if words else []
+    return [
+        " ".join(words[i : i + n]).encode("utf-8", "surrogatepass")
+        for i in range(len(words) - n + 1)
+    ]
+
+
+def _base_hashes(shingles: list[bytes]) -> np.ndarray:
+    """Stable 32-bit crc32 base hashes (C-speed, process-independent)."""
+    return np.fromiter(
+        (zlib.crc32(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    text: str, a: np.ndarray, b: np.ndarray, shingle_words: int = 3
+) -> np.ndarray:
+    """(num_perm,) uint32 minhash signature; empty text → all MAX."""
+    sh = _word_shingles(text, shingle_words)
+    if not sh:
+        return np.full(a.shape[0], _MAX_HASH, dtype=np.uint64)
+    h = _base_hashes(sh)  # (n,)
+    with np.errstate(over="ignore"):
+        # (k, n) = (a[:,None] * h[None,:] + b[:,None]) % prime, capped to 32 bit
+        phv = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE_PRIME
+        return np.bitwise_and(phv, _MAX_HASH).min(axis=1)
+
+
+_SPLITMIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: spread 32-bit crc values over 64 bits."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64)
+        h ^= h >> np.uint64(30)
+        h *= _SPLITMIX_C1
+        h ^= h >> np.uint64(27)
+        h *= _SPLITMIX_C2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (vectorized bit-vote)."""
+    words = text.split()
+    if not words:
+        return 0
+    h = _mix64(_base_hashes([w.encode("utf-8", "surrogatepass") for w in words]))
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for j in range(64):
+        if votes[j] >= 0:
+            sig |= np.uint64(1) << np.uint64(j)
+    return int(sig)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---------------------------------------------------------------------------
+# the shared near-dup template
+
+
+def _resolve_reps(candidates, id_col: str):
+    """(band_idx, band_key, id) candidate rows → (id, rep_id) assignment.
+
+    Two small shuffles: bucket groupby emits (member, bucket-min) pairs,
+    then a per-id min-reduce picks the final representative."""
+
+    def bucket_reps(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        rep = pc.min(ids)
+        return pa.table({id_col: ids, "rep_id": pa.array([rep.as_py()] * len(ids), ids.type)})
+
+    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_reps, batch_format="pyarrow"
+    )
+    return pairs.groupby(id_col).min("rep_id").map_batches(
+        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+):
+    """shingle → minhash → band → bucket-groupby dedup.
+
+    Returns a Dataset ``(id, rep_id, is_dup)`` covering every input row."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+
+    def emit_bands(batch: pa.Table):
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(t or "", a, b, shingle_words)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                out_id.append(i)
+                out_band.append(bi)
+                out_key.append(zlib.crc32(chunk.tobytes()))
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band_idx": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+    candidates = ds.map_batches(emit_bands, batch_format="pyarrow")
+    reps = _resolve_reps(candidates, id_col)
+    return reps.map_batches(
+        lambda t: t.append_column(
+            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def simhash_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming_threshold: int = 3,
+    bands: int = 4,
+):
+    """SimHash near-dup: 64-bit signature, 16-bit band buckets, exact
+    hamming verification against the bucket representative."""
+    width = 64 // bands
+
+    def emit(batch: pa.Table):
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        rows = {"id": [], "band_idx": [], "band_key": [], "sig": []}
+        for i, t in zip(ids, texts):
+            sig = simhash64(t or "")
+            for bi in range(bands):
+                rows["id"].append(i)
+                rows["band_idx"].append(bi)
+                rows["band_key"].append((sig >> (bi * width)) & ((1 << width) - 1))
+                rows["sig"].append(sig)
+        return pa.table(
+            {
+                id_col: pa.array(rows["id"]),
+                "band_idx": pa.array(rows["band_idx"], pa.int32()),
+                "band_key": pa.array(rows["band_key"], pa.int64()),
+                "sig": pa.array([s - (1 << 64) if s >= (1 << 63) else s for s in rows["sig"]], pa.int64()),
+            }
+        )
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        sigs = [s & ((1 << 64) - 1) for s in group.column("sig").to_pylist()]
+        rep_pos = min(range(len(ids)), key=lambda k: ids[k])
+        rep, rep_sig = ids[rep_pos], sigs[rep_pos]
+        out_id, out_rep = [], []
+        for i, s in zip(ids, sigs):
+            out_id.append(i)
+            out_rep.append(rep if hamming64(s, rep_sig) <= hamming_threshold else i)
+        return pa.table({id_col: pa.array(out_id), "rep_id": pa.array(out_rep)})
+
+    candidates = ds.map_batches(emit, batch_format="pyarrow")
+    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_verify, batch_format="pyarrow"
+    )
+    reps = pairs.groupby(id_col).min("rep_id").map_batches(
+        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    )
+    return reps.map_batches(
+        lambda t: t.append_column(
+            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_jaccard_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+):
+    """LSH candidate generation + EXACT n-gram-Jaccard verification against
+    the bucket representative (shingle sets travel with the candidate rows
+    as hashed uint64 lists, never raw text)."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm, seed)
+
+    def emit(batch: pa.Table):
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        rows = {"id": [], "band_idx": [], "band_key": [], "shingles": []}
+        for i, t in zip(ids, texts):
+            sh = _word_shingles(t or "", shingle_words)
+            hs = sorted(set(int(x) for x in _mix64(_base_hashes(sh)))) if sh else []
+            sig = minhash_signature(t or "", a, b, shingle_words)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                rows["id"].append(i)
+                rows["band_idx"].append(bi)
+                rows["band_key"].append(zlib.crc32(chunk.tobytes()))
+                rows["shingles"].append(hs)
+        return pa.table(
+            {
+                id_col: pa.array(rows["id"]),
+                "band_idx": pa.array(rows["band_idx"], pa.int32()),
+                "band_key": pa.array(rows["band_key"], pa.int64()),
+                "shingles": pa.array(rows["shingles"], pa.list_(pa.uint64())),
+            }
+        )
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        shingle_sets = [set(s) for s in group.column("shingles").to_pylist()]
+        rep_pos = min(range(len(ids)), key=lambda k: ids[k])
+        rep, rep_set = ids[rep_pos], shingle_sets[rep_pos]
+        out_id, out_rep = [], []
+        for i, s in zip(ids, shingle_sets):
+            if i == rep:
+                j = 1.0
+            else:
+                union = len(s | rep_set)
+                j = (len(s & rep_set) / union) if union else 1.0
+            out_id.append(i)
+            out_rep.append(rep if j >= threshold else i)
+        return pa.table({id_col: pa.array(out_id), "rep_id": pa.array(out_rep)})
+
+    candidates = ds.map_batches(emit, batch_format="pyarrow")
+    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_verify, batch_format="pyarrow"
+    )
+    reps = pairs.groupby(id_col).min("rep_id").map_batches(
+        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    )
+    return reps.map_batches(
+        lambda t: t.append_column(
+            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_near_dedup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+):
+    """Random-hyperplane LSH over an embedding column + exact cosine
+    verification against the bucket representative."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    width = n_planes // bands
+
+    def emit(batch: pa.Table):
+        ids = batch.column(id_col).to_pylist()
+        embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        unit = embs / np.maximum(norms, 1e-12)
+        bits = (unit @ planes) >= 0  # (n, planes)
+        keys = np.zeros(len(ids), dtype=np.int64)
+        rows = {"id": [], "band_idx": [], "band_key": [], "emb": []}
+        for bi in range(bands):
+            seg = bits[:, bi * width : (bi + 1) * width]
+            keys = (seg * (1 << np.arange(width))).sum(axis=1)
+            for k, i in enumerate(ids):
+                rows["id"].append(i)
+                rows["band_idx"].append(bi)
+                rows["band_key"].append(int(keys[k]))
+                rows["emb"].append(unit[k].tolist())
+        return pa.table(
+            {
+                id_col: pa.array(rows["id"]),
+                "band_idx": pa.array(rows["band_idx"], pa.int32()),
+                "band_key": pa.array(rows["band_key"], pa.int64()),
+                "emb": pa.array(rows["emb"], pa.list_(pa.float32())),
+            }
+        )
+
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_pylist()
+        embs = np.array(group.column("emb").to_pylist(), dtype=np.float32)
+        rep_pos = min(range(len(ids)), key=lambda k: ids[k])
+        rep = ids[rep_pos]
+        cos = embs @ embs[rep_pos]
+        out_rep = [
+            rep if (i == rep or c >= cosine_threshold) else i
+            for i, c in zip(ids, cos)
+        ]
+        return pa.table({id_col: pa.array(ids), "rep_id": pa.array(out_rep)})
+
+    candidates = ds.map_batches(emit, batch_format="pyarrow")
+    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_verify, batch_format="pyarrow"
+    )
+    reps = pairs.groupby(id_col).min("rep_id").map_batches(
+        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    )
+    return reps.map_batches(
+        lambda t: t.append_column(
+            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
+        ),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,108 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages (the pattern of the reference's
+``VlmBackend`` GPU stage, docling_graph/core/extractors/backends/
+vlm_backend.py:21-120: heavy state in ``__init__``, batches through
+``__call__``).
+
+The image/audio codecs are NOT installed in this container, so the
+decode kernels are deterministic fakes behind ``_decode_stub`` — clearly
+marked; the Ray-side plumbing (schemas, batch sizing for large payloads,
+actor signature, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_META_TYPE = pa.struct(
+    [
+        ("media_type", pa.string()),  # image | audio | video
+        ("format", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 64
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: real codecs unavailable here (would be PIL/ffmpeg).
+
+    Deterministic fake 'pixels': blake2b-seeded pseudo-image. Replace with
+    a real decoder behind the same signature; everything downstream
+    (feature extraction, resize plumbing) is codec-agnostic."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+
+class MediaFeatureActor:
+    """Actor-pool stage: decode + fixed-dim feature vector per payload.
+
+    Use small ``batch_size`` (large binary payloads × batch must fit the
+    worker heap — SURVEY.md "Memory-aware")."""
+
+    def __init__(self) -> None:
+        # warm state: stands in for model load (once per actor)
+        rng = np.random.Generator(np.random.PCG64(7))
+        self._proj = rng.standard_normal((16 * 16 * 3, FEATURE_DIM)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = []
+        for p in payloads:
+            img = _decode_stub(p or b"")
+            v = (img.reshape(-1).astype(np.float32) / 255.0) @ self._proj
+            n = float(np.linalg.norm(v))
+            feats.append((v / n if n else v).tolist())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "meta": batch.column("meta"),
+                "feature": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+            }
+        )
+
+
+def media_features(ds, *, concurrency=(1, 4), batch_size: int = 8):
+    """pages-of-media Dataset (media_id, payload, meta) → features."""
+    return ds.map_batches(
+        MediaFeatureActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table for plumbing tests."""
+    ids, payloads, metas = [], [], []
+    for i in range(n):
+        key = f"{seed}:media:{i}".encode()
+        payload = hashlib.blake2b(key, digest_size=32).digest() * (8 + i % 5)
+        ids.append(i)
+        payloads.append(payload)
+        metas.append(
+            {
+                "media_type": ["image", "audio", "video"][i % 3],
+                "format": ["png", "wav", "mp4"][i % 3],
+                "width": 640,
+                "height": 480,
+                "duration_ms": 0 if i % 3 == 0 else 1000 + i,
+            }
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_META_TYPE),
+        }
+    )

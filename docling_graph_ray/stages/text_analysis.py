@@ -1,0 +1,139 @@
+"""Text-analysis operators over a documents table — vectorized Arrow kernels.
+
+Training-data-pipeline operators (task brief): language ID (stopword
+n-gram heuristic), quality scoring, token counting (whitespace + a
+BPE-ish regex), and document fingerprinting (rolling hash).  Everything
+except the rolling hash is computed with ``pyarrow.compute`` kernels —
+no Python loop over rows in the hot path.
+
+Each function is a ``map_batches(batch_format="pyarrow")`` UDF:
+``pa.Table`` in → ``pa.Table`` out with named output columns that match
+the DuckDB oracle SQL in ``__ray_entry__.oracle_sql`` exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from docling_graph_ray.functions.hashing import rolling_fingerprint
+
+# ---------------------------------------------------------------------------
+# token counting
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Whitespace token count, fully vectorized: count of ``\\S+`` runs."""
+    text = batch.column(text_col)
+    n_tokens = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    return pa.table({id_col: batch.column(id_col), "n_tokens": n_tokens, "n_chars": n_chars})
+
+
+# GPT-2-style BPE pre-tokenization pattern (public knowledge), simplified to
+# RE2-compatible syntax (no lookahead): contractions | letter runs | digit
+# runs | other-symbol runs.  Deterministic proxy for BPE token counts.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\sA-Za-zÀ-ÿ0-9]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    text = batch.column(text_col)
+    n = pc.count_substring_regex(text, _BPE_ISH).cast(pa.int64())
+    return pa.table({id_col: batch.column(id_col), "n_bpe_tokens": n})
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Length / character-class ratio quality features, all Arrow kernels.
+
+    Ratios are rounded to 6 decimals so the Ray and SQL sides hash equal."""
+    text = batch.column(text_col)
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())).cast(pa.float64())
+
+    def ratio(pattern: str):
+        cnt = pc.count_substring_regex(text, pattern).cast(pa.float64())
+        # half_towards_infinity matches SQL ROUND for non-negative values (counts/len are dyadic
+        # rationals, so .5 boundaries genuinely occur)
+        return pc.round(
+            pc.divide(cnt, denom), ndigits=6, round_mode="half_towards_infinity"
+        )
+
+    n_tokens = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    tok_denom = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64())).cast(pa.float64())
+    alpha_cnt = pc.count_substring_regex(text, r"[A-Za-zÀ-ÿ]").cast(pa.float64())
+    mean_word_len = pc.round(
+        pc.divide(alpha_cnt, tok_denom), ndigits=6, round_mode="half_towards_infinity"
+    )
+
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "alpha_ratio": ratio(r"[A-Za-zÀ-ÿ]"),
+            "digit_ratio": ratio(r"[0-9]"),
+            "punct_ratio": ratio(r"[.,;:!?]"),
+            "space_ratio": ratio(r" "),
+            "mean_word_len": mean_word_len,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-profile heuristic)
+
+LANG_STOPWORDS = {
+    "en": "the and of is was with that this are for have which not".split(),
+    "fr": "le les des une est sont dans avec pour qui leur aux".split(),
+    "de": "der die das und ist nicht mit für auf ein welche hatte".split(),
+    "es": "el los las es son para con por una del más como".split(),
+}
+_LANG_ORDER = ["en", "fr", "de", "es"]  # deterministic tie-break order
+
+
+def _lang_pattern(words: list[str]) -> str:
+    return r"(?i)\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-language stopword hit counts (4 vectorized regex passes) →
+    argmax with deterministic tie-break; 'und' (undetermined) when no
+    stopword of any profile matches."""
+    text = batch.column(text_col)
+    counts = [
+        pc.count_substring_regex(text, _lang_pattern(LANG_STOPWORDS[lang]))
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        for lang in _LANG_ORDER
+    ]
+    import numpy as np
+
+    mat = np.stack(counts)  # (4, n)
+    best = mat.argmax(axis=0)  # first max wins → deterministic tie-break
+    total = mat.sum(axis=0)
+    langs = np.array(_LANG_ORDER, dtype=object)[best]
+    langs[total == 0] = "und"
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "pred_lang": pa.array(langs, pa.string()),
+            "stopword_hits": pa.array(mat.max(axis=0), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit rolling polynomial hash per document (hex string column)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = [format(rolling_fingerprint(t or ""), "016x") for t in texts]
+    return pa.table({id_col: batch.column(id_col), "fingerprint": pa.array(fps, pa.string())})

@@ -1,0 +1,119 @@
+"""Dedup operator semantics on small in-memory tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from docling_graph_ray.stages.dedup import (
+    embedding_near_dedup,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_dedup,
+    minhash_signature,
+    ngram_jaccard_dedup,
+    _perm_params,
+    simhash64,
+    simhash_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun shines on the "
+    "green meadow and birds sing softly in the tall trees near the river bank "
+    "where children play games all afternoon long until the evening comes"
+)
+NEAR = BASE.replace("softly", "loudly")  # one-word change → near-dup
+FAR = (
+    "completely different content about database systems and distributed "
+    "query processing engines with columnar storage formats and vectorized "
+    "execution over arrow record batches in modern analytical workloads"
+)
+
+
+def _docs_table():
+    return pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+         "text": [BASE, NEAR, FAR, BASE]}
+    )
+
+
+def test_minhash_signature_similarity():
+    a, b = _perm_params(128, 42)
+    s1 = minhash_signature(BASE, a, b)
+    s2 = minhash_signature(NEAR, a, b)
+    s3 = minhash_signature(FAR, a, b)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.6 and sim13 < 0.2
+
+
+def test_minhash_lsh_dedup(ray_session):
+    ds = ray.data.from_arrow(_docs_table())
+    out = {r["doc_id"]: r for r in minhash_lsh_dedup(ds).take_all()}
+    assert not out[1]["is_dup"]
+    assert out[4]["is_dup"] and out[4]["rep_id"] == 1  # exact dup
+    assert out[2]["is_dup"] and out[2]["rep_id"] == 1  # near dup
+    assert not out[3]["is_dup"]
+
+
+def test_simhash_hamming():
+    h1, h2, h3 = simhash64(BASE), simhash64(NEAR), simhash64(FAR)
+    assert hamming64(h1, h2) <= 6
+    assert hamming64(h1, h3) > 10
+
+
+def test_simhash_dedup(ray_session):
+    ds = ray.data.from_arrow(_docs_table())
+    out = {r["doc_id"]: r for r in simhash_dedup(ds, hamming_threshold=6).take_all()}
+    assert out[4]["rep_id"] == 1
+    assert out[2]["rep_id"] == 1
+    assert out[3]["rep_id"] == 3
+
+
+def test_ngram_jaccard_dedup(ray_session):
+    ds = ray.data.from_arrow(_docs_table())
+    out = {r["doc_id"]: r for r in ngram_jaccard_dedup(ds, threshold=0.5).take_all()}
+    assert out[4]["rep_id"] == 1
+    assert out[2]["rep_id"] == 1
+    assert not out[3]["is_dup"]
+
+
+def test_exact_dedup(ray_session):
+    t = pa.table(
+        {"k": ["a", "a", "b"], "order": [2, 1, 5], "v": ["late", "early", "only"]}
+    )
+    out = exact_dedup(ray.data.from_arrow(t), ["k"], "order").take_all()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {"a": "early", "b": "only"}
+
+
+def test_embedding_near_dedup(ray_session):
+    rng = np.random.Generator(np.random.PCG64(0))
+    base = rng.standard_normal(64).astype(np.float32)
+    near = base + rng.standard_normal(64).astype(np.float32) * 0.01
+    far = rng.standard_normal(64).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [base.tolist(), near.tolist(), far.tolist()], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_near_dedup(
+            ray.data.from_arrow(t), dim=64, cosine_threshold=0.95
+        ).take_all()
+    }
+    assert out[2]["rep_id"] == 1 and out[2]["is_dup"]
+    assert not out[3]["is_dup"]
+
+
+def test_dedup_deterministic_across_runs(ray_session):
+    ds1 = ray.data.from_arrow(_docs_table())
+    ds2 = ray.data.from_arrow(_docs_table())
+    a = sorted(map(tuple, (r.values() for r in minhash_lsh_dedup(ds1).take_all())))
+    b = sorted(map(tuple, (r.values() for r in minhash_lsh_dedup(ds2).take_all())))
+    assert a == b

@@ -1,0 +1,54 @@
+"""Similarity search: distributed top-k vs numpy oracle."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from docling_graph_ray.stages.similarity import brute_force_topk, lsh_bucket_topk
+
+N, D, K = 200, 32, 5
+
+
+def _data():
+    rng = np.random.Generator(np.random.PCG64(1))
+    embs = rng.standard_normal((N, D)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(N), pa.int64()),
+            "embedding": pa.array([e.tolist() for e in embs], pa.list_(pa.float32())),
+        }
+    )
+    return embs, t
+
+
+def _numpy_topk(embs, q, k):
+    en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    sims = en @ qn
+    order = np.lexsort((np.arange(N), -sims))
+    return list(order[:k])
+
+
+def test_brute_force_matches_numpy(ray_session):
+    embs, t = _data()
+    q = embs[7].astype(np.float64)
+    out = brute_force_topk(
+        ray.data.from_arrow(t), q[None, :], k=K, query_ids=[0]
+    ).take_all()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: -r["cos"])]
+    assert got == _numpy_topk(embs, q, K)
+    assert got[0] == 7  # self is nearest
+
+
+def test_lsh_topk_contains_self_and_subsets_brute(ray_session):
+    embs, t = _data()
+    q = embs[11].astype(np.float64)
+    exact = set(_numpy_topk(embs, q, K))
+    out = lsh_bucket_topk(
+        ray.data.from_arrow(t), q[None, :], k=K, query_ids=[0], n_planes=6
+    ).take_all()
+    got = {r["vec_id"] for r in out}
+    assert 11 in got
+    # approximate: at least the query itself plus some overlap with exact
+    assert len(got & exact) >= 2

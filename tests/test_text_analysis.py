@@ -1,0 +1,69 @@
+"""Text-analysis kernels vs naive Python oracles."""
+
+import pyarrow as pa
+
+from docling_graph_ray.stages.text_analysis import (
+    bpe_token_count_batch,
+    fingerprint_batch,
+    langid_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+TEXTS = [
+    "the quick brown fox and the lazy dog are friends for this test",
+    "le chat est dans la maison avec les enfants pour une heure",
+    "der hund ist nicht mit der katze und das ist gut für alle",
+    "el perro es grande y los gatos son pequeños para una casa del pueblo",
+    "",
+    "   ",
+    "123 456 !!!",
+]
+
+
+def _batch():
+    return pa.table(
+        {"doc_id": pa.array(range(len(TEXTS)), pa.int64()), "text": TEXTS}
+    )
+
+
+def test_token_count_matches_python_split():
+    out = token_count_batch(_batch())
+    for t, n in zip(TEXTS, out.column("n_tokens").to_pylist()):
+        assert n == len(t.split())
+    for t, c in zip(TEXTS, out.column("n_chars").to_pylist()):
+        assert c == len(t)
+
+
+def test_langid_on_known_languages():
+    out = langid_batch(_batch())
+    langs = out.column("pred_lang").to_pylist()
+    assert langs[0] == "en"
+    assert langs[1] == "fr"
+    assert langs[2] == "de"
+    assert langs[3] == "es"
+    assert langs[4] == "und" and langs[6] == "und"
+
+
+def test_quality_ratios():
+    out = quality_batch(_batch())
+    r = out.to_pylist()
+    assert r[4]["n_chars"] == 0 and r[4]["alpha_ratio"] == 0.0
+    digits = r[6]
+    assert digits["digit_ratio"] > 0.5 and digits["alpha_ratio"] == 0.0
+    en = r[0]
+    assert 0.7 < en["alpha_ratio"] < 0.9  # words + spaces
+
+
+def test_fingerprint_deterministic_and_distinct():
+    a = fingerprint_batch(_batch()).column("fingerprint").to_pylist()
+    b = fingerprint_batch(_batch()).column("fingerprint").to_pylist()
+    assert a == b
+    assert len(set(a[:4])) == 4  # distinct docs → distinct fingerprints
+
+
+def test_bpe_tokens_at_least_words():
+    out = bpe_token_count_batch(_batch())
+    toks = out.column("n_bpe_tokens").to_pylist()
+    for t, n in zip(TEXTS, toks):
+        assert n >= len(t.split())
