@@ -179,14 +179,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_topk": """
             WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qe
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
                 FROM embeddings ORDER BY vec_id LIMIT 4
             )
             SELECT query_id, vec_id,
-                   ROUND(list_cosine_similarity(embedding, qe), 6) AS cos
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cos
             FROM q CROSS JOIN embeddings
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY query_id
-                ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id) <= 10
+                ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id) <= 10
         """,
     }

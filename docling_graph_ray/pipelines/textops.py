@@ -131,7 +131,8 @@ def _query_matrix(sf_dir: str, n: int = 4) -> tuple[np.ndarray, list[int]]:
 def emb_topk(sf_dir: str, k: int = 10):
     q, qids = _query_matrix(sf_dir)
     return brute_force_topk(
-        _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids
+        _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids,
+        dtype=np.float64,  # oracle-matched precision (DuckDB DOUBLE[] cosine)
     )
 
 

@@ -21,8 +21,8 @@ import numpy as np
 import pyarrow as pa
 
 
-def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float32)
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -37,20 +37,23 @@ def brute_force_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     query_ids: list[int] | None = None,
+    dtype=np.float32,
 ):
     """Exact cosine top-k of every query against the dataset.
 
-    Returns a Dataset ``(query_id, vec_id, cos)`` with k rows per query."""
+    Returns a Dataset ``(query_id, vec_id, cos)`` with k rows per query.
+    ``dtype=np.float32`` is the scale default; pass ``np.float64`` for
+    oracle-matched precision (DuckDB computes DOUBLE[] cosines in f64)."""
     import ray
 
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=dtype))
     qids = query_ids if query_ids is not None else list(range(qn.shape[0]))
     q_ref = ray.put(qn)  # broadcast once
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         ids = np.asarray(batch.column(id_col).to_pylist())
-        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        embs = _normalize(_as_matrix(batch.column(emb_col), dtype))
         sims = embs @ q.T  # (n, nq)
         kk = min(k, len(ids))
         out_q, out_v, out_c = [], [], []
