@@ -292,14 +292,25 @@ def make_pages_table(
 def pages_dataset(n: int, seed: int = 42, profile: str = "t2", override_num_blocks: int | None = None):
     """Streaming Ray dataset of n synthetic pages (generated inside tasks,
     never materialized on the driver)."""
+    import ray
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
         return make_pages_table(batch.column("id").to_pylist(), seed, profile)
 
-    nb = override_num_blocks or max(8, n // 512)
+    # blocks ≫ cores: the fused downstream chain runs ONE TASK PER BLOCK,
+    # so block count — not batch_size — is the parallelism of the whole
+    # narrow pipeline.  4 blocks per core also smooths giant-row skew.
+    if override_num_blocks:
+        nb = override_num_blocks
+    else:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        nb = max(16, min(n, max(4 * cpus, n // 64)))
     return ray.data.range(n, override_num_blocks=nb).map_batches(
-        gen, batch_format="pyarrow", batch_size=256
+        gen, batch_format="pyarrow", batch_size=64
     )
 
 

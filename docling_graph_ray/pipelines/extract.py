@@ -1,28 +1,37 @@
 """The flagship pipeline: pages → extracted text + spans + lineage.
 
-Ray-Data-first shape (SURVEY.md §7):
+Ray-Data-first shape (SURVEY.md §7) — a LINEAR chain, one source scan:
 
     read/generate pages (url, warc_ts, html, text, lang)
-      → classify: content_kind + size_bucket + part_id   (cheap, vectorized)
-      → three lanes (size-bucketed / content-routed):
-          html        map_batches(extract_batch, batch_size=64)
-          html_giant  map_batches(extract_batch, batch_size=4)   # skew lane
-          pdf         map_batches(PdfParseActor, concurrency=…)  # warm actors
-      → union
-      → groupby(part_id).map_groups(PartitionFinalizer)          # ONE shuffle
+      → classify: lane + part_id                      (cheap, vectorized)
+      → map_batches(ExtractActor, concurrency=(cpus, cpus))
+          - ONE warm-actor pool does all per-row extraction: HTML rows
+            (any size) decode → parse → score → text+spans, giant rows
+            handled by generator sub-batch yields; PDF/binary rows parsed
+            with the once-per-actor warm parser state (__init__)
+          - upstream task stages (read/gen + classify) FUSE into this
+            pool, so the pool size — derived from ray.cluster_resources()
+            at build time — IS the pipeline's parallelism
+      → groupby(part_id).map_groups(PartitionFinalizer)   # the ONE shuffle
           - latest-wins url dedup (url-hash partitioning makes it global)
           - per-partition lineage + metrics
           - atomic partition Parquet + manifest (idempotent resume)
 
 Design notes for 100 TB:
+- the chain is linear on purpose: a filter-branch union (one branch per
+  lane) re-executes the whole upstream once PER BRANCH in Ray Data's plan
+  (no common-subplan caching), i.e. it re-reads the 100 TB source three
+  times.  Handling both content kinds inside one actor stage keeps the
+  source scan single-pass; measurements also showed that routing the full
+  stream through a separate small "finisher" actor pool throttles the
+  task stages (the streaming executor reserves resources per operator),
+  so the single fused pool is both simpler and faster;
 - the single wide op is the url-hash groupby, and the same key drives
   dedup, lineage, checkpoint layout and resume (SURVEY.md §7.4);
 - ``html`` is projected away inside the extract stage, so the shuffle
   moves extracted text only (§7.5);
 - ``num_partitions`` must scale with input size (each partition's group is
   held in one worker: target 100–500 MB of *output* per partition);
-- lane branches re-evaluate only the cheap classify projection; the heavy
-  parse runs exactly once per row, in exactly one lane;
 - resume filters completed partitions out BEFORE the parse, so a resumed
   run pays only for missing partitions.
 """
@@ -32,8 +41,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from docling_graph_ray.functions.hashing import url_part_ids, xor_rollup_hex
-from docling_graph_ray.stages.html_extract import extract_batch
+from docling_graph_ray.functions.hashing import sha256_hex, url_part_ids, xor_rollup_hex
+from docling_graph_ray.stages.html_extract import EXTRACT_SCHEMA, SPAN_TYPE
 from docling_graph_ray.stages.pdf_parse import PDF_MAGIC, PdfParseActor
 from docling_graph_ray.state.manifest import completed_parts, write_partition_atomic
 
@@ -85,20 +94,100 @@ def make_classifier(num_partitions: int, giant_bytes: int = DEFAULT_GIANT_BYTES)
     return classify
 
 
-def _passthrough_part_id(fn):
-    """Wrap an EXTRACT_SCHEMA batch fn so part_id survives the stage."""
+# ---------------------------------------------------------------------------
+# the extraction stage: ONE warm-actor pool for both content kinds
 
-    def wrapped(batch: pa.Table) -> pa.Table:
-        out = fn(batch)
-        return out.append_column("part_id", batch.column("part_id"))
+# EXTRACT_SCHEMA + the partition id that drives the downstream groupby
+_STAGE_SCHEMA = EXTRACT_SCHEMA.append(pa.field("part_id", pa.int32()))
 
-    return wrapped
+# yield an output sub-batch once this much input html has been consumed —
+# bounds task-output block latency/memory even when single rows are huge
+_SUB_BATCH_BYTES = 32 << 20
+_SUB_BATCH_ROWS = 512
 
 
-class _PdfLane(PdfParseActor):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = super().__call__(batch)
-        return out.append_column("part_id", batch.column("part_id"))
+class ExtractActor(PdfParseActor):
+    """Generator ``map_batches`` actor: classified pages in, _STAGE_SCHEMA
+    sub-batches out.
+
+    Warm parser state (the PDF/layout stack stand-in) comes from
+    ``PdfParseActor.__init__`` — built once per actor, reused across
+    batches (reference analogue: DocumentProcessor's model stack,
+    docling_graph/core/extractors/document_processor.py:127-230).  HTML
+    rows are stateless per-row work and run inline; giant rows are handled
+    by sub-batch yields so a multi-MB row never holds a whole output block
+    hostage."""
+
+    def __call__(self, batch: pa.Table):
+        from docling_graph_ray.stages.html_extract import extract_html_doc
+
+        urls = batch.column("url").to_pylist()
+        warcs = batch.column("warc_ts")
+        langs = batch.column("lang")
+        parts = batch.column("part_id")
+        lanes = batch.column("lane").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist()
+
+        def new_acc():
+            return {
+                "idx": [], "extracted_text": [], "text_sha256": [], "spans": [],
+                "n_blocks_kept": [], "n_blocks_dropped": [], "parse_status": [],
+                "bytes_in": [], "bytes_out": [],
+            }
+
+        def flush(acc):
+            idx = pa.array(acc["idx"], pa.int64())
+            return pa.Table.from_arrays(
+                [
+                    pa.array([urls[i] for i in acc["idx"]], pa.string()),
+                    warcs.take(idx),
+                    langs.take(idx),
+                    pa.array(acc["extracted_text"], pa.large_string()),
+                    pa.array(acc["text_sha256"], pa.string()),
+                    pa.array(acc["spans"], pa.list_(SPAN_TYPE)),
+                    pa.array(acc["n_blocks_kept"], pa.int32()),
+                    pa.array(acc["n_blocks_dropped"], pa.int32()),
+                    pa.array(acc["parse_status"], pa.string()),
+                    pa.array(acc["bytes_in"], pa.int64()),
+                    pa.array(acc["bytes_out"], pa.int64()),
+                    parts.take(idx),
+                ],
+                schema=_STAGE_SCHEMA,
+            )
+
+        acc = new_acc()
+        consumed = 0
+        for i, (raw, fb, lane) in enumerate(zip(htmls, texts, lanes)):
+            raw = raw or b""
+            acc["idx"].append(i)
+            if lane == "pdf":
+                t, st = self._parse_one(raw)
+                spans = (
+                    [{"span_id": 0, "start": 0, "end": len(t),
+                      "kind": "pdf_text", "path": "pdf", "block_class": "pdf"}]
+                    if t else []
+                )
+                r = {"extracted_text": t, "spans": spans,
+                     "n_blocks_kept": 1 if t else 0, "n_blocks_dropped": 0,
+                     "parse_status": st}
+            else:
+                r = extract_html_doc(raw, fb)
+            t = r["extracted_text"]
+            acc["extracted_text"].append(t)
+            acc["text_sha256"].append(sha256_hex(t))
+            acc["spans"].append(r["spans"])
+            acc["n_blocks_kept"].append(r["n_blocks_kept"])
+            acc["n_blocks_dropped"].append(r["n_blocks_dropped"])
+            acc["parse_status"].append(r["parse_status"])
+            acc["bytes_in"].append(len(raw))
+            acc["bytes_out"].append(len(t.encode("utf-8", "surrogatepass")))
+            consumed += len(raw)
+            if consumed >= _SUB_BATCH_BYTES or len(acc["idx"]) >= _SUB_BATCH_ROWS:
+                yield flush(acc)
+                acc, consumed = new_acc(), 0
+        if acc["idx"]:
+            yield flush(acc)
 
 
 # ---------------------------------------------------------------------------
@@ -175,23 +264,40 @@ class PartitionFinalizer:
 # pipeline assembly
 
 
-def _lanes(classified, pdf_concurrency):
-    html_ds = classified.filter(expr="lane == 'html'").drop_columns(["lane"])
-    giant_ds = classified.filter(expr="lane == 'html_giant'").drop_columns(["lane"])
-    pdf_ds = classified.filter(expr="lane == 'pdf'").drop_columns(["lane"])
+def _auto_concurrency() -> tuple[int, int]:
+    """Size the extraction actor pool from the cluster, not a constant.
 
-    ex = _passthrough_part_id(extract_batch)
-    html_out = html_ds.map_batches(ex, batch_format="pyarrow", batch_size=64)
-    giant_out = giant_ds.map_batches(
-        ex, batch_format="pyarrow", batch_size=4, num_cpus=1
-    )
-    pdf_out = pdf_ds.map_batches(
-        _PdfLane,
+    The upstream task stages (read + classify) fuse into this pool, so its
+    size IS the parallelism of the whole narrow pipeline.  A fixed cap
+    that is right for 8 CPUs starves 32 (SURVEY.md §7.5 p.6); derive it
+    from ``ray.cluster_resources()`` at build time.  min == max: a fixed
+    pool starts all actors immediately instead of paying autoscale ramp-up
+    on every execution.  Two CPUs are left free so unfused upstream task
+    operators (e.g. the parquet read) are never starved by the pool — a
+    full-cluster fixed pool deadlocks the stream."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n = max(2, cpus - 1)
+    return (n, n)
+
+
+def _lanes(classified, pdf_concurrency):
+    """The extraction stage: one warm-actor pool, one pass, one parse per
+    row.  ``batch_size`` bounds per-call input (~64 rows × ~0.25 MB avg
+    html ≈ 8 MB on the heavy profile); small batches keep the task tail
+    short — one coarse straggler task can dominate the whole run."""
+    if pdf_concurrency is None:
+        pdf_concurrency = _auto_concurrency()
+    return classified.map_batches(
+        ExtractActor,
         batch_format="pyarrow",
         batch_size=32,
         concurrency=pdf_concurrency,
     )
-    return html_out.union(giant_out, pdf_out)
 
 
 def extract_pages_dataset(
@@ -199,7 +305,7 @@ def extract_pages_dataset(
     *,
     num_partitions: int = 16,
     giant_bytes: int = DEFAULT_GIANT_BYTES,
-    pdf_concurrency=(1, 4),
+    pdf_concurrency=None,
 ):
     """pages Dataset → extracted Dataset (NOT deduped; no shuffle).
 
@@ -217,7 +323,7 @@ def run_extract_pipeline(
     out_dir: str | None = None,
     num_partitions: int = 16,
     giant_bytes: int = DEFAULT_GIANT_BYTES,
-    pdf_concurrency=(1, 4),
+    pdf_concurrency=None,
     resume: bool = True,
 ):
     """Full pipeline; returns the lineage Dataset (one row per partition).
