@@ -31,6 +31,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+# Ray's default worker niceness is 15: workers lose the CPU to ANY nice-0
+# process (raylet, driver, system daemons), measured at ~1.35x per-task CPU
+# inflation on this box.  Must be set before ray.init (the raylet passes it
+# to workers it spawns).
+os.environ.setdefault("RAY_worker_niceness", "0")
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 

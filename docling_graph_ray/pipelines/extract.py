@@ -42,7 +42,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from docling_graph_ray.functions.hashing import sha256_hex, url_part_ids, xor_rollup_hex
-from docling_graph_ray.stages.html_extract import EXTRACT_SCHEMA, SPAN_TYPE
+from docling_graph_ray.stages.html_extract import (
+    EXTRACT_SCHEMA,
+    SPAN_TYPE,
+    extract_html_doc,
+)
 from docling_graph_ray.stages.pdf_parse import PDF_MAGIC, PdfParseActor
 from docling_graph_ray.state.manifest import completed_parts, write_partition_atomic
 
@@ -119,8 +123,6 @@ class ExtractActor(PdfParseActor):
     hostage."""
 
     def __call__(self, batch: pa.Table):
-        from docling_graph_ray.stages.html_extract import extract_html_doc
-
         urls = batch.column("url").to_pylist()
         warcs = batch.column("warc_ts")
         langs = batch.column("lang")
