@@ -33,6 +33,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from docling_graph_ray.pipelines import graph as g
     from docling_graph_ray.pipelines import relational as r
     from docling_graph_ray.pipelines import textops as t
 
@@ -56,7 +57,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": t.doc_exact_dedup,
         # similarity (oracle-checked)
         "emb_topk": t.emb_topk,
+        # knowledge-graph operators (oracle-checked)
+        "graph_nodes_dedup": g.graph_nodes_dedup,
+        "graph_edges_clean": g.graph_edges_clean,
+        "graph_phantom_filter": g.graph_phantom_filter,
+        "graph_cardinality_bound": g.graph_cardinality_bound,
+        "graph_stats": g.graph_stats_query,
         # rows-only (non-SQL-expressible)
+        "graph_merge_runs": g.graph_merge_runs,
+        "graph_content_dedup": g.graph_content_dedup,
         "doc_langid": t.doc_langid,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
@@ -103,6 +112,53 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "graph_nodes_dedup": """
+            SELECT o_custkey AS custkey,
+                   MIN(o_orderkey) AS first_orderkey,
+                   ARG_MIN(o_orderpriority, o_orderkey) FILTER (WHERE o_orderstatus = 'F') AS priority,
+                   ARG_MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT), o_orderkey)
+                       FILTER (WHERE o_totalprice > 150000) AS big_price_cents,
+                   COUNT(*) AS n_mentions
+            FROM orders
+            GROUP BY o_custkey
+        """,
+        "graph_edges_clean": """
+            SELECT DISTINCT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst,
+                   'contains' AS label
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 15)
+        """,
+        "graph_phantom_filter": """
+            WITH m AS (
+                SELECT c_custkey AS custkey,
+                       CASE WHEN c_mktsegment = 'BUILDING' THEN c_name END AS name,
+                       CASE WHEN c_acctbal > 0 THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END AS balance_cents
+                FROM customer
+            )
+            SELECT * FROM m WHERE name IS NOT NULL OR balance_cents IS NOT NULL
+        """,
+        "graph_cardinality_bound": """
+            SELECT p_brand, p_partkey,
+                   CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS p_retailprice_cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey
+                   ) AS BIGINT) AS rank,
+                   (ROW_NUMBER() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey
+                   )) > 3 AS demoted
+            FROM part
+        """,
+        "graph_stats": """
+            SELECT 'nodes:Customer' AS metric, COUNT(*) AS value FROM customer
+            UNION ALL
+            SELECT 'nodes:Supplier', COUNT(*) FROM supplier
+            UNION ALL
+            SELECT 'edges:cust_nation', COUNT(*) FROM customer
+            UNION ALL
+            SELECT 'edges:supp_nation', COUNT(*) FROM supplier
         """,
         "orderpriority_lineitem_counts": """
             SELECT o_orderpriority, COUNT(*) AS n_late_items

@@ -1,0 +1,327 @@
+"""Knowledge-graph pipelines over the TPC-H-ish test tables.
+
+Each query builds deterministic node/edge MENTION datasets from the
+parquet tables (duplicates arise naturally: one customer mention per
+order, one part mention per lineitem) and runs the graph operators from
+``stages.graph``.  Column names match the DuckDB oracles in
+``__ray_entry__`` exactly.
+
+The mention → dedup → enrich → clean → bound flow is the reference's
+GraphConversion stage re-expressed over datasets
+(docling_graph/pipeline/stages.py:783-869: nodes pass → edges pass →
+cleaner → cardinality bounds → stats)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from docling_graph_ray.functions.merging import fold_records
+from docling_graph_ray.stages.graph import (
+    cardinality_bound,
+    clean_edges,
+    content_hash_dedup,
+    dedup_nodes,
+    graph_stats,
+    phantom_filter,
+)
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# node dedup + enrichment (exact identity; first-non-empty-wins)
+
+
+def graph_nodes_dedup(sf_dir: str):
+    """Customer mentions (one per order) → exact dedup by custkey with
+    first-wins enrichment: ``priority`` observed only on F-status orders,
+    ``big_price_cents`` observed only on >150k orders — later mentions fill what the
+    first left empty, never overwrite (graph_converter.py:656-689)."""
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority",
+         "o_orderstatus"],
+    )
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        final = pc.equal(batch.column("o_orderstatus"), "F")
+        big = pc.greater(batch.column("o_totalprice"), 150_000.0)
+        cents = pc.round(
+            pc.multiply(batch.column("o_totalprice"), 100.0),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({
+            "custkey": batch.column("o_custkey").cast(pa.int64()),
+            "mention_order": batch.column("o_orderkey").cast(pa.int64()),
+            "priority": pc.if_else(final, batch.column("o_orderpriority"), None),
+            "big_price_cents": pc.if_else(big, cents, None),
+        })
+
+    nodes = orders.map_batches(mentions, batch_format="pyarrow")
+    deduped = dedup_nodes(
+        nodes, key_col="custkey", order_col="mention_order",
+        attr_cols=["priority", "big_price_cents"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": t.column("custkey").cast(pa.int64()),
+            "first_orderkey": t.column("mention_order").cast(pa.int64()),
+            "priority": t.column("priority").cast(pa.string()),
+            "big_price_cents": t.column("big_price_cents").cast(pa.int64()),
+            "n_mentions": t.column("n_mentions").cast(pa.int64()),
+        })
+
+    return deduped.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# edge cleanup (triple dedup + orphan semi-join)
+
+
+def graph_edges_clean(sf_dir: str):
+    """Order→Part 'contains' edges from lineitem, cleaned: duplicate
+    triples dropped, edges to parts outside the node set (p_size < 15)
+    dropped via the broadcast semi-join (graph_cleaner.py:319-364)."""
+    # broadcast node-id set: all order ids + qualifying part ids
+    ids: set[str] = set()
+    for ref in _read(sf_dir, "orders", ["o_orderkey"]).to_arrow_refs():
+        t = ray.get(ref)
+        ids.update("O" + str(v) for v in t.column("o_orderkey").to_pylist())
+    for ref in _read(sf_dir, "part", ["p_partkey", "p_size"]).to_arrow_refs():
+        t = ray.get(ref)
+        t = t.filter(pc.greater_equal(t.column("p_size"), 15))
+        ids.update("P" + str(v) for v in t.column("p_partkey").to_pylist())
+    node_ids_ref = ray.put(np.array(sorted(ids)))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src = pc.binary_join_element_wise(
+            pa.array(["O"] * batch.num_rows),
+            batch.column("l_orderkey").cast(pa.string()), "",
+        )
+        dst = pc.binary_join_element_wise(
+            pa.array(["P"] * batch.num_rows),
+            batch.column("l_partkey").cast(pa.string()), "",
+        )
+        return pa.table({
+            "src": src, "dst": dst,
+            "label": pa.array(["contains"] * batch.num_rows),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return clean_edges(edges, node_ids_ref)
+
+
+# ---------------------------------------------------------------------------
+# phantom-node removal
+
+
+def graph_phantom_filter(sf_dir: str):
+    """Customer mentions where attrs are conditionally observed; nodes
+    with NO meaningful attr are phantoms and dropped
+    (graph_cleaner.py:189-271)."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        bld = pc.equal(batch.column("c_mktsegment"), "BUILDING")
+        pos = pc.greater(batch.column("c_acctbal"), 0.0)
+        cents = pc.round(
+            pc.multiply(batch.column("c_acctbal"), 100.0),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        return pa.table({
+            "custkey": batch.column("c_custkey").cast(pa.int64()),
+            "name": pc.if_else(bld, batch.column("c_name"), None),
+            "balance_cents": pc.if_else(pos, cents, None),
+        })
+
+    nodes = cust.map_batches(mentions, batch_format="pyarrow")
+    return phantom_filter(nodes, ["name", "balance_cents"])
+
+
+# ---------------------------------------------------------------------------
+# cardinality bounds (grouped top-k with audit)
+
+
+def graph_cardinality_bound(sf_dir: str, max_per_class: int = 3):
+    """Per-brand top-K parts by (retailprice desc, partkey asc); the rest
+    marked demoted, not dropped (graph_converter.py:360-429)."""
+    part = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+    bounded = cardinality_bound(
+        part, class_col="p_brand", max_per_class=max_per_class,
+        rank_keys=[("p_retailprice", "descending"), ("p_partkey", "ascending")],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t.column("p_brand"),
+            "p_partkey": t.column("p_partkey").cast(pa.int64()),
+            "p_retailprice_cents": pc.round(
+                pc.multiply(t.column("p_retailprice"), 100.0),
+                ndigits=0, round_mode="half_towards_infinity",
+            ).cast(pa.int64()),
+            "rank": t.column("rank").cast(pa.int64()),
+            "demoted": t.column("demoted"),
+        })
+
+    return bounded.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# graph stats
+
+
+def graph_stats_query(sf_dir: str):
+    """(metric, value) rows: per-class node counts + per-label edge counts
+    over a Customer/Supplier → Nation graph (stats_calculator.py:10-76)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def cust_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "class": pa.array(["Customer"] * b.num_rows),
+            "node_id": b.column("c_custkey").cast(pa.string()),
+        })
+
+    def supp_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "class": pa.array(["Supplier"] * b.num_rows),
+            "node_id": b.column("s_suppkey").cast(pa.string()),
+        })
+
+    def cust_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("c_custkey").cast(pa.string()),
+            "dst": b.column("c_nationkey").cast(pa.string()),
+            "label": pa.array(["cust_nation"] * b.num_rows),
+        })
+
+    def supp_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("s_suppkey").cast(pa.string()),
+            "dst": b.column("s_nationkey").cast(pa.string()),
+            "label": pa.array(["supp_nation"] * b.num_rows),
+        })
+
+    nodes = cust.map_batches(cust_nodes, batch_format="pyarrow").union(
+        supp.map_batches(supp_nodes, batch_format="pyarrow")
+    )
+    edges = cust.map_batches(cust_edges, batch_format="pyarrow").union(
+        supp.map_batches(supp_edges, batch_format="pyarrow")
+    )
+    return graph_stats(nodes, edges)
+
+
+# ---------------------------------------------------------------------------
+# deterministic run-merge (rows-only: fold semantics are not SQL-shaped)
+
+
+def graph_merge_runs(sf_dir: str):
+    """Two extraction 'runs' of supplier facts from lineitem (split by
+    linenumber parity) merged with the left-associative keep-first fold +
+    conflict records (node_folder.py:113-252 semantics; merge(A,A)=A).
+
+    Returns one row per suppkey with the folded attrs and the number of
+    recorded conflicts."""
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_orderkey", "l_linenumber", "l_returnflag",
+                "l_linestatus"])
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        run = pc.if_else(
+            pc.equal(pc.bit_wise_and(batch.column("l_linenumber"), 1), 1),
+            "A", "B",
+        )
+        return pa.table({
+            "suppkey": batch.column("l_suppkey").cast(pa.int64()),
+            "run": run,
+            "order_in_run": batch.column("l_orderkey").cast(pa.int64()),
+            "returnflag": batch.column("l_returnflag"),
+            "linestatus": batch.column("l_linestatus"),
+        })
+
+    ds = li.map_batches(mentions, batch_format="pyarrow")
+
+    def fold_group(group: pa.Table) -> pa.Table:
+        # deterministic within-group order: run A before run B, then by
+        # (order_in_run) — left-associative precedence (merger.py:1-10)
+        idx = pc.sort_indices(group, sort_keys=[
+            ("run", "ascending"), ("order_in_run", "ascending"),
+        ])
+        g = group.take(idx)
+        recs = g.select(["returnflag", "linestatus"]).to_pylist()
+        folded, conflicts = fold_records(
+            recs, conflict_fields=["returnflag", "linestatus"]
+        )
+        return pa.Table.from_pylist([{
+            "suppkey": g.column("suppkey")[0].as_py(),
+            "returnflag": folded.get("returnflag"),
+            "linestatus": folded.get("linestatus"),
+            "n_conflicts": len(conflicts),
+            "n_mentions": g.num_rows,
+        }])
+
+    return ds.groupby("suppkey").map_groups(fold_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# content-hash dedup with edge redirect (rows-only)
+
+
+def graph_content_dedup(sf_dir: str):
+    """Customer nodes collapsed by content hash of (nationkey, segment);
+    customer→nation edges redirected to the surviving node
+    (graph_cleaner.py:273-317,366-391).  Returns the redirected, cleaned
+    edge set (one row per surviving (src, dst, label))."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": pc.binary_join_element_wise(
+                pa.array(["C"] * b.num_rows),
+                b.column("c_custkey").cast(pa.string()), "",
+            ),
+            "nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "segment": b.column("c_mktsegment"),
+        })
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                pa.array(["C"] * b.num_rows),
+                b.column("c_custkey").cast(pa.string()), "",
+            ),
+            "dst": pc.binary_join_element_wise(
+                pa.array(["N"] * b.num_rows),
+                b.column("c_nationkey").cast(pa.string()), "",
+            ),
+            "label": pa.array(["in_nation"] * b.num_rows),
+        })
+
+    nodes = cust.map_batches(to_nodes, batch_format="pyarrow")
+    edges = cust.map_batches(to_edges, batch_format="pyarrow")
+    nodes_out, edges_out, _ = content_hash_dedup(
+        nodes, edges, key_col="node_id", attr_cols=["nationkey", "segment"]
+    )
+
+    def distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(["src", "dst", "label"]).aggregate([])
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        edges_out.map_batches(distinct, batch_format="pyarrow")
+        .groupby(["src", "dst", "label"])
+        .map_groups(first, batch_format="pyarrow")
+    )

@@ -1,0 +1,254 @@
+"""Knowledge-graph operators as Ray Data transforms over nodes/edges tables.
+
+The reference materializes one ``networkx.DiGraph`` per run and cleans it
+in-process (docling_graph/core/converters/graph_converter.py:202-358,
+graph_cleaner.py); here the graph is TWO datasets —
+``nodes(node_id, class, <attrs…>)`` and ``edges(src, dst, label)`` — and
+every cleanup is a groupby / filter / broadcast semi-join (SURVEY.md §1.4).
+
+Semantics ported (not code):
+- exact node dedup by deterministic identity with first-non-empty-wins
+  enrichment — graph_converter.py:540-545,656-689 + the NodeIDRegistry
+  fingerprint (node_id_registry.py:58-113), re-expressed as
+  ``groupby(node_id).map_groups(enrich)`` with an explicit within-group
+  sort (groupby alone does not guarantee order; SURVEY.md §7.5 item 3);
+- edge cleanup: duplicate (src, dst, label) triples dropped, self-loops
+  dropped, orphaned edges dropped via semi-join against the node set —
+  graph_cleaner.py:81-109,319-364;
+- phantom-node removal: nodes with no meaningful non-metadata value —
+  graph_cleaner.py:189-271;
+- content-hash dedup with edge redirect — graph_cleaner.py:273-317,366-391;
+- cardinality bounds: per-class top-K keep with deterministic rank and a
+  demotion audit — graph_converter.py:360-429;
+- graph stats: per-class node counts, per-label edge counts, avg degree —
+  stats_calculator.py:10-76.
+
+Partitioning assumptions (documented per SURVEY.md "custom operators"):
+- dedup/cardinality groupbys shuffle by ``node_id`` / ``class`` — the one
+  wide op per cleanup;
+- the orphan semi-join broadcasts the deduped node-id set (``ray.put``
+  once, read zero-copy per task).  At 100 TB the node-id set of ONE
+  document-collection partition fits comfortably (ids are 16-byte hashes;
+  1e9 nodes ≈ 16 GB would not — shard the cleanup by url-hash partition
+  first, which the flagship pipeline already does).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from docling_graph_ray.functions.hashing import blake2b_hex
+from docling_graph_ray.functions.merging import enrich_first_wins
+
+
+def _sort_indices(table: pa.Table, order_col: str) -> pa.Array:
+    return pc.sort_indices(
+        table, sort_keys=[(order_col, "ascending")]
+    )
+
+
+def dedup_nodes(nodes, *, key_col: str, order_col: str, attr_cols: list[str]):
+    """Exact node dedup + enrichment: one row per ``key_col``; the first
+    row (by ``order_col``) wins, later duplicates only fill empty attrs.
+    Adds ``n_mentions`` (duplicate count).
+
+    Reference: graph_converter.py:540-545 (id-level dedup) + :656-689
+    (duplicate-instance enrichment)."""
+
+    def enrich(group: pa.Table) -> pa.Table:
+        g = group.take(_sort_indices(group, order_col))
+        recs = g.select([key_col, order_col, *attr_cols]).to_pylist()
+        merged = enrich_first_wins(recs)
+        merged["n_mentions"] = g.num_rows
+        return pa.Table.from_pylist([merged])
+
+    return nodes.groupby(key_col).map_groups(enrich, batch_format="pyarrow")
+
+
+def clean_edges(edges, node_ids_ref, *, src_col: str = "src", dst_col: str = "dst",
+                label_col: str = "label"):
+    """Edge cleanup in one vectorized pass per batch + one distinct:
+
+    1. drop self-loops (src == dst),
+    2. drop orphaned edges: both endpoints must exist in the broadcast
+       node-id set (the one semi-join in the reference's system,
+       graph_cleaner.py:319-364),
+    3. dedup exact (src, dst, label) triples (graph_cleaner.py:81-109).
+
+    ``node_ids_ref`` is a ``ray.put`` handle to a sorted numpy array of
+    node ids — broadcast once, read zero-copy in every task."""
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        ids = ray.get(node_ids_ref)
+        src = batch.column(src_col).to_numpy(zero_copy_only=False)
+        dst = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        keep = (src != dst) & np.isin(src, ids) & np.isin(dst, ids)
+        t = batch.filter(pa.array(keep))
+        # batch-local pre-distinct shrinks the shuffle input
+        return t.group_by([src_col, dst_col, label_col]).aggregate([])
+
+    deduped = edges.map_batches(pass1, batch_format="pyarrow")
+
+    def first_triple(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return deduped.groupby([src_col, dst_col, label_col]).map_groups(
+        first_triple, batch_format="pyarrow"
+    )
+
+
+def phantom_filter(nodes, attr_cols: list[str]):
+    """Drop nodes where every non-metadata attribute is null/empty
+    (graph_cleaner.py:189-271).  Vectorized: a node survives if ANY attr
+    column is non-null and non-empty-string."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = None
+        for c in attr_cols:
+            col = batch.column(c)
+            ok = pc.is_valid(col)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                ok = pc.and_(ok, pc.not_equal(pc.fill_null(col, ""), ""))
+            keep = ok if keep is None else pc.or_(keep, ok)
+        return batch.filter(pc.fill_null(keep, False))
+
+    return nodes.map_batches(fn, batch_format="pyarrow")
+
+
+def content_hash(values: list[object]) -> str:
+    """Deterministic content fingerprint over non-empty attr values
+    (order-insensitive across fields is NOT wanted — field order is part
+    of identity, matching the reference's content-based fallback,
+    node_id_registry.py:96-113)."""
+    parts = [("" if v is None else str(v)) for v in values]
+    return blake2b_hex("\x1f".join(parts), digest_size=8)
+
+
+def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
+                       src_col: str = "src", dst_col: str = "dst"):
+    """Merge nodes with identical content hash; redirect edges to the
+    surviving node (graph_cleaner.py:273-317,366-391).
+
+    Returns ``(nodes_out, edges_out, redirect_ref)``.  The redirect map
+    (dup id → canonical id) is collected driver-side and broadcast — it is
+    bounded by the number of DUPLICATE nodes, which is small relative to
+    the graph (and per-partition in the flagship layout)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(c).to_pylist() for c in attr_cols]
+        hashes = [content_hash(list(vals)) for vals in zip(*cols)] if cols else []
+        return batch.append_column("_content_hash", pa.array(hashes, pa.string()))
+
+    hashed = nodes.map_batches(add_hash, batch_format="pyarrow")
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=[(key_col, "ascending")]))
+        first = g.slice(0, 1)
+        if g.num_rows > 1:
+            canon = g.column(key_col)[0].as_py()
+            dup_ids = g.column(key_col).to_pylist()[1:]
+            redirects = pa.table({
+                "_dup": pa.array(dup_ids, pa.string()),
+                "_canon": pa.array([canon] * len(dup_ids), pa.string()),
+            })
+            first = first.append_column(
+                "_redirects", pa.array([redirects.to_pylist()],
+                                       pa.list_(pa.struct([("_dup", pa.string()),
+                                                           ("_canon", pa.string())])))
+            )
+        else:
+            first = first.append_column(
+                "_redirects", pa.array([[]], pa.list_(pa.struct([("_dup", pa.string()),
+                                                                 ("_canon", pa.string())])))
+            )
+        return first
+
+    merged = hashed.groupby("_content_hash").map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+
+    # small side: collect redirects driver-side, broadcast for the edge pass
+    redirect: dict[str, str] = {}
+    for ref in merged.select_columns(["_redirects"]).to_arrow_refs():
+        for row in ray.get(ref).column("_redirects").to_pylist():
+            for r in row or []:
+                redirect[r["_dup"]] = r["_canon"]
+    redirect_ref = ray.put(redirect)
+
+    nodes_out = merged.drop_columns(["_content_hash", "_redirects"])
+
+    def redirect_edges(batch: pa.Table) -> pa.Table:
+        rd = ray.get(redirect_ref)
+        if not rd:
+            return batch
+        src = [rd.get(v, v) for v in batch.column(src_col).to_pylist()]
+        dst = [rd.get(v, v) for v in batch.column(dst_col).to_pylist()]
+        batch = batch.set_column(
+            batch.schema.get_field_index(src_col), src_col, pa.array(src, pa.string())
+        )
+        return batch.set_column(
+            batch.schema.get_field_index(dst_col), dst_col, pa.array(dst, pa.string())
+        )
+
+    edges_out = edges.map_batches(redirect_edges, batch_format="pyarrow")
+    return nodes_out, edges_out, redirect_ref
+
+
+def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
+                      rank_keys: list[tuple[str, str]]):
+    """Per-class top-K keep (grouped top-k): rank by ``rank_keys``
+    (column, 'ascending'|'descending'), keep the first ``max_per_class``,
+    mark the rest demoted (audit preserved, not silently dropped —
+    graph_converter.py:360-429).
+
+    Returns the full dataset with ``rank`` (1-based within class) and
+    ``demoted`` columns; callers filter ``demoted == False`` for the
+    bounded graph and keep the remainder as the audit trail."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=rank_keys)
+        g = group.take(idx)
+        n = g.num_rows
+        rank = pa.array(np.arange(1, n + 1, dtype=np.int64))
+        demoted = pa.array(np.arange(n) >= max_per_class)
+        return g.append_column("rank", rank).append_column("demoted", demoted)
+
+    return nodes.groupby(class_col).map_groups(topk, batch_format="pyarrow")
+
+
+def graph_stats(nodes, edges, *, class_col: str = "class",
+                label_col: str = "label", src_col: str = "src"):
+    """Graph-level stats as (metric, value) rows: per-class node counts,
+    per-label edge counts, total nodes/edges, average out-degree ×1e6
+    (integer-scaled so the value column stays int64 and hash-stable).
+
+    Reference: stats_calculator.py:10-76 — node/edge counts, per-type
+    distributions, average degree."""
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(class_col).aggregate([([], "count_all")])
+        metric = pc.binary_join_element_wise(
+            pa.array(["nodes"] * g.num_rows), g.column(class_col).cast(pa.string()), ":"
+        )
+        return pa.table({"metric": metric, "value": g.column("count_all").cast(pa.int64())})
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(label_col).aggregate([([], "count_all")])
+        metric = pc.binary_join_element_wise(
+            pa.array(["edges"] * g.num_rows), g.column(label_col).cast(pa.string()), ":"
+        )
+        return pa.table({"metric": metric, "value": g.column("count_all").cast(pa.int64())})
+
+    parts = nodes.map_batches(node_partial, batch_format="pyarrow").union(
+        edges.map_batches(edge_partial, batch_format="pyarrow")
+    )
+    summed = parts.groupby("metric").sum("value")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["metric", "value"])
+
+    return summed.map_batches(rename, batch_format="pyarrow")

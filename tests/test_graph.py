@@ -1,0 +1,159 @@
+"""Graph operators: dedup+enrich, edge cleanup, phantom filter,
+cardinality bounds, content-hash dedup + redirect, stats, exporters."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from docling_graph_ray.stages.graph import (
+    cardinality_bound,
+    clean_edges,
+    content_hash_dedup,
+    dedup_nodes,
+    graph_stats,
+    phantom_filter,
+)
+
+
+def _nodes_ds(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_dedup_nodes_first_wins_enrichment(ray_session):
+    rows = [
+        {"nid": "a", "ord": 2, "x": None, "y": "late-y"},
+        {"nid": "a", "ord": 1, "x": "first-x", "y": None},
+        {"nid": "a", "ord": 3, "x": "clobber", "y": "clobber"},
+        {"nid": "b", "ord": 1, "x": None, "y": None},
+    ]
+    out = dedup_nodes(
+        _nodes_ds(rows), key_col="nid", order_col="ord", attr_cols=["x", "y"]
+    ).to_pandas().set_index("nid").sort_index()
+    # first row (ord=1) wins x; its empty y filled by ord=2's y; ord=3 never overwrites
+    assert out.loc["a", "x"] == "first-x"
+    assert out.loc["a", "y"] == "late-y"
+    assert out.loc["a", "n_mentions"] == 3
+    assert out.loc["b", "n_mentions"] == 1
+
+
+def test_clean_edges_selfloop_orphan_dup(ray_session):
+    edges = _nodes_ds([
+        {"src": "a", "dst": "b", "label": "l"},
+        {"src": "a", "dst": "b", "label": "l"},   # duplicate triple
+        {"src": "a", "dst": "a", "label": "l"},   # self-loop
+        {"src": "a", "dst": "z", "label": "l"},   # orphan dst
+        {"src": "b", "dst": "a", "label": "m"},
+    ])
+    ids = ray.put(np.array(sorted(["a", "b"])))
+    out = clean_edges(edges, ids).to_pandas()
+    triples = sorted(map(tuple, out[["src", "dst", "label"]].values.tolist()))
+    assert triples == [("a", "b", "l"), ("b", "a", "m")]
+
+
+def test_phantom_filter(ray_session):
+    nodes = _nodes_ds([
+        {"nid": 1, "a": None, "b": ""},      # phantom
+        {"nid": 2, "a": "x", "b": None},
+        {"nid": 3, "a": None, "b": "y"},
+    ])
+    out = phantom_filter(nodes, ["a", "b"]).to_pandas()
+    assert sorted(out["nid"].tolist()) == [2, 3]
+
+
+def test_cardinality_bound_rank_and_audit(ray_session):
+    nodes = _nodes_ds([
+        {"cls": "C", "nid": i, "score": float(10 - i)} for i in range(5)
+    ])
+    out = cardinality_bound(
+        nodes, class_col="cls", max_per_class=2,
+        rank_keys=[("score", "descending"), ("nid", "ascending")],
+    ).to_pandas().sort_values("rank")
+    assert out["nid"].tolist() == [0, 1, 2, 3, 4]
+    assert out["demoted"].tolist() == [False, False, True, True, True]
+    assert out.shape[0] == 5  # audit preserved, nothing dropped
+
+
+def test_content_hash_dedup_redirects_edges(ray_session):
+    nodes = _nodes_ds([
+        {"node_id": "n1", "p": "same", "q": 1},
+        {"node_id": "n2", "p": "same", "q": 1},   # content dup of n1
+        {"node_id": "n3", "p": "other", "q": 2},
+    ])
+    edges = _nodes_ds([
+        {"src": "n2", "dst": "n3", "label": "l"},
+        {"src": "n3", "dst": "n1", "label": "l"},
+    ])
+    nodes_out, edges_out, _ = content_hash_dedup(
+        nodes, edges, key_col="node_id", attr_cols=["p", "q"]
+    )
+    n = nodes_out.to_pandas()
+    assert sorted(n["node_id"]) == ["n1", "n3"]
+    e = edges_out.to_pandas()
+    assert sorted(map(tuple, e[["src", "dst"]].values.tolist())) == [
+        ("n1", "n3"), ("n3", "n1")
+    ]
+
+
+def test_graph_stats(ray_session):
+    nodes = _nodes_ds([
+        {"class": "A", "node_id": "1"},
+        {"class": "A", "node_id": "2"},
+        {"class": "B", "node_id": "3"},
+    ])
+    edges = _nodes_ds([
+        {"src": "1", "dst": "3", "label": "x"},
+        {"src": "2", "dst": "3", "label": "x"},
+    ])
+    out = graph_stats(nodes, edges).to_pandas().set_index("metric")["value"]
+    assert out["nodes:A"] == 2
+    assert out["nodes:B"] == 1
+    assert out["edges:x"] == 2
+
+
+def test_exporters_roundtrip(ray_session, tmp_path):
+    from docling_graph_ray.stages.exporters import (
+        export_graph_csv,
+        export_graph_json,
+        import_graph_json,
+    )
+
+    nodes = _nodes_ds([
+        {"node_id": "b", "attrs": {"k": 1}},
+        {"node_id": "a", "attrs": {"k": 2}},
+    ])
+    edges = _nodes_ds([{"src": "a", "dst": "b", "label": "l"}])
+    paths = export_graph_csv(nodes, edges, str(tmp_path))
+    header = open(paths["nodes"]).readline().strip()
+    assert header == '"node_id","attrs"'
+    # deterministic sorted order + JSON-encoded struct cells
+    assert '"a","{""k"": 2}"' in open(paths["nodes"]).read()
+
+    p = export_graph_json(nodes, edges, str(tmp_path / "graph.json"),
+                          metadata={"run": "t"})
+    n2, e2, meta = import_graph_json(p)
+    assert [r["node_id"] for r in n2] == ["a", "b"]
+    assert e2 == [{"src": "a", "dst": "b", "label": "l"}]
+    assert meta == {"run": "t"}
+    # byte-identical rerun (determinism)
+    b1 = open(p).read()
+    export_graph_json(nodes, edges, p, metadata={"run": "t"})
+    assert open(p).read() == b1
+
+
+def test_fold_merge_idempotent(ray_session):
+    from docling_graph_ray.functions.merging import fold_records
+
+    a = {"k": "v", "x": "1"}
+    folded, conflicts = fold_records([a, dict(a)])
+    assert folded == a and conflicts == []
+    folded2, conflicts2 = fold_records([a, {"k": "other", "x": ""}],
+                                       conflict_fields=["k"])
+    assert folded2 == a
+    assert conflicts2 == [
+        {"field": "k", "kept": "v", "dropped": "other", "source_index": 1}
+    ]
