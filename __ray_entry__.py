@@ -63,7 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_phantom_filter": g.graph_phantom_filter,
         "graph_cardinality_bound": g.graph_cardinality_bound,
         "graph_stats": g.graph_stats_query,
+        "events_props_salvage": t.events_props_salvage,
         # rows-only (non-SQL-expressible)
+        "doc_chunks": t.doc_chunks,
+        "doc_alias_reconcile": t.doc_alias_reconcile,
+        "pages_content_kinds": t.pages_content_kinds,
         "graph_merge_runs": g.graph_merge_runs,
         "graph_content_dedup": g.graph_content_dedup,
         "doc_langid": t.doc_langid,
@@ -159,6 +163,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'edges:cust_nation', COUNT(*) FROM customer
             UNION ALL
             SELECT 'edges:supp_nation', COUNT(*) FROM supplier
+        """,
+        "events_props_salvage": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
+                   CASE WHEN event_id % 2 = 1 THEN 'coerced' ELSE 'ok' END AS salvage_status
+            FROM events
         """,
         "orderpriority_lineitem_counts": """
             SELECT o_orderpriority, COUNT(*) AS n_late_items

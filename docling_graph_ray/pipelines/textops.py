@@ -192,3 +192,120 @@ def media_pipeline(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking (ChunkRecord parity; chunk semantics are not SQL-shaped)
+
+
+def doc_chunks(sf_dir: str, max_tokens: int = 64):
+    """documents.text → token-capped chunk rows with text_hash /
+    resplit_of (stages.chunking; reference ChunkRecord,
+    provenance/models.py:126-154)."""
+    from docling_graph_ray.stages.chunking import chunk_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_batch(max_tokens=max_tokens, text_col="text", url_col="doc_id",
+                    spans_col=None),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# alias reconciliation (LLM-free fuzzy rung; rows-only)
+
+
+def doc_alias_reconcile(sf_dir: str):
+    """Containment-alias merge within brand partitions: full part names
+    plus their 2-token prefixes as alias mentions; the short mention folds
+    into the richer one (stages.alias; alias_reconciler.py:54-330)."""
+    from docling_graph_ray.stages.alias import alias_reconcile
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_name"]
+    )
+
+    def mentions(b: pa.Table) -> pa.Table:
+        brands = b.column("p_brand").to_pylist()
+        keys = b.column("p_partkey").to_pylist()
+        names = b.column("p_name").to_pylist()
+        rows = []
+        for brand, key, name in zip(brands, keys, names):
+            rows.append({"cls": brand, "name": name, "partkey": key, "n": 1})
+            short = " ".join(name.split()[:2])
+            if short and short != name:
+                rows.append({"cls": brand, "name": short, "partkey": None, "n": 1})
+        return pa.Table.from_pylist(rows)
+
+    nodes = part.map_batches(mentions, batch_format="pyarrow")
+    return alias_reconcile(nodes, class_col="cls", name_col="name", count_col="n")
+
+
+# ---------------------------------------------------------------------------
+# content-kind sniffing (multi-format ingestion routing)
+
+
+def pages_content_kinds(sf_dir: str):
+    """Synthetic pages → per-kind counts via the vectorized sniffer
+    (stages.sniff; InputTypeDetector parity, core/input/types.py:44-233)."""
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.sniff import detect_content_kind
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    ds = pages_dataset(n, profile="t1").map_batches(
+        detect_content_kind(), batch_format="pyarrow"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("content_kind").aggregate([([], "count_all")])
+        return g.rename_columns(["content_kind", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("content_kind")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["content_kind", "n"]),
+                     batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# salvage ladder over events.props (oracle-checked)
+
+
+def events_props_salvage(sf_dir: str):
+    """Parse events.props JSON and salvage to a typed schema; odd
+    event_ids get their k value stringified first, so the ladder's
+    string→int rung fires and reports ``coerced``
+    (functions.salvage; llm_backend.py:774-855 semantics)."""
+    import json as _json
+
+    from docling_graph_ray.functions.salvage import salvage_record
+
+    schema = {"k": {"kind": "int", "required": True}}
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_pylist()
+        props = b.column("props").to_pylist()
+        out_k, out_st = [], []
+        for eid, p in zip(ids, props):
+            try:
+                rec = _json.loads(p or "{}")
+            except ValueError:
+                rec = {}
+            if eid % 2 == 1 and "k" in rec:
+                rec["k"] = str(rec["k"])  # deterministic malformed variant
+            salvaged, status = salvage_record(rec, schema)
+            out_k.append(salvaged.get("k"))
+            out_st.append(status)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "k": pa.array(out_k, pa.int64()),
+            "salvage_status": pa.array(out_st, pa.string()),
+        })
+
+    return ev.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,177 @@
+"""Chunking ladder, salvage ladder, content sniffing, alias
+reconciliation, stage registry."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from docling_graph_ray.functions.salvage import salvage_record
+from docling_graph_ray.stages.alias import is_containment_alias, reconcile_group
+from docling_graph_ray.stages.chunking import (
+    chunk_document,
+    count_tokens,
+    split_oversized,
+)
+from docling_graph_ray.stages.sniff import detect_kind
+
+
+# ---------------------------------------------------------------------- chunking
+
+def test_chunk_packs_whole_blocks():
+    text = "aaa bbb. ccc ddd.\n\neee fff."
+    spans = [
+        {"span_id": 0, "start": 0, "end": 17},
+        {"span_id": 1, "start": 19, "end": 27},
+    ]
+    chunks = chunk_document("u", text, spans, max_tokens=100)
+    assert len(chunks) == 1
+    assert chunks[0]["span_ids"] == [0, 1]
+    assert chunks[0]["resplit_of"] == -1
+    assert chunks[0]["token_count"] == count_tokens(chunks[0]["chunk_text"])
+
+
+def test_chunk_budget_splits_between_blocks():
+    blocks = ["one two three four five."] * 4
+    text = "\n\n".join(blocks)
+    spans, pos = [], 0
+    for i, b in enumerate(blocks):
+        spans.append({"span_id": i, "start": pos, "end": pos + len(b)})
+        pos += len(b) + 2
+    chunks = chunk_document("u", text, spans, max_tokens=13)
+    # 6 tokens per block -> 2 blocks per chunk
+    assert [c["span_ids"] for c in chunks] == [[0, 1], [2, 3]]
+
+
+def test_chunk_oversized_block_resplits_with_parent():
+    monster = " ".join(f"w{i}" for i in range(100)) + "."
+    chunks = chunk_document("u", monster,
+                            [{"span_id": 0, "start": 0, "end": len(monster)}],
+                            max_tokens=20)
+    assert len(chunks) > 1
+    assert chunks[0]["resplit_of"] == -1
+    assert all(c["resplit_of"] == 0 for c in chunks[1:])
+    assert all(c["token_count"] <= 20 for c in chunks)
+
+
+def test_split_oversized_monster_single_word():
+    # one unbroken 'word' longer than any budget: char-level rung
+    blob = "x" * 500
+    pieces = split_oversized(blob, max_tokens=1)
+    assert "".join(pieces) == blob
+    assert len(pieces) > 1
+
+
+def test_chunk_determinism():
+    text = " ".join(f"t{i}" for i in range(300))
+    a = chunk_document("u", text, None, max_tokens=32)
+    b = chunk_document("u", text, None, max_tokens=32)
+    assert a == b
+    assert all(x["text_hash"] == y["text_hash"] for x, y in zip(a, b))
+
+
+# ---------------------------------------------------------------------- salvage
+
+SCHEMA = {
+    "n": {"kind": "int", "required": True},
+    "score": {"kind": "float", "required": False},
+    "tags": {"kind": "list<str>", "required": False},
+    "name": {"kind": "str", "required": True},
+}
+
+
+def test_salvage_ok_record():
+    rec, status = salvage_record(
+        {"n": 5, "score": 1.5, "tags": ["a"], "name": "x"}, SCHEMA
+    )
+    assert status == "ok" and rec["n"] == 5
+
+
+def test_salvage_coercions():
+    rec, status = salvage_record(
+        {"n": "42", "score": "3,200.5", "tags": "a, b", "name": 7}, SCHEMA
+    )
+    assert status == "coerced"
+    assert rec == {"n": 42, "score": 3200.5, "tags": ["a", "b"], "name": "7"}
+
+
+def test_salvage_quantity_with_unit():
+    rec, status = salvage_record(
+        {"n": {"numeric_value": 3, "text_value": "3 kg"}, "name": "x"}, SCHEMA
+    )
+    assert rec["n"] == 3 and status == "coerced"
+
+
+def test_salvage_required_default_and_failed():
+    rec, status = salvage_record({"name": "x"}, SCHEMA)
+    assert status == "defaulted" and rec["n"] == 0
+    rec2, status2 = salvage_record({"n": "not-a-number", "name": "x"}, SCHEMA)
+    assert status2 == "failed"
+
+
+def test_salvage_closed_schema_drops_unknown():
+    rec, _ = salvage_record({"n": 1, "name": "x", "extra": "gone"}, SCHEMA)
+    assert "extra" not in rec
+
+
+# ---------------------------------------------------------------------- sniff
+
+@pytest.mark.parametrize("raw,kind", [
+    (b"%PDF-1.4 ...", "pdf"),
+    (b"\x1f\x8b\x08rest", "gzip"),
+    (b'{"schema_name": "DoclingDocument", "x": 1}', "doc_json"),
+    (b'{"plain": "json"}', "text"),
+    (b"<?xml version='1.0'?><doclang><page/></doclang>", "doclang_xml"),
+    (b"<?xml version='1.0'?><rss></rss>", "xml"),
+    (b"<!DOCTYPE html><html><body></body></html>", "html"),
+    (b"  <html lang='en'><head></head></html>", "html"),
+    (b"# Title\n\nSome markdown", "markdown"),
+    (b"just plain words here", "text"),
+    (b"", "empty"),
+    (None, "empty"),
+])
+def test_detect_kind(raw, kind):
+    assert detect_kind(raw) == kind
+
+
+# ---------------------------------------------------------------------- alias
+
+def test_containment_alias_rules():
+    assert is_containment_alias("Acme Corp", "Acme Corp International")
+    assert not is_containment_alias("Acme Corp", "Acme Corp")       # equal
+    assert not is_containment_alias("Acme 4", "Acme 5 International")  # digits
+    assert not is_containment_alias("Zeta", "Acme Corp")            # not subset
+
+
+def test_reconcile_group_folds_alias():
+    g = pa.Table.from_pylist([
+        {"cls": "C", "name": "Acme Corp International", "n": 1, "attr": None},
+        {"cls": "C", "name": "Acme Corp", "n": 2, "attr": "filled"},
+        {"cls": "C", "name": "Other Co", "n": 1, "attr": None},
+    ])
+    out = reconcile_group(g, name_col="name", count_col="n").to_pylist()
+    by_name = {r["name"]: r for r in out}
+    assert set(by_name) == {"Acme Corp International", "Other Co"}
+    merged = by_name["Acme Corp International"]
+    assert merged["aliases"] == ["Acme Corp"]
+    assert merged["n"] == 3
+    assert merged["attr"] == "filled"  # enrichment from the alias
+
+
+# ---------------------------------------------------------------------- registry
+
+def test_registry_compose(ray_session):
+    from docling_graph_ray.state.registry import builtin_registry
+
+    reg = builtin_registry()
+    assert "chunk" in reg.names()
+    pipeline = reg.compose([
+        ("detect_content_kind", {"col_name": "html"}),
+    ])
+    ds = ray.data.from_arrow(pa.table({
+        "html": pa.array([b"<!DOCTYPE html><html></html>", b"%PDF-xx"]),
+    }))
+    out = pipeline(ds).to_pandas()
+    assert out["content_kind"].tolist() == ["html", "pdf"]
+    with pytest.raises(KeyError, match="unknown stage"):
+        reg.get("nope")
