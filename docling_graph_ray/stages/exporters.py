@@ -114,3 +114,134 @@ def import_graph_json(path: str) -> tuple[list[dict], list[dict], dict]:
     if d.get("graph", {}).get("format") != FORMAT_MARKER:
         raise ValueError(f"not a {FORMAT_MARKER} export: {path}")
     return d["nodes"], d["edges"], d.get("metadata", {})
+
+
+# ---------------------------------------------------------------------------
+# Cypher export (cypher_exporter.py:19-100+ conformance shape)
+
+
+def _cypher_literal(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (dict, list)):
+        v = json.dumps(v, sort_keys=True, default=str)
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _cypher_props(row: dict, skip: tuple[str, ...] = ()) -> str:
+    items = [
+        f"{k}: {_cypher_literal(v)}"
+        for k, v in sorted(row.items())
+        if k not in skip and v is not None
+    ]
+    return "{" + ", ".join(items) + "}"
+
+
+def export_graph_cypher(nodes, edges, path: str, *, style: str = "merge",
+                        class_col: str = "class",
+                        node_id_col: str = "node_id") -> str:
+    """Render a cypher-shell script: per-label uniqueness constraints,
+    then MERGE (idempotent) or CREATE statements for nodes and edges with
+    typed literals — the reference's two styles
+    (docling_graph/core/exporters/cypher_exporter.py:19-100).
+
+    Small-graph conformance path (driver-side render); for big graphs
+    render per-batch with ``map_batches`` into text shards instead."""
+    if style not in ("merge", "create"):
+        raise ValueError(f"style must be merge|create, got {style!r}")
+    kw = "MERGE" if style == "merge" else "CREATE"
+    node_rows = _rows_sorted(nodes, [node_id_col])
+    edge_rows = _rows_sorted(edges, ["src", "dst", "label"])
+    labels = sorted({r.get(class_col, "Node") for r in node_rows})
+    lines: list[str] = []
+    for lb in labels:
+        lines.append(
+            f"CREATE CONSTRAINT IF NOT EXISTS FOR (n:{lb}) "
+            f"REQUIRE n.{node_id_col} IS UNIQUE;"
+        )
+    for r in node_rows:
+        lb = r.get(class_col, "Node")
+        props = _cypher_props(r, skip=(class_col,))
+        lines.append(f"{kw} (n:{lb} {props});")
+    for e in edge_rows:
+        label = str(e.get("label", "REL")).upper().replace("-", "_")
+        props = _cypher_props(e, skip=("src", "dst", "label"))
+        lines.append(
+            f"MATCH (a {{{node_id_col}: {_cypher_literal(e['src'])}}}), "
+            f"(b {{{node_id_col}: {_cypher_literal(e['dst'])}}}) "
+            f"{kw} (a)-[:{label} {props}]->(b);"
+        )
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# markdown document render (DoclingExporter analogue,
+# docling_exporter.py:14-60: document.md view of extracted content)
+
+
+_MD_PREFIX = {
+    "h1": "# ", "h2": "## ", "h3": "### ", "h4": "#### ",
+    "h5": "##### ", "h6": "###### ",
+    "li": "- ", "dt": "- ", "dd": "  - ",
+}
+
+
+def render_markdown(extracted_text: str, spans: list[dict]) -> str:
+    """Deterministic markdown view of one extracted document: headings
+    from heading-class spans, list items bulleted, cells pipe-joined per
+    path run, plain blocks as paragraphs."""
+    out: list[str] = []
+    cell_run: list[str] = []
+
+    def flush_cells() -> None:
+        if cell_run:
+            out.append("| " + " | ".join(cell_run) + " |")
+            cell_run.clear()
+
+    for s in sorted(spans, key=lambda r: r["span_id"]):
+        text = extracted_text[s["start"]:s["end"]]
+        cls = s.get("block_class", "")
+        if s.get("kind") == "cell":
+            cell_run.append(text)
+            continue
+        flush_cells()
+        out.append(_MD_PREFIX.get(cls, "") + text)
+    flush_cells()
+    return "\n\n".join(out) + ("\n" if out else "")
+
+
+def export_documents_markdown(extracted, out_dir: str,
+                              *, url_col: str = "url") -> str:
+    """Task-parallel markdown sidecar export: one ``.md`` per document,
+    sharded by the writing task (scale path for the DoclingExporter's
+    document.md artifact)."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        from docling_graph_ray.functions.hashing import blake2b_hex
+
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column("extracted_text").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        names = []
+        for u, t, sp in zip(urls, texts, spans):
+            name = blake2b_hex(u, digest_size=8) + ".md"
+            with open(os.path.join(out_dir, name), "w") as f:
+                f.write(render_markdown(t or "", sp or []))
+            names.append(name)
+        return pa.table({url_col: pa.array([str(u) for u in urls]),
+                         "md_file": pa.array(names)})
+
+    return extracted.map_batches(write_batch, batch_format="pyarrow")

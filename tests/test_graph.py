@@ -157,3 +157,62 @@ def test_fold_merge_idempotent(ray_session):
     assert conflicts2 == [
         {"field": "k", "kept": "v", "dropped": "other", "source_index": 1}
     ]
+
+
+def test_cypher_export_styles(ray_session, tmp_path):
+    from docling_graph_ray.stages.exporters import export_graph_cypher
+
+    nodes = _nodes_ds([
+        {"node_id": "n1", "class": "Person", "name": "Ada", "age": 36},
+        {"node_id": "n2", "class": "Org", "name": "ACME's", "age": None},
+    ])
+    edges = _nodes_ds([{"src": "n1", "dst": "n2", "label": "works-at"}])
+    p = export_graph_cypher(nodes, edges, str(tmp_path / "g.cypher"))
+    text = open(p).read()
+    assert "CREATE CONSTRAINT IF NOT EXISTS FOR (n:Org)" in text
+    assert "MERGE (n:Person {age: 36, name: 'Ada', node_id: 'n1'});" in text
+    assert "'ACME\\'s'" in text                      # quote escaping
+    assert "[:WORKS_AT {}]" in text                  # label normalization
+    p2 = export_graph_cypher(nodes, edges, str(tmp_path / "g2.cypher"),
+                             style="create")
+    assert "CREATE (n:Person" in open(p2).read()
+    with pytest.raises(ValueError):
+        export_graph_cypher(nodes, edges, str(tmp_path / "x"), style="upsert")
+
+
+def test_render_markdown():
+    from docling_graph_ray.stages.exporters import render_markdown
+
+    text = "Title\n\npara one\n\nc1\n\nc2\n\nitem"
+    spans = [
+        {"span_id": 0, "start": 0, "end": 5, "kind": "heading", "block_class": "h1"},
+        {"span_id": 1, "start": 7, "end": 15, "kind": "block", "block_class": "p"},
+        {"span_id": 2, "start": 17, "end": 19, "kind": "cell", "block_class": "td"},
+        {"span_id": 3, "start": 21, "end": 23, "kind": "cell", "block_class": "td"},
+        {"span_id": 4, "start": 25, "end": 29, "kind": "item", "block_class": "li"},
+    ]
+    md = render_markdown(text, spans)
+    assert md == "# Title\n\npara one\n\n| c1 | c2 |\n\n- item\n"
+
+
+def test_skolemize_collisions():
+    from docling_graph_ray.functions.merging import skolemize_collisions
+
+    rows = [
+        {"node_id": "e1", "doc_id": "d1", "name": "Alpha"},
+        {"node_id": "e1", "doc_id": "d2", "name": "Beta"},     # conflict
+        {"node_id": "e2", "doc_id": "d1", "name": "Gamma"},
+        {"node_id": "e2", "doc_id": "d2", "name": None},       # fillable, no conflict
+    ]
+    out, recs = skolemize_collisions(rows)
+    ids = [r["node_id"] for r in out]
+    assert all(i.startswith("e1__doc_") for i in ids[:2])
+    assert ids[2:] == ["e2", "e2"]
+    assert len({ids[0], ids[1]}) == 2                          # split apart
+    assert recs == [{
+        "node_id": "e1", "field": "name",
+        "values": ["Alpha", "Beta"], "docs": ["d1", "d2"],
+    }]
+    # idempotent on already-clean input
+    out2, recs2 = skolemize_collisions(out[2:])
+    assert recs2 == [] and [r["node_id"] for r in out2] == ["e2", "e2"]
