@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": r.latest_event_per_user,
         "events_by_type": r.events_by_type,
         "events_daily": r.events_daily,
+        "events_sessionize": r.events_sessionize,
         # documents / text analysis (oracle-checked)
         "doc_token_counts": t.doc_token_counts,
         "doc_quality": t.doc_quality,
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_salvage": t.events_props_salvage,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
+        "doc_anchor_scan": t.doc_anchor_scan,
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
         "graph_merge_runs": g.graph_merge_runs,
@@ -169,6 +171,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
                    CASE WHEN event_id % 2 = 1 THEN 'coerced' ELSE 'ok' END AS salvage_status
             FROM events
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM o
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "orderpriority_lineitem_counts": """
             SELECT o_orderpriority, COUNT(*) AS n_late_items

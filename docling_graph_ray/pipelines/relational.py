@@ -371,3 +371,46 @@ def events_daily(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based session windows per user: a new session starts when the
+    gap since the previous event exceeds ``gap_minutes``.  Classic
+    training-data sessionization as a grouped, vectorized transform —
+    ``groupby(user).map_groups`` with a numpy diff/cumsum, no Python loop
+    over events.  The shuffle key (user_id) is the session key, so all of
+    one user's events land in one group (the windowed-aggregate
+    partitioning assumption, SURVEY.md custom-operator rule (a))."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(idx)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts_i = ts.astype(np.int64)
+        new_sess = np.ones(len(ts_i), dtype=np.int64)
+        if len(ts_i) > 1:
+            new_sess[1:] = (np.diff(ts_i) > gap_us).astype(np.int64)
+        sess = np.cumsum(new_sess)
+        cents = pc.round(
+            pc.multiply(g.column("value"), 100.0),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64())
+        t = pa.table({
+            "user_id": g.column("user_id").cast(pa.int64()),
+            "session_id": pa.array(sess, pa.int64()),
+            "ts": g.column("ts"),
+            "value_cents": cents,
+        })
+        agg = t.group_by(["user_id", "session_id"]).aggregate([
+            ("ts", "min"), ("ts", "max"), ("value_cents", "sum"), ([], "count_all"),
+        ])
+        return agg.rename_columns(
+            ["user_id", "session_id", "session_start", "session_end",
+             "value_cents", "n_events"]
+        )
+
+    return ev.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")

@@ -309,3 +309,33 @@ def events_props_salvage(sf_dir: str):
         })
 
     return ev.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# verbatim anchor scan (provenance binding; rows-only)
+
+
+def doc_anchor_scan(sf_dir: str, n_values: int = 50):
+    """Bind deterministic probe values (each document's first two tokens)
+    back to its chunks as verbatim char anchors
+    (functions.anchors; anchor_scan.py:55-134 port)."""
+    from docling_graph_ray.functions.anchors import anchor_scan_batch
+    from docling_graph_ray.stages.chunking import chunk_batch
+
+    # small side: probe values per doc (first two tokens of the text)
+    values_by_url: dict[str, list[str]] = {}
+    for ref in _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs():
+        t = ray.get(ref)
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = (text or "").split()
+            values_by_url[str(did)] = [" ".join(toks[:2])] if len(toks) >= 2 else []
+
+    chunks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk_batch(max_tokens=64, text_col="text", url_col="doc_id",
+                    spans_col=None),
+        batch_format="pyarrow",
+    )
+    return chunks.map_batches(
+        anchor_scan_batch(values_by_url), batch_format="pyarrow"
+    )

@@ -65,3 +65,29 @@ def read_lineage(out_dir: str) -> list[dict]:
             with open(os.path.join(mdir, name)) as f:
                 recs.append(json.load(f))
     return sorted(recs, key=lambda r: r["part_id"])
+
+
+def write_run_manifest(out_dir: str, config: dict) -> str:
+    """Run-level metadata sidecar (the reference writes metadata.json per
+    run, docling_graph/pipeline/orchestrator.py:128-231): records the
+    pipeline config + the committed-partition lineage rollup.  Timestamp-
+    free by default (byte-identical reruns); callers may put a timestamp
+    in ``config`` explicitly."""
+    recs = read_lineage(out_dir)
+    manifest = {
+        "format": "docling-graph-ray/run-manifest/v1",
+        "config": dict(sorted(config.items())),
+        "partitions_committed": len(recs),
+        "totals": {
+            k: sum(r[k] for r in recs)
+            for k in ("n_urls", "n_ok", "n_salvaged", "n_fallback",
+                      "n_failed", "blocks_kept", "blocks_dropped",
+                      "bytes_in", "bytes_out")
+        },
+    }
+    path = os.path.join(out_dir, "run_manifest.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, sort_keys=True, indent=1)
+    os.replace(tmp, path)
+    return path

@@ -175,3 +175,42 @@ def test_registry_compose(ray_session):
     assert out["content_kind"].tolist() == ["html", "pdf"]
     with pytest.raises(KeyError, match="unknown stage"):
         reg.get("nope")
+
+
+# ---------------------------------------------------------------------- anchors
+
+def test_anchor_scan_and_derive():
+    from docling_graph_ray.functions.anchors import derive_unanchored, scan_values
+
+    hits = scan_values("Alpha beta GAMMA delta", ["beta", "gamma", "missing"])
+    assert hits == [
+        {"value_id": 0, "kind": "verbatim", "start": 6, "end": 10},
+        {"value_id": 1, "kind": "verbatim_ci", "start": 11, "end": 16},
+    ]
+    anchors = [{"url": "u", "value_id": 0}]
+    derived = derive_unanchored(anchors, {"u": ["beta", "gone"]})
+    assert derived == [{"url": "u", "value_id": 1, "chunk_id": -1,
+                        "kind": "derived", "start": -1, "end": -1}]
+
+
+def test_run_manifest(ray_session, tmp_path):
+    import json
+
+    import ray as _ray
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.pipelines.extract import run_extract_pipeline
+    from docling_graph_ray.state.manifest import write_run_manifest
+
+    out = str(tmp_path / "run")
+    run_extract_pipeline(pages_dataset(60, profile="t1"),
+                         out_dir=out, num_partitions=4).count()
+    p = write_run_manifest(out, {"num_partitions": 4, "profile": "t1"})
+    m = json.load(open(p))
+    assert m["partitions_committed"] == 4
+    assert m["totals"]["n_urls"] > 0
+    assert m["totals"]["n_failed"] == 0
+    # byte-identical rerun
+    b1 = open(p).read()
+    write_run_manifest(out, {"num_partitions": 4, "profile": "t1"})
+    assert open(p).read() == b1
