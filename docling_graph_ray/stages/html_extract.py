@@ -1,7 +1,8 @@
 """Deterministic HTML main-content extraction with char-offset spans.
 
-The flagship per-batch operator (SURVEY.md §7.1-7.2).  A stdlib
-``html.parser``-based block model: the page is decomposed into text blocks
+The flagship per-batch operator (SURVEY.md §7.1-7.2).  A single-pass
+regex-scanner block model (with stdlib ``html.parser`` as the verified
+reference engine): the page is decomposed into text blocks
 at block-level tag boundaries; each block carries text length, link-char
 count, inline-tag count and a boilerplate-scope flag; a
 boilerpipe/trafilatura-style classifier (text density + link density +
@@ -219,11 +220,97 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
-def parse_blocks(html_text: str) -> list[dict]:
-    """Parse → list of normalized block dicts (whitespace-collapsed text)."""
+# ---------------------------------------------------------------------------
+# fast scanner: one compiled-regex pass instead of stdlib HTMLParser
+#
+# HTMLParser spends >80% of parse time in its own tokenizer machinery
+# (parse_starttag / goahead / updatepos — measured with cProfile on the
+# bench corpus); this scanner drives the SAME _BlockParser callbacks from
+# a single re.finditer pass, quote-aware for '>' inside attribute values,
+# with script/style content skipped via a direct str.find to the closing
+# tag.  Verified block-identical to HTMLParser across the full fixture
+# corpus (test_fast_scanner_equivalence).
+
+_SCAN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"                                  # comments
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"                        # cdata
+    r"|<[!?][^>]*>"                                       # doctype / PI
+    r"|</\s*([a-zA-Z][a-zA-Z0-9:_.-]*)[^>]*>"             # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9:_.-]*)"                       # start tag name
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)"                  # attrs (quote-aware)
+    r"(/?)>",
+    re.DOTALL,
+)
+_AMP_RE = re.compile(r"&")
+
+# raw-text elements: content runs to the literal close tag, not parsed
+# (exactly stdlib html.parser's CDATA_CONTENT_ELEMENTS)
+_RAWTEXT = ("script", "style")
+
+
+def _scan_feed(p: _BlockParser, s: str) -> None:
+    """Drive _BlockParser's callbacks from one finditer pass."""
+    from html import unescape
+
+    pos = 0
+    n = len(s)
+    find = _SCAN_RE.finditer
+    while pos < n:
+        last = pos
+        restart = None
+        for m in find(s, pos):
+            start = m.start()
+            if start > last:
+                data = s[last:start]
+                if "&" in data:
+                    data = unescape(data)
+                p.handle_data(data)
+            end_name, start_name, _attrs, selfclose = m.groups()
+            if start_name is not None:
+                tag = start_name.lower()
+                if selfclose:
+                    p.handle_startendtag(tag, [])
+                else:
+                    p.handle_starttag(tag, [])
+                    if tag in _RAWTEXT:
+                        # skip raw content to the matching close tag
+                        close = s.find("</" + tag, m.end())
+                        if close < 0:
+                            p.handle_endtag(tag)   # unterminated: drop rest
+                            last = n
+                            restart = n
+                            break
+                        gt = s.find(">", close)
+                        p.handle_endtag(tag)
+                        restart = (gt + 1) if gt >= 0 else n
+                        last = restart
+                        break
+            elif end_name is not None:
+                p.handle_endtag(end_name.lower())
+            last = m.end()
+        else:
+            if last < n:
+                data = s[last:]
+                if "&" in data:
+                    data = unescape(data)
+                p.handle_data(data)
+            return
+        pos = restart if restart is not None else n
+
+
+def parse_blocks(html_text: str, engine: str = "fast") -> list[dict]:
+    """Parse → list of normalized block dicts (whitespace-collapsed text).
+
+    ``engine='fast'`` uses the single-pass regex scanner; ``'stdlib'``
+    uses html.parser — both drive the same block model and produce
+    identical blocks (equivalence-tested)."""
     p = _BlockParser()
-    p.feed(html_text)
-    p.close()
+    if engine == "fast":
+        _scan_feed(p, html_text)
+        p._flush()
+    else:
+        p.feed(html_text)
+        p.close()
     out = []
     for b in p.blocks:
         text = _WS_RE.sub(" ", "".join(b.parts)).strip()

@@ -134,3 +134,39 @@ def test_table_cells_kept_paragraph_table_mix():
     assert "alpha metric" in r["extracted_text"]
     kinds = {s["kind"] for s in r["spans"]}
     assert "cell" in kinds and "block" in kinds
+
+
+def test_fast_scanner_equivalence():
+    """The regex scanner and stdlib html.parser produce identical block
+    lists across every fixture profile (including malformed, gzip,
+    cp1252 and pathological rows)."""
+    from docling_graph_ray.fixtures.pages import make_pages_table
+    from docling_graph_ray.stages.html_extract import decode_html, parse_blocks
+
+    for profile, n in (("t1", 300), ("t2", 150), ("bench", 100)):
+        tbl = make_pages_table(list(range(n)), profile=profile)
+        for raw in tbl.column("html").to_pylist():
+            text, status = decode_html(raw or b"")
+            if status == "failed" or not text:
+                continue
+            assert parse_blocks(text, engine="fast") == parse_blocks(
+                text, engine="stdlib"
+            )
+
+
+def test_fast_scanner_edge_cases():
+    from docling_graph_ray.stages.html_extract import parse_blocks
+
+    cases = [
+        "<p>a &amp; b</p>",                          # charref in data
+        "<p>x<!-- comment <p>hidden</p> -->y</p>",   # comment with tags
+        "<script>var a = '<p>not text</p>';</script><p>real</p>",
+        '<p><a href="/x?a>b">link</a> text here</p>',  # '>' inside attr
+        "<p>unterminated <",                          # trailing junk
+        "<p>3 < 5 and more words</p>",                # bare < in text
+        "<P>UPPER tags</P>",
+    ]
+    for html in cases:
+        assert parse_blocks(html, engine="fast") == parse_blocks(
+            html, engine="stdlib"
+        ), html
