@@ -274,16 +274,19 @@ def _auto_concurrency() -> tuple[int, int]:
     that is right for 8 CPUs starves 32 (SURVEY.md §7.5 p.6); derive it
     from ``ray.cluster_resources()`` at build time.  min == max: a fixed
     pool starts all actors immediately instead of paying autoscale ramp-up
-    on every execution.  Two CPUs are left free so unfused upstream task
-    operators (e.g. the parquet read) are never starved by the pool — a
-    full-cluster fixed pool deadlocks the stream."""
+    on every execution.  cpus//8 (min 1) CPUs are left free so unfused
+    upstream task operators (the parquet read / decompression) and the
+    sort's map side are never starved by the pool — a full-cluster fixed
+    pool deadlocks the stream, and a 1-CPU allowance measurably throttles
+    the read at 16+ CPUs (measured: pool 14 of 16 beats 15 of 16 by
+    ~25% on the flagship bench)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    n = max(2, cpus - 1)
+    n = max(2, cpus - max(1, cpus // 8))
     return (n, n)
 
 
