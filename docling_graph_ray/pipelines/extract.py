@@ -167,7 +167,8 @@ class ExtractActor(PdfParseActor):
                 t, st = self._parse_one(raw)
                 spans = (
                     [{"span_id": 0, "start": 0, "end": len(t),
-                      "kind": "pdf_text", "path": "pdf", "block_class": "pdf"}]
+                      "kind": "pdf_text", "path": "pdf", "block_class": "pdf",
+                      "page_no": 0, "bbox": [0, 0, 612, 792]}]
                     if t else []
                 )
                 r = {"extracted_text": t, "spans": spans,

@@ -252,3 +252,88 @@ def graph_stats(nodes, edges, *, class_col: str = "class",
         return t.rename_columns(["metric", "value"])
 
     return summed.map_batches(rename, batch_format="pyarrow")
+
+
+def integrity_check(nodes, edges, *, key_col: str = "node_id",
+                    src_col: str = "src", dst_col: str = "dst",
+                    label_col: str = "label"):
+    """Graph integrity warnings as (check, item, detail) rows — the
+    reference's integrity-warning pass before validation
+    (graph_converter.py:202-358 stage order: … → integrity warnings →
+    validation).  Checks:
+
+    - ``duplicate_node_id``: key appears on >1 node row,
+    - ``dangling_src`` / ``dangling_dst``: edge endpoint not in the node
+      set (broadcast semi-join, same partitioning assumption as
+      clean_edges),
+    - ``self_loop``: src == dst,
+    - ``duplicate_edge``: exact (src, dst, label) triple repeated.
+
+    Non-destructive: emits warnings, never mutates — run BEFORE
+    clean_edges when auditing, or after to assert emptiness."""
+    import numpy as np
+
+    import ray
+
+    # node-id multiset (small side: ids only)
+    counts: dict[str, int] = {}
+    for ref in nodes.select_columns([key_col]).to_arrow_refs():
+        for v in ray.get(ref).column(key_col).to_pylist():
+            counts[v] = counts.get(v, 0) + 1
+    dup_rows = [
+        {"check": "duplicate_node_id", "item": str(k), "detail": f"count={c}"}
+        for k, c in sorted(counts.items()) if c > 1
+    ]
+    ids_ref = ray.put(np.array(sorted(counts)))
+
+    warn_schema = pa.schema([
+        ("check", pa.string()), ("item", pa.string()), ("detail", pa.string()),
+    ])
+
+    def edge_warnings(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        src = batch.column(src_col).to_numpy(zero_copy_only=False)
+        dst = batch.column(dst_col).to_numpy(zero_copy_only=False)
+        lbl = batch.column(label_col).to_pylist()
+        rows = []
+        miss_s = ~np.isin(src, ids)
+        miss_d = ~np.isin(dst, ids)
+        for i in range(len(src)):
+            if src[i] == dst[i]:
+                rows.append({"check": "self_loop", "item": str(src[i]),
+                             "detail": lbl[i]})
+            if miss_s[i]:
+                rows.append({"check": "dangling_src", "item": str(src[i]),
+                             "detail": f"{lbl[i]}->{dst[i]}"})
+            if miss_d[i]:
+                rows.append({"check": "dangling_dst", "item": str(dst[i]),
+                             "detail": f"{src[i]}->{lbl[i]}"})
+        return pa.Table.from_pylist(rows, schema=warn_schema)
+
+    edge_warns = edges.map_batches(edge_warnings, batch_format="pyarrow")
+
+    def triple_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([src_col, dst_col, label_col]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([src_col, dst_col, label_col, "n"])
+
+    dup_edges = (
+        edges.map_batches(triple_partial, batch_format="pyarrow")
+        .groupby([src_col, dst_col, label_col])
+        .sum("n")
+        .map_batches(
+            lambda t: pa.Table.from_pylist([
+                {"check": "duplicate_edge",
+                 "item": f"{r[src_col]}->{r[dst_col]}",
+                 "detail": f"{r['sum(n)']}x {r[label_col]}"}
+                for r in t.to_pylist() if r["sum(n)"] > 1
+            ], schema=warn_schema),
+            batch_format="pyarrow",
+        )
+    )
+
+    import ray.data as rd
+
+    dup_ds = rd.from_arrow(pa.Table.from_pylist(dup_rows, schema=warn_schema))
+    return dup_ds.union(edge_warns, dup_edges)

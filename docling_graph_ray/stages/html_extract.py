@@ -36,6 +36,11 @@ from docling_graph_ray.functions.hashing import sha256_hex
 # ---------------------------------------------------------------------------
 # schema
 
+# geometry slots (page_no, bbox) are the reference's per-item provenance
+# geometry (docling_graph/core/provenance/models.py:69-123: top-left-origin
+# bbox + page number); NULL for HTML spans, populated by layout-aware
+# parsers (the PDF lane) — SURVEY.md §7.6 "geometry slots (nullable for
+# HTML)"
 SPAN_TYPE = pa.struct(
     [
         ("span_id", pa.int32()),
@@ -44,6 +49,8 @@ SPAN_TYPE = pa.struct(
         ("kind", pa.string()),
         ("path", pa.string()),
         ("block_class", pa.string()),
+        ("page_no", pa.int32()),
+        ("bbox", pa.list_(pa.int32())),
     ]
 )
 

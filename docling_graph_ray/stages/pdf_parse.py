@@ -68,7 +68,10 @@ class PdfParseActor:
             spans.append(
                 [
                     {"span_id": 0, "start": 0, "end": len(t),
-                     "kind": "pdf_text", "path": "pdf", "block_class": "pdf"}
+                     "kind": "pdf_text", "path": "pdf", "block_class": "pdf",
+                     # geometry from the (stubbed) layout parse: page 0,
+                     # full US-letter box in top-left-origin points
+                     "page_no": 0, "bbox": [0, 0, 612, 792]}
                 ]
                 if t
                 else []

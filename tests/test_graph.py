@@ -216,3 +216,46 @@ def test_skolemize_collisions():
     # idempotent on already-clean input
     out2, recs2 = skolemize_collisions(out[2:])
     assert recs2 == [] and [r["node_id"] for r in out2] == ["e2", "e2"]
+
+
+def test_integrity_check(ray_session):
+    from docling_graph_ray.stages.graph import integrity_check
+
+    nodes = _nodes_ds([
+        {"node_id": "a", "class": "X"},
+        {"node_id": "a", "class": "X"},   # duplicate id
+        {"node_id": "b", "class": "Y"},
+    ])
+    edges = _nodes_ds([
+        {"src": "a", "dst": "b", "label": "l"},
+        {"src": "a", "dst": "b", "label": "l"},   # duplicate triple
+        {"src": "a", "dst": "a", "label": "l"},   # self-loop
+        {"src": "z", "dst": "b", "label": "l"},   # dangling src
+    ])
+    warns = integrity_check(nodes, edges).to_pandas()
+    checks = sorted(warns["check"].tolist())
+    assert checks == [
+        "dangling_src", "duplicate_edge", "duplicate_node_id", "self_loop",
+    ]
+    dup = warns[warns["check"] == "duplicate_node_id"].iloc[0]
+    assert dup["item"] == "a" and dup["detail"] == "count=2"
+
+
+def test_span_geometry_slots(ray_session):
+    """PDF spans carry page_no/bbox; HTML spans have them null."""
+    import pyarrow as pa_
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.pipelines.extract import extract_pages_dataset
+
+    ex = extract_pages_dataset(pages_dataset(120, profile="t1"),
+                               num_partitions=4).to_pandas()
+    pdf = ex[ex["parse_status"].isin(["ok", "salvaged"]) &
+             (ex["spans"].map(lambda s: len(s) > 0 and s[0]["kind"] == "pdf_text"))]
+    html = ex[ex["spans"].map(
+        lambda s: len(s) > 0 and s[0]["kind"] != "pdf_text")]
+    assert len(pdf) > 0 and len(html) > 0
+    assert all(s[0]["page_no"] == 0 and list(s[0]["bbox"]) == [0, 0, 612, 792]
+               for s in pdf["spans"])
+    assert all(sp["page_no"] is None and sp["bbox"] is None
+               for s in html["spans"] for sp in list(s)[:2])

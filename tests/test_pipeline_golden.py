@@ -33,9 +33,17 @@ def test_extracted_text_byte_identical_per_url(ray_session, golden):
     assert list(dt["url"]) == list(gd["url"])
     assert (dt["extracted_text"] == gd["extracted_text"]).all()
     assert (dt["text_sha256"] == gd["text_sha256"]).all()
-    # span equality, not just text equality
+    # span equality, not just text equality (bbox arrays → lists first)
+    def norm(spans):
+        return [
+            {k: (list(v) if hasattr(v, "__len__") and not isinstance(v, str)
+                 else v)
+             for k, v in s.items()}
+            for s in spans
+        ]
+
     for a, b in zip(dt["spans"], gd["spans"]):
-        assert list(a) == list(b)
+        assert norm(a) == norm(b)
 
 
 def test_lineage_matches_golden(ray_session, golden, tmp_path):
