@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": t.doc_exact_dedup,
         # similarity (oracle-checked)
         "emb_topk": t.emb_topk,
+        "events_sliding_window": r.events_sliding_window,
         # knowledge-graph operators (oracle-checked)
         "graph_nodes_dedup": g.graph_nodes_dedup,
         "graph_edges_clean": g.graph_edges_clean,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         "emb_near_dedup": t.emb_near_dedup,
         "emb_lsh_topk": t.emb_lsh_topk,
+        "emb_ivf_topk": t.emb_ivf_topk,
         "pages_flagship": t.pages_flagship,
         "media_features": t.media_pipeline,
     }
@@ -171,6 +173,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(props, 'k') AS BIGINT) AS k,
                    CASE WHEN event_id % 2 = 1 THEN 'coerced' ELSE 'ok' END AS salvage_status
             FROM events
+        """,
+        "events_sliding_window": """
+            WITH daily AS (
+                SELECT user_id, DATE_TRUNC('day', ts) AS day,
+                       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+                FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+            )
+            SELECT user_id, day, value_cents,
+                   CAST(SUM(value_cents) OVER (
+                       PARTITION BY user_id ORDER BY day
+                       RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS trailing_7d_cents
+            FROM daily
         """,
         "events_sessionize": """
             WITH o AS (

@@ -414,3 +414,53 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         )
 
     return ev.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+def events_sliding_window(sf_dir: str, window_days: int = 7):
+    """Per-user 7-day trailing sum over daily buckets: grouped window
+    aggregate as a vectorized map_groups (daily partial aggregation
+    happens batch-side BEFORE the per-user shuffle, so the wide op moves
+    one row per (user, day), not per event)."""
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cents = _cents(batch.column("value"))
+        t = pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "day": day,
+            "value_cents": cents,
+        })
+        g = t.group_by(["user_id", "day"]).aggregate([("value_cents", "sum")])
+        return g.rename_columns(["user_id", "day", "value_cents"])
+
+    daily = (
+        ev.map_batches(daily_partial, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .sum("value_cents")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "day", "value_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    win_us = np.int64(window_days) * 86_400_000_000
+
+    def trailing(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("day", "ascending")])
+        g = group.take(idx)
+        days = g.column("day").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        vals = g.column("value_cents").to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(vals)])
+        # trailing window (day - 7d, day]: left index via searchsorted
+        left = np.searchsorted(days, days - win_us, side="right")
+        trail = csum[np.arange(1, len(vals) + 1)] - csum[left]
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "day": g.column("day"),
+            "value_cents": g.column("value_cents"),
+            "trailing_7d_cents": pa.array(trail, pa.int64()),
+        })
+
+    return daily.groupby("user_id").map_groups(trailing, batch_format="pyarrow")

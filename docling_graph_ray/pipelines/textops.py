@@ -339,3 +339,14 @@ def doc_anchor_scan(sf_dir: str, n_values: int = 50):
     return chunks.map_batches(
         anchor_scan_batch(values_by_url), batch_format="pyarrow"
     )
+
+
+def emb_ivf_topk(sf_dir: str, k: int = 10):
+    """IVF-partitioned approximate cosine top-k (the tunable scale path:
+    codebook broadcast once, each query probes n_probe inverted lists)."""
+    from docling_graph_ray.stages.similarity import ivf_topk
+
+    q, qids = _query_matrix(sf_dir)
+    return ivf_topk(
+        _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids
+    )

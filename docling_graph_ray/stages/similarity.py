@@ -154,3 +154,116 @@ def lsh_bucket_topk(
         return group.take(idx[:k])
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def train_ivf_centroids(
+    ds, *, n_centroids: int = 16, emb_col: str = "embedding",
+    sample_rows: int = 4096, iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a bounded sample (driver-side
+    numpy — the codebook is tiny and training is one-off).  Sampling is
+    deterministic: the FIRST ``sample_rows`` rows in block order, so the
+    codebook is stable across runs for the same input."""
+    import ray
+
+    sample: list[np.ndarray] = []
+    need = sample_rows
+    for ref in ds.select_columns([emb_col]).to_arrow_refs():
+        t = ray.get(ref)
+        m = _as_matrix(t.column(emb_col))
+        sample.append(m[:need])
+        need -= len(m)
+        if need <= 0:
+            break
+    x = _normalize(np.concatenate(sample, axis=0))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_ids: list[int] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+):
+    """IVF-style approximate top-k: a small codebook (trained once,
+    broadcast) partitions vectors into inverted lists by nearest
+    centroid; each query probes only its ``n_probe`` closest lists, so a
+    batch scores only the rows whose list is probed by ANY query.
+
+    The scale path beyond LSH bucketing: recall is tunable via
+    ``n_probe``/``n_centroids`` and the candidate fraction scored is
+    ~``n_probe / n_centroids`` (vs all-bucket expansion in LSH)."""
+    import ray
+
+    cent = train_ivf_centroids(
+        ds, n_centroids=n_centroids, emb_col=emb_col, seed=seed
+    )
+    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qids = query_ids if query_ids is not None else list(range(qn.shape[0]))
+    # lists probed by each query; union = lists any task must score
+    probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    probed_union = np.unique(probe)
+    q_ref = ray.put(qn)
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probe)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        c = ray.get(cent_ref)
+        probes = ray.get(probe_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        lists = (embs @ c.T).argmax(axis=1)
+        mask = np.isin(lists, probed_union)
+        ids, embs, lists = ids[mask], embs[mask], lists[mask]
+        out_q, out_v, out_c = [], [], []
+        if len(ids):
+            sims = embs @ q.T
+            for j in range(q.shape[0]):
+                # a query scores only rows in ITS probed lists
+                jmask = np.isin(lists, probes[j])
+                if not jmask.any():
+                    continue
+                js = sims[jmask, j]
+                jids = ids[jmask]
+                kk = min(k, len(jids))
+                top = np.argpartition(-js, kk - 1)[:kk]
+                for t in top:
+                    out_q.append(qids[j])
+                    out_v.append(int(jids[t]))
+                    out_c.append(round(float(js[t]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("cos", "descending"), (id_col, "ascending")]
+        )
+        return group.take(idx[:k])
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")

@@ -52,3 +52,30 @@ def test_lsh_topk_contains_self_and_subsets_brute(ray_session):
     assert 11 in got
     # approximate: at least the query itself plus some overlap with exact
     assert len(got & exact) >= 2
+
+
+def test_ivf_topk_recall_and_determinism(ray_session):
+    """IVF with generous probing recovers most of the exact top-k and is
+    deterministic run-to-run."""
+    from docling_graph_ray.stages.similarity import ivf_topk
+
+    embs, t = _data()
+    queries = embs[[3, 50, 101]].astype(np.float64)
+    qids = [0, 1, 2]
+    approx = ivf_topk(ray.data.from_arrow(t), queries, k=K, query_ids=qids,
+                      n_centroids=8, n_probe=6).to_pandas()
+    num = den = 0
+    for j, qid in enumerate(qids):
+        exact = set(_numpy_topk(embs, queries[j], K))
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        num += len(exact & got)
+        den += K
+    assert num / den >= 0.6
+    # self must be found (it lives in the query's own nearest list)
+    assert 3 in set(approx[approx["query_id"] == 0]["vec_id"])
+
+    again = ivf_topk(ray.data.from_arrow(t), queries, k=K, query_ids=qids,
+                     n_centroids=8, n_probe=6).to_pandas()
+    key = ["query_id", "vec_id"]
+    assert approx.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
