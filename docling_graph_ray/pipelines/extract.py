@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from docling_graph_ray.functions.hashing import sha256_hex, url_part_ids, xor_rollup_hex
+from docling_graph_ray.stages.doc_formats import extract_doc_json, extract_doclang
 from docling_graph_ray.stages.html_extract import (
     EXTRACT_SCHEMA,
     SPAN_TYPE,
@@ -175,7 +176,23 @@ class ExtractActor(PdfParseActor):
                      "n_blocks_kept": 1 if t else 0, "n_blocks_dropped": 0,
                      "parse_status": st}
             else:
-                r = extract_html_doc(raw, fb)
+                # structured-document lanes (already-parsed formats,
+                # handlers.py:526-673 analogue): cheap head checks here,
+                # full sniffing in stages/sniff.py
+                head = raw[:2048]
+                if head.lstrip()[:1] == b"{" and b'"schema_name"' in head:
+                    r = extract_doc_json(raw)
+                elif b"<doclang" in head[:256].lower():
+                    r = extract_doclang(raw)
+                else:
+                    r = extract_html_doc(raw, fb)
+                if r["parse_status"] == "failed" and fb:
+                    r = {"extracted_text": fb,
+                         "spans": [{"span_id": 0, "start": 0, "end": len(fb),
+                                    "kind": "fallback", "path": "text",
+                                    "block_class": "text"}],
+                         "n_blocks_kept": 1, "n_blocks_dropped": 0,
+                         "parse_status": "fallback_text"}
             t = r["extracted_text"]
             acc["extracted_text"].append(t)
             acc["text_sha256"].append(sha256_hex(t))

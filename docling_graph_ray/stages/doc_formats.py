@@ -1,0 +1,133 @@
+"""Structured-document format lanes: DoclingDocument JSON and DocLang XML.
+
+The reference ingests DoclingDocument JSON (validated by ``schema_name``,
+docling_graph/core/input/handlers.py:573-673) and DocLang XML
+(handlers.py:526-570), skipping model-based conversion — these formats
+already ARE parsed documents.  Here each is a deterministic
+bytes → (text, spans, status) function routed to by the flagship
+ExtractActor when the content sniff (stages/sniff.py) says so.
+
+Both outputs use the same span schema as the HTML lane (geometry slots
+null unless the source carries them)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+_WS_RE = re.compile(r"\s+")
+_XML_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def _norm(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+def extract_doc_json(raw: bytes) -> dict:
+    """DoclingDocument-style JSON → text + one span per text item.
+
+    Reads the ``texts`` array (list of items with a ``text`` field and an
+    optional ``label``); a document without it falls back to collecting
+    every string leaf under top-level keys, in key order (deterministic).
+    Returns the html-lane result dict shape."""
+    empty = {"extracted_text": "", "spans": [], "n_blocks_kept": 0,
+             "n_blocks_dropped": 0, "parse_status": "failed"}
+    try:
+        doc = json.loads(raw.decode("utf-8", errors="strict"))
+    except (ValueError, UnicodeDecodeError):
+        return empty
+    if not isinstance(doc, dict):
+        return empty
+    items = doc.get("texts")
+    status = "ok"
+    if not isinstance(items, list):
+        items = [
+            {"text": v, "label": k}
+            for k, v in sorted(doc.items())
+            if isinstance(v, str) and k != "schema_name"
+        ]
+        status = "salvaged"
+    parts, spans, pos, dropped = [], [], 0, 0
+    for item in items:
+        if not isinstance(item, dict):
+            dropped += 1
+            continue
+        text = _norm(str(item.get("text") or ""))
+        if not text:
+            dropped += 1
+            continue
+        if parts:
+            pos += 2
+        start = pos
+        pos += len(text)
+        parts.append(text)
+        prov = item.get("prov") or [{}]
+        p0 = prov[0] if isinstance(prov, list) and prov else {}
+        bbox = p0.get("bbox")
+        spans.append({
+            "span_id": len(spans), "start": start, "end": pos,
+            "kind": "doc_item", "path": "doc_json",
+            "block_class": str(item.get("label") or "text"),
+            "page_no": p0.get("page_no"),
+            "bbox": [int(b) for b in bbox] if isinstance(bbox, list) else None,
+        })
+    return {
+        "extracted_text": "\n\n".join(parts),
+        "spans": spans,
+        "n_blocks_kept": len(spans),
+        "n_blocks_dropped": dropped,
+        "parse_status": status,
+    }
+
+
+def extract_doclang(raw: bytes) -> dict:
+    """DocLang XML → text: per-element text with the element name as the
+    block class.  A lean split on tags (the markup is machine-generated
+    and regular, unlike web HTML)."""
+    empty = {"extracted_text": "", "spans": [], "n_blocks_kept": 0,
+             "n_blocks_dropped": 0, "parse_status": "failed"}
+    try:
+        xml = raw.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        xml = raw.decode("utf-8", errors="replace")
+    parts, spans, pos, dropped = [], [], 0, 0
+    last_tag = "doclang"
+    cursor = 0
+    for m in _XML_TAG_RE.finditer(xml):
+        seg = _norm(xml[cursor:m.start()])
+        if seg:
+            if parts:
+                pos += 2
+            start = pos
+            pos += len(seg)
+            parts.append(seg)
+            spans.append({
+                "span_id": len(spans), "start": start, "end": pos,
+                "kind": "doc_item", "path": "doclang",
+                "block_class": last_tag,
+            })
+        elif xml[cursor:m.start()].strip():
+            dropped += 1
+        tag = m.group(0)
+        name = re.match(r"</?\s*([a-zA-Z][a-zA-Z0-9_-]*)", tag)
+        if name and not tag.startswith("</"):
+            last_tag = name.group(1).lower()
+        cursor = m.end()
+    tail = _norm(xml[cursor:])
+    if tail:
+        if parts:
+            pos += 2
+        spans.append({
+            "span_id": len(spans), "start": pos, "end": pos + len(tail),
+            "kind": "doc_item", "path": "doclang", "block_class": last_tag,
+        })
+        parts.append(tail)
+    if not parts:
+        return {**empty, "parse_status": "ok" if xml.strip() else "failed"}
+    return {
+        "extracted_text": "\n\n".join(parts),
+        "spans": spans,
+        "n_blocks_kept": len(spans),
+        "n_blocks_dropped": dropped,
+        "parse_status": "ok",
+    }

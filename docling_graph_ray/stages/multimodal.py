@@ -106,3 +106,76 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
             "meta": pa.array(metas, MEDIA_META_TYPE),
         }
     )
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage: payload → resized payload + updated meta.
+
+    The pixel work is the ``_decode_stub`` fake (no codecs in this
+    container); the plumbing — binary in/binary out, meta width/height
+    update, small batches for large payloads — is the real contract."""
+
+    def __init__(self, width: int = 8, height: int = 8) -> None:
+        self.width = width
+        self.height = height
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        out_payloads, out_metas = [], []
+        for p, m in zip(payloads, metas):
+            img = _decode_stub(p or b"")
+            # STUB resize: strided downsample of the fake pixels
+            sy = max(1, img.shape[0] // self.height)
+            sx = max(1, img.shape[1] // self.width)
+            small = img[::sy, ::sx][: self.height, : self.width]
+            out_payloads.append(small.tobytes())
+            out_metas.append({**m, "width": self.width, "height": self.height})
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": pa.array(out_payloads, pa.binary()),
+            "meta": pa.array(out_metas, MEDIA_META_TYPE),
+        })
+
+
+def frame_sample(ds, *, every_ms: int = 250, max_frames: int = 8,
+                 concurrency=(1, 4), batch_size: int = 4):
+    """Video rows → frame rows (flat map: one row in, N frame rows out).
+
+    Frame timestamps are ``0, every_ms, 2*every_ms, …`` capped at
+    ``max_frames`` and the clip duration; each frame row carries a
+    deterministic fake frame payload (codec-free stand-in for an ffmpeg
+    seek+decode) plus ``frame_no`` / ``ts_ms``.  Non-video rows are
+    dropped (route them to their own stage)."""
+
+    class FrameSampler:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            metas = batch.column("meta").to_pylist()
+            rows = []
+            for mid, p, m in zip(ids, payloads, metas):
+                if (m or {}).get("media_type") != "video":
+                    continue
+                dur = int((m or {}).get("duration_ms") or 0)
+                n = min(max_frames, max(1, dur // every_ms + 1))
+                for f in range(n):
+                    ts = f * every_ms
+                    if dur and ts > dur:
+                        break
+                    frame = hashlib.blake2b(
+                        (p or b"") + ts.to_bytes(8, "big"), digest_size=32
+                    ).digest()
+                    rows.append({
+                        "media_id": mid, "frame_no": f, "ts_ms": ts,
+                        "frame": frame,
+                    })
+            return pa.Table.from_pylist(rows, schema=pa.schema([
+                ("media_id", pa.int64()), ("frame_no", pa.int32()),
+                ("ts_ms", pa.int32()), ("frame", pa.binary()),
+            ]))
+
+    return ds.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

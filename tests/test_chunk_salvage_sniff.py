@@ -214,3 +214,77 @@ def test_run_manifest(ray_session, tmp_path):
     b1 = open(p).read()
     write_run_manifest(out, {"num_partitions": 4, "profile": "t1"})
     assert open(p).read() == b1
+
+
+# ---------------------------------------------------------------------- doc formats
+
+def test_extract_doc_json():
+    import json
+
+    from docling_graph_ray.stages.doc_formats import extract_doc_json
+
+    doc = {
+        "schema_name": "DoclingDocument",
+        "texts": [
+            {"text": "Heading  one", "label": "title",
+             "prov": [{"page_no": 1, "bbox": [10, 20, 300, 40]}]},
+            {"text": "Body   paragraph.", "label": "paragraph"},
+            {"text": "", "label": "empty"},
+        ],
+    }
+    r = extract_doc_json(json.dumps(doc).encode())
+    assert r["parse_status"] == "ok"
+    assert r["extracted_text"] == "Heading one\n\nBody paragraph."
+    assert r["n_blocks_kept"] == 2 and r["n_blocks_dropped"] == 1
+    assert r["spans"][0]["block_class"] == "title"
+    assert r["spans"][0]["page_no"] == 1
+    assert r["spans"][0]["bbox"] == [10, 20, 300, 40]
+    assert r["spans"][1]["page_no"] is None
+    # malformed json -> failed (the actor then falls back to crawler text)
+    assert extract_doc_json(b'{"schema_name": ')["parse_status"] == "failed"
+
+
+def test_extract_doclang():
+    from docling_graph_ray.stages.doc_formats import extract_doclang
+
+    xml = (b"<?xml version='1.0'?><doclang><page no='1'>"
+           b"<heading>Title here</heading><para>Some  text.</para>"
+           b"</page></doclang>")
+    r = extract_doclang(xml)
+    assert r["parse_status"] == "ok"
+    assert r["extracted_text"] == "Title here\n\nSome text."
+    assert [s["block_class"] for s in r["spans"]] == ["heading", "para"]
+
+
+def test_extract_actor_routes_doc_formats(ray_session):
+    import json
+    from datetime import datetime
+
+    import pyarrow as pa_
+
+    import ray.data as rd
+
+    from docling_graph_ray.pipelines.extract import extract_pages_dataset
+
+    rows = [
+        {"url": "u1", "warc_ts": datetime(2025, 1, 1),
+         "html": json.dumps({"schema_name": "DoclingDocument",
+                             "texts": [{"text": "json doc body"}]}).encode(),
+         "text": "fb", "lang": "en"},
+        {"url": "u2", "warc_ts": datetime(2025, 1, 1),
+         "html": b"<doclang><para>doclang body</para></doclang>",
+         "text": "fb", "lang": "en"},
+        {"url": "u3", "warc_ts": datetime(2025, 1, 1),
+         "html": b"<!DOCTYPE html><html><body><p>"
+                 b"plain html body long enough to keep as content, with "
+                 b"several words of running prose in one block.</p>"
+                 b"</body></html>",
+         "text": "fb", "lang": "en"},
+    ]
+    from docling_graph_ray.fixtures.pages import PAGES_SCHEMA
+    ds = rd.from_arrow(pa_.Table.from_pylist(rows, schema=PAGES_SCHEMA))
+    out = extract_pages_dataset(ds, num_partitions=2).to_pandas()
+    by_url = out.set_index("url")
+    assert by_url.loc["u1", "extracted_text"] == "json doc body"
+    assert by_url.loc["u2", "extracted_text"] == "doclang body"
+    assert "running prose" in by_url.loc["u3", "extracted_text"]
