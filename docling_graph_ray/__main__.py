@@ -1,0 +1,115 @@
+"""CLI: ``python -m docling_graph_ray <command>``.
+
+The user-facing analogue of the reference's ``docling-graph`` CLI
+(docling_graph/cli/main.py:79-83 — convert / merge): here the unit of
+work is a pages TABLE, not one document.
+
+Commands:
+  extract   pages parquet → partitioned extraction run (resumable)
+  report    completed run dir → report.md
+  chunks    extraction run → chunk-table parquet
+
+The CLI owns its Ray session (guarded init); library code never calls
+ray.init (driver contract)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _ray_init(num_cpus: int | None) -> bool:
+    """Guarded init; returns True iff THIS call created the session (the
+    CLI only shuts down a session it owns — an embedding caller's
+    session is never torn down)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    kwargs = {"address": "local", "include_dashboard": False,
+              "logging_level": "ERROR"}
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    return True
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    owns = _ray_init(args.num_cpus)
+    import ray
+    import ray.data
+
+    from docling_graph_ray.pipelines.extract import run_extract_pipeline
+    from docling_graph_ray.report import write_run_report
+    from docling_graph_ray.state.manifest import write_run_manifest
+
+    pages = ray.data.read_parquet(args.input)
+    lineage = run_extract_pipeline(
+        pages, out_dir=args.out, num_partitions=args.partitions,
+        resume=not args.no_resume,
+    )
+    n = lineage.count()
+    write_run_manifest(args.out, {
+        "input": args.input, "num_partitions": args.partitions,
+    })
+    report = write_run_report(args.out)
+    print(f"extract: {n} partitions finalized → {args.out} ({report})")
+    if owns:
+        ray.shutdown()
+    return 0
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    from docling_graph_ray.report import write_run_report
+
+    print(write_run_report(args.run_dir))
+    return 0
+
+
+def cmd_chunks(args: argparse.Namespace) -> int:
+    owns = _ray_init(args.num_cpus)
+    import ray
+    import ray.data
+
+    from docling_graph_ray.stages.chunking import chunk_batch
+
+    extracted = ray.data.read_parquet(args.input)
+    chunks = extracted.map_batches(
+        chunk_batch(max_tokens=args.max_tokens), batch_format="pyarrow"
+    )
+    chunks.write_parquet(args.out)
+    print(f"chunks: wrote {args.out}")
+    if owns:
+        ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="docling_graph_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="pages parquet → extraction run")
+    ex.add_argument("--input", required=True, help="pages parquet dir/file")
+    ex.add_argument("--out", required=True, help="run output dir")
+    ex.add_argument("--partitions", type=int, default=64)
+    ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    ex.set_defaults(fn=cmd_extract)
+
+    rp = sub.add_parser("report", help="run dir → report.md")
+    rp.add_argument("run_dir")
+    rp.set_defaults(fn=cmd_report)
+
+    ch = sub.add_parser("chunks", help="extraction parquet → chunk parquet")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--out", required=True)
+    ch.add_argument("--max-tokens", type=int, default=512, dest="max_tokens")
+    ch.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    ch.set_defaults(fn=cmd_chunks)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

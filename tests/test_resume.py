@@ -51,3 +51,27 @@ def test_rerun_when_complete_is_noop(ray_session, tmp_path):
     again = _run(out)
     assert len(again) == 0  # nothing left to do
     assert read_lineage(out) == before
+
+
+def test_cli_extract_report_chunks(ray_session, tmp_path):
+    """End-to-end CLI: extract → report → chunks over a pages parquet."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.__main__ import main
+    from docling_graph_ray.fixtures.pages import make_pages_table
+
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(make_pages_table(list(range(80)), profile="t1"), src)
+    out = str(tmp_path / "run")
+    assert main(["extract", "--input", src, "--out", out,
+                 "--partitions", "4"]) == 0
+    report = (tmp_path / "run" / "report.md").read_text()
+    assert "partitions committed: **4**" in report
+    assert "parse failure rate: 0.0000%" in report
+
+    chunks_out = str(tmp_path / "chunks")
+    data = str(tmp_path / "run" / "part_id=0" / "data.parquet")
+    assert main(["chunks", "--input", data, "--out", chunks_out,
+                 "--max-tokens", "64"]) == 0
+    t = pq.read_table(chunks_out)
+    assert t.num_rows > 0 and "chunk_text" in t.schema.names
