@@ -130,6 +130,11 @@ _HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 _VOID_TAGS = frozenset("br hr img meta link input area base col embed source track wbr".split())
 
 _WS_RE = re.compile(r"\s+")
+# anything that would make _WS_RE.sub(" ", text) non-identity: a run of 2+
+# whitespace chars, or any whitespace that is not a plain space.  search()
+# stops at the first hit, so clean text pays one C scan instead of a
+# full sub() rebuild (the single hottest line in the extract profile).
+_WS_ODD_RE = re.compile(r"\s\s|[^\S ]")
 
 
 class _Block:
@@ -320,7 +325,11 @@ def parse_blocks(html_text: str, engine: str = "fast") -> list[dict]:
         p.close()
     out = []
     for b in p.blocks:
-        text = _WS_RE.sub(" ", "".join(b.parts)).strip()
+        joined = "".join(b.parts)
+        if _WS_ODD_RE.search(joined):
+            text = _WS_RE.sub(" ", joined).strip()
+        else:
+            text = joined.strip()
         if not text:
             continue
         out.append(
