@@ -75,24 +75,12 @@ def _consume(result) -> int:
 
 def _pages_parquet_dir(rows: int, profile: str) -> str:
     """Materialize the synthetic pages table to Parquet ONCE (untimed,
-    shared by both CPU levels): the north rule's input is Parquet shards,
-    so the timed run must start from read_parquet, not from Python row
-    generation."""
-    import shutil
+    shared by both CPU levels; cache keyed by the generator's source
+    hash): the north rule's input is Parquet shards, so the timed run
+    must start from read_parquet, not from Python row generation."""
+    from docling_graph_ray.fixtures.pages import pages_parquet_dir
 
-    dest = f"/tmp/graft_pages_{profile}_{rows}"
-    if os.path.isdir(dest) and os.listdir(dest):
-        return dest
-    from docling_graph_ray.fixtures.pages import pages_dataset
-
-    tmp = dest + ".building"
-    shutil.rmtree(tmp, ignore_errors=True)
-    pages_dataset(rows, profile=profile).write_parquet(tmp)
-    try:
-        os.replace(tmp, dest)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # lost a race: other run won
-    return dest
+    return pages_parquet_dir(rows, profile=profile)
 
 
 def _flagship_run(num_cpus: int, rows: int) -> dict:

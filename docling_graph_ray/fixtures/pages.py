@@ -319,3 +319,37 @@ def write_pages_parquet(path: str, n: int, seed: int = 42, profile: str = "t2") 
     import pyarrow.parquet as pq
 
     pq.write_table(make_pages_table(list(range(n)), seed, profile), path)
+
+
+def pages_parquet_dir(n: int, seed: int = 42, profile: str = "t2") -> str:
+    """Materialize the synthetic table to /tmp Parquet ONCE and reuse.
+
+    The cache key includes a hash of THIS MODULE's source, so editing the
+    generator invalidates stale caches.  Callers then read with
+    ``ray.data.read_parquet`` — the timed path matches the north rule's
+    input (Parquet shards), not Python row generation."""
+    import hashlib
+    import inspect
+    import os
+    import shutil
+    import sys
+
+    src_hash = hashlib.blake2b(
+        inspect.getsource(sys.modules[__name__]).encode(), digest_size=6
+    ).hexdigest()
+    dest = f"/tmp/graft_pages_{profile}_{seed}_{n}_{src_hash}"
+    if os.path.isdir(dest) and os.listdir(dest):
+        return dest
+    tmp = dest + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # consolidate files: one per ~250 rows (t1 ≈ a few MB, bench ≈ 65 MB)
+    # so the read side gets real per-file parallelism without a storm of
+    # tiny files
+    pages_dataset(n, seed, profile).write_parquet(
+        tmp, num_rows_per_file=max(250, n // 64)
+    )
+    try:
+        os.replace(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return dest

@@ -153,7 +153,6 @@ def pages_flagship(sf_dir: str):
     """Flagship extraction on the deterministic synthetic pages table;
     row count keyed to the sf tier.  Returns deduped extracted rows
     (url, text_sha256, parse stats) — no raw text, stable for hashing."""
-    from docling_graph_ray.fixtures.pages import pages_dataset
     from docling_graph_ray.pipelines.extract import (
         dedup_extracted,
         extract_pages_dataset,
@@ -161,6 +160,8 @@ def pages_flagship(sf_dir: str):
 
     tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     n = _SF_ROWS.get(tier, 300)
+    from docling_graph_ray.fixtures.pages import pages_dataset
+
     ded = dedup_extracted(
         extract_pages_dataset(pages_dataset(n, profile="t1"), num_partitions=16)
     )
