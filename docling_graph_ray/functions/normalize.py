@@ -44,8 +44,6 @@ def normalize_entity_name(value: str) -> str:
         return ""
     text = _strip_accents(value).strip()
     words = [w for w in _SPLIT_RE.split(text) if w]
-    if words and words[0].lower() in _ARTICLES and len(words) > 1:
-        words = words[1:]
     cleaned = []
     for w in words:
         # possessive strip
@@ -56,6 +54,11 @@ def normalize_entity_name(value: str) -> str:
         w = re.sub(r"[^0-9A-Za-z]", "", w)
         if w:
             cleaned.append(w.upper())
+    # article strip AFTER cleanup, so the decision is made on the token
+    # that actually survives — makes normalization idempotent (a leading
+    # ':a' cleans to 'A', which a second pass would otherwise drop)
+    if cleaned and cleaned[0].lower() in _ARTICLES and len(cleaned) > 1:
+        cleaned = cleaned[1:]
     return "_".join(cleaned)
 
 

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just fixtures — salvage never raises, chunking preserves
+content and respects caps, normalization is idempotent, folds are
+idempotent, extraction never throws a row away."""
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from docling_graph_ray.functions.merging import enrich_first_wins, fold_records
+from docling_graph_ray.functions.normalize import normalize_entity_name
+from docling_graph_ray.functions.salvage import salvage_record
+from docling_graph_ray.stages.chunking import chunk_document, count_tokens
+from docling_graph_ray.stages.html_extract import extract_html_doc
+
+# a generous "any JSON-ish value" strategy
+_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**12, 10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=40),
+)
+_value = st.recursive(
+    _scalar,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(st.text(max_size=8), inner, max_size=4),
+    ),
+    max_leaves=10,
+)
+_record = st.dictionaries(
+    st.sampled_from(["n", "score", "tags", "name", "junk", "other"]),
+    _value, max_size=6,
+)
+
+SCHEMA = {
+    "n": {"kind": "int", "required": True},
+    "score": {"kind": "float", "required": False},
+    "tags": {"kind": "list<str>", "required": False},
+    "name": {"kind": "str", "required": True},
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(_record)
+def test_salvage_total_function(rec):
+    """salvage_record never raises, always returns a status, and the
+    schema is closed (no unknown keys survive)."""
+    out, status = salvage_record(rec, SCHEMA)
+    assert status in ("ok", "coerced", "defaulted", "failed")
+    assert set(out) <= set(SCHEMA)
+    if status != "failed":
+        assert set(out) == set(SCHEMA)
+        assert out["n"] is None or isinstance(out["n"], int)
+        assert out["name"] is None or isinstance(out["name"], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2000), st.integers(4, 64))
+def test_chunking_invariants(text, max_tokens):
+    """Chunks cover the text's tokens: rejoined chunk text equals the
+    whitespace-normalized original; every chunk respects the caps;
+    chunk_ids are dense from 0; deterministic."""
+    chunks = chunk_document("u", text, None, max_tokens=max_tokens)
+    assert chunks == chunk_document("u", text, None, max_tokens=max_tokens)
+    if not text.strip():
+        # whitespace-only text may produce one trivial chunk or none
+        return
+    assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+    # content preservation, whitespace-insensitive: char-level re-splits
+    # may cut inside a "word" (the reference's ladder does too), so exact
+    # token-sequence equality is not an invariant — character content is
+    import re as _re
+
+    rejoined = "".join(c["chunk_text"] for c in chunks)
+    assert _re.sub(r"\s+", "", rejoined) == _re.sub(r"\s+", "", text)
+    for c in chunks:
+        assert c["token_count"] == count_tokens(c["chunk_text"])
+        # the token cap holds for any chunk that can still be split on
+        # whitespace; an unbreakable run may exceed it only within the
+        # char-cap ladder's bound
+        if " " in c["chunk_text"].strip():
+            assert c["token_count"] <= max_tokens
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_idempotent(name):
+    once = normalize_entity_name(name)
+    assert normalize_entity_name(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.dictionaries(
+    st.sampled_from(["a", "b", "c"]), st.one_of(st.none(), st.text(max_size=8)),
+    max_size=3,
+), max_size=5))
+def test_fold_idempotent_and_stable(records):
+    folded, _ = fold_records(records)
+    folded2, conflicts2 = fold_records([folded, folded]) if records else ({}, [])
+    if records:
+        assert folded2 == folded and conflicts2 == []
+    # enrichment agrees with fold on the kept values
+    enriched = enrich_first_wins(records)
+    assert enriched == folded
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=4096), st.one_of(st.none(), st.text(max_size=50)))
+def test_extract_total_function(raw, fallback):
+    """The extractor is total: arbitrary bytes never raise, the status is
+    always one of the ladder's outcomes, spans index into the text."""
+    r = extract_html_doc(raw, fallback)
+    assert r["parse_status"] in ("ok", "salvaged", "fallback_text", "failed")
+    text = r["extracted_text"]
+    for s in r["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= len(text)
+    assert r["n_blocks_kept"] == len(r["spans"])
