@@ -222,12 +222,12 @@ def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
 
 def graph_stats(nodes, edges, *, class_col: str = "class",
                 label_col: str = "label", src_col: str = "src"):
-    """Graph-level stats as (metric, value) rows: per-class node counts,
-    per-label edge counts, total nodes/edges, average out-degree ×1e6
-    (integer-scaled so the value column stays int64 and hash-stable).
+    """Graph-level stats as (metric, value) rows: per-class node counts
+    and per-label edge counts (int64 throughout, hash-stable).  Average
+    degree is derivable driver-side from the returned counts.
 
     Reference: stats_calculator.py:10-76 — node/edge counts, per-type
-    distributions, average degree."""
+    distributions."""
 
     def node_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(class_col).aggregate([([], "count_all")])
