@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_phantom_filter": g.graph_phantom_filter,
         "graph_cardinality_bound": g.graph_cardinality_bound,
         "graph_stats": g.graph_stats_query,
+        "graph_eval_strict": g.graph_eval_strict,
         "events_props_salvage": t.events_props_salvage,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
@@ -167,6 +168,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'edges:cust_nation', COUNT(*) FROM customer
             UNION ALL
             SELECT 'edges:supp_nation', COUNT(*) FROM supplier
+        """,
+        "graph_eval_strict": """
+            WITH gt_n AS (
+                SELECT DISTINCT CAST(c_custkey % 8 AS VARCHAR) AS doc_id,
+                       CAST(c_custkey AS VARCHAR) AS k
+                FROM customer WHERE c_acctbal > 0
+            ),
+            got_n AS (
+                SELECT DISTINCT CAST(o_custkey % 8 AS VARCHAR) AS doc_id,
+                       CAST(o_custkey AS VARCHAR) AS k
+                FROM orders
+            ),
+            node_counts AS (
+                SELECT COALESCE(g.doc_id, e.doc_id) AS doc_id,
+                       SUM(CASE WHEN g.k IS NOT NULL AND e.k IS NOT NULL
+                                THEN 1 ELSE 0 END) AS tp,
+                       SUM(CASE WHEN g.k IS NULL THEN 1 ELSE 0 END) AS fp,
+                       SUM(CASE WHEN e.k IS NULL THEN 1 ELSE 0 END) AS fn
+                FROM gt_n g
+                FULL OUTER JOIN got_n e
+                  ON g.doc_id = e.doc_id AND g.k = e.k
+                GROUP BY 1
+            ),
+            gt_e AS (
+                SELECT CAST(o_custkey % 8 AS VARCHAR) AS doc_id,
+                       CAST(o_custkey AS VARCHAR) AS s,
+                       CAST(o_orderkey AS VARCHAR) AS d
+                FROM orders WHERE o_totalprice > 150000
+            ),
+            got_e AS (
+                SELECT CAST(o_custkey % 8 AS VARCHAR) AS doc_id,
+                       CAST(o_custkey AS VARCHAR) AS s,
+                       CAST(o_orderkey AS VARCHAR) AS d
+                FROM orders
+                WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+            ),
+            edge_counts AS (
+                SELECT COALESCE(g.doc_id, e.doc_id) AS doc_id,
+                       SUM(CASE WHEN g.s IS NOT NULL AND e.s IS NOT NULL
+                                THEN 1 ELSE 0 END) AS tp,
+                       SUM(CASE WHEN g.s IS NULL THEN 1 ELSE 0 END) AS fp,
+                       SUM(CASE WHEN e.s IS NULL THEN 1 ELSE 0 END) AS fn
+                FROM gt_e g
+                FULL OUTER JOIN got_e e
+                  ON g.doc_id = e.doc_id AND g.s = e.s AND g.d = e.d
+                GROUP BY 1
+            ),
+            rungs AS (SELECT 'strict' AS rung UNION ALL SELECT 'relaxed')
+            SELECT doc_id, 'nodes' AS section, rung, 'Customer' AS cls,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn
+            FROM node_counts CROSS JOIN rungs
+            UNION ALL
+            SELECT doc_id, 'edges', rung, 'PLACED',
+                   CAST(tp AS BIGINT), CAST(fp AS BIGINT), CAST(fn AS BIGINT)
+            FROM edge_counts CROSS JOIN rungs
         """,
         "events_props_salvage": """
             SELECT event_id,

@@ -325,3 +325,88 @@ def graph_content_dedup(sf_dir: str):
         .groupby(["src", "dst", "label"])
         .map_groups(first, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# extraction-quality evaluation (strict rung, SQL-checkable)
+
+
+def graph_eval_strict(sf_dir: str):
+    """Distributed graph-vs-truth evaluation over a deterministic pair of
+    graphs derived from TPC-H: truth = customers with positive balance
+    (+ PLACED edges for >150k orders); extracted = customers that placed
+    any order (+ PLACED edges for final-status >100k orders).  Documents
+    are custkey mod 8.  Emits the evaluator's integer count rows
+    ``(doc_id, section, rung, cls, tp, fp, fn)``.
+
+    Identity keys are pure digit strings, so the relaxed rung's
+    digit-signature guard blocks every non-strict pair and
+    relaxed == strict by construction — which makes BOTH rungs exactly
+    SQL-expressible (full outer join per doc).  The fuzzy rungs are
+    covered by hand-computed pytest cases instead
+    (tests/test_evaluate.py).
+
+    Reference: docs/examples/scripts/16_extraction_evaluation.py
+    (strict node matching :415-417, edge keys via identity :491-514,
+    per-class prf :465-489)."""
+    from docling_graph_ray.stages.evaluate import evaluate_graphs, tag_graph
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+
+    def doc_of(custkey: pa.ChunkedArray | pa.Array) -> pa.Array:
+        return pc.bit_wise_and(custkey.cast(pa.int64()), 7).cast(pa.string())
+
+    def token(cls: str, key) -> pa.Array:
+        n = len(key)
+        return pc.binary_join_element_wise(
+            pa.array([cls] * n), key.cast(pa.string()), "\x1f"
+        )
+
+    def gt_nodes(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("c_acctbal"), 0.0))
+        return pa.table({
+            "doc_id": doc_of(t.column("c_custkey")),
+            "class": pa.array(["Customer"] * t.num_rows),
+            "key": t.column("c_custkey").cast(pa.string()),
+        })
+
+    def got_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": doc_of(b.column("o_custkey")),
+            "class": pa.array(["Customer"] * b.num_rows),
+            "key": b.column("o_custkey").cast(pa.string()),
+        })
+
+    def edges_of(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.filter(pred(b))
+            return pa.table({
+                "doc_id": doc_of(t.column("o_custkey")),
+                "label": pa.array(["PLACED"] * t.num_rows),
+                "src": token("Customer", t.column("o_custkey")),
+                "dst": token("Order", t.column("o_orderkey")),
+            })
+        return fn
+
+    gt_edge_pred = lambda b: pc.greater(b.column("o_totalprice"), 150_000.0)
+    got_edge_pred = lambda b: pc.and_(
+        pc.equal(b.column("o_orderstatus"), "F"),
+        pc.greater(b.column("o_totalprice"), 100_000.0),
+    )
+
+    tagged = tag_graph(
+        customer.map_batches(gt_nodes, batch_format="pyarrow"),
+        orders.map_batches(edges_of(gt_edge_pred), batch_format="pyarrow"),
+        side="gt",
+    ).union(
+        tag_graph(
+            orders.map_batches(got_nodes, batch_format="pyarrow"),
+            orders.map_batches(edges_of(got_edge_pred), batch_format="pyarrow"),
+            side="got",
+        )
+    )
+    return evaluate_graphs(tagged, structural="off")
