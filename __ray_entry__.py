@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_cardinality_bound": g.graph_cardinality_bound,
         "graph_stats": g.graph_stats_query,
         "graph_eval_strict": g.graph_eval_strict,
+        "template_field_profile": t.template_field_profile,
         "events_props_salvage": t.events_props_salvage,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
@@ -224,6 +225,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'edges', rung, 'PLACED',
                    CAST(tp AS BIGINT), CAST(fp AS BIGINT), CAST(fn AS BIGINT)
             FROM edge_counts CROSS JOIN rungs
+        """,
+        "template_field_profile": """
+            SELECT 'doc_id' AS field, COUNT(*) AS n,
+                   COUNT(doc_id) AS n_filled,
+                   COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*),
+                   COUNT(CASE WHEN TRIM(text) <> '' THEN 1 END),
+                   COUNT(DISTINCT CASE WHEN TRIM(text) <> '' THEN text END)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*),
+                   COUNT(CASE WHEN TRIM(lang) <> '' THEN 1 END),
+                   COUNT(DISTINCT CASE WHEN TRIM(lang) <> '' THEN lang END)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*),
+                   COUNT(CASE WHEN TRIM(source) <> '' THEN 1 END),
+                   COUNT(DISTINCT CASE WHEN TRIM(source) <> '' THEN source END)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(n_chars),
+                   COUNT(DISTINCT n_chars) FROM documents
         """,
         "events_props_salvage": """
             SELECT event_id,

@@ -84,6 +84,53 @@ def cmd_chunks(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_induce(args: argparse.Namespace) -> int:
+    """Induce a template from a parquet table: distributed field
+    profiling → spec → repair → lint gate → deterministic render →
+    exec verification (the reference's ``docling-graph template
+    from-docs`` flow, templategen/generate.py:1-40, with profiling in
+    place of the LLM draft)."""
+    import json as _json
+    from pathlib import Path
+
+    owns = _ray_init(args.num_cpus)
+    import ray
+    import ray.data
+
+    from docling_graph_ray.templategen import (
+        induce_spec,
+        lint_spec,
+        profile_columns,
+        render_template,
+        repair_spec,
+        verify_template_source,
+    )
+
+    ds = ray.data.read_parquet(args.input)
+    columns = args.columns.split(",") if args.columns else ds.schema().names
+    prof = profile_columns(ds, cls=args.root, columns=columns)
+    spec = induce_spec(prof, root=args.root)
+    spec, actions = repair_spec(spec)
+    findings = [f for f in lint_spec(spec) if f["code"].startswith("E")]
+    if findings:
+        print(f"induce: {len(findings)} unrepaired lint errors", file=sys.stderr)
+        for f in findings:
+            print(f"  {f['code']} {f['where']}: {f['message']}", file=sys.stderr)
+        return 1
+    source = render_template(spec)
+    verify_template_source(source)  # accept gate: must execute
+    out = Path(args.out)
+    out.write_text(source, encoding="utf-8")
+    out.with_suffix(".spec.json").write_text(
+        _json.dumps(spec, indent=2, ensure_ascii=False), encoding="utf-8"
+    )
+    print(f"induce: {len(spec['models'])} models, {len(spec['enums'])} enums, "
+          f"{len(actions)} repairs → {out} (+ {out.with_suffix('.spec.json').name})")
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -106,6 +153,15 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--max-tokens", type=int, default=512, dest="max_tokens")
     ch.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     ch.set_defaults(fn=cmd_chunks)
+
+    ind = sub.add_parser("induce", help="parquet table → induced template .py")
+    ind.add_argument("--input", required=True, help="records parquet dir/file")
+    ind.add_argument("--out", required=True, help="template .py output path")
+    ind.add_argument("--root", default="Record", help="root class name")
+    ind.add_argument("--columns", default=None,
+                     help="comma-separated columns (default: all)")
+    ind.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    ind.set_defaults(fn=cmd_induce)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -351,3 +351,33 @@ def emb_ivf_topk(sf_dir: str, k: int = 10):
     return ivf_topk(
         _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids
     )
+
+
+def template_field_profile(sf_dir: str):
+    """Distributed field profiling of the documents table for template
+    induction (templategen.profile_columns + exact distinct counts):
+    per field, total rows, filled rows (non-null, non-blank for
+    strings) and exact distinct count among filled values.  The
+    profile's n/n_filled come from map_batches partials merged by a
+    tiny groupby; the exact distincts use the two-shuffle
+    field_distinct_counts path (reference: templategen
+    induce/documents.py proposes field stats; here they are computed,
+    not proposed)."""
+    import pandas as pd
+
+    from docling_graph_ray.templategen import (
+        field_distinct_counts,
+        profile_columns,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _docs(sf_dir, cols)
+    prof = profile_columns(docs, cls="Document", columns=cols).to_pandas()
+    nd = field_distinct_counts(_docs(sf_dir, cols), columns=cols).to_pandas()
+    out = prof[["field", "n", "n_filled"]].merge(nd, on="field")
+    return pd.DataFrame({
+        "field": out["field"].astype(str),
+        "n": out["n"].astype("int64"),
+        "n_filled": out["n_filled"].astype("int64"),
+        "n_distinct": out["n_distinct"].astype("int64"),
+    })

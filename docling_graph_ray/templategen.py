@@ -1,0 +1,660 @@
+"""Template generation: induce a template spec from data, lint/repair
+it, render deterministic Python, and verify the render.
+
+Re-expresses the reference's templategen subsystem (SURVEY.md §2.11;
+reference: docling_graph/templategen/ — ``spec.py`` IR, ``linter.py``
+rule checks + renames, ``renderer.py`` deterministic code emission,
+``verify.py`` execute-the-source gate, ``induce/documents.py`` draft
+proposal) with the LLM induction step replaced by **distributed field
+profiling**: per-(class, field) statistics are computed as
+``map_batches`` partials merged by a small ``groupby`` — the only part
+that must scale to a 100 TB record corpus.  Spec building, linting and
+rendering are driver-side small-data, exactly as in the reference
+("templategen is driver-side tooling, not a dataflow operator",
+SURVEY.md §2.11).
+
+Key reference disciplines kept:
+
+- the LLM (here: the profiler) proposes *data*; a deterministic
+  renderer writes the code (templategen/generate.py:1-40);
+- identity is 1-2 scalar fields, never lists/enums (spec.py:74-76,
+  field-definitions.md);
+- identifiers are gated before interpolation into source — a
+  non-identifier name is a render error, repair renames it first
+  (spec.py:33-64);
+- rendered source is executed in a scratch namespace and its classes
+  checked before the template is accepted (verify.py).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import keyword
+import re
+
+import pyarrow as pa
+
+SCALAR_TYPES = frozenset(("str", "int", "float", "bool", "date", "datetime"))
+MAX_IDENTITY_FIELDS = 2
+MAX_FIELD_EXAMPLES = 5
+DISTINCT_CAP = 64
+_ISO_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_NAME_FIELDS = frozenset(("name", "title", "nom"))
+
+PROFILE_SCHEMA = pa.schema(
+    [
+        ("cls", pa.string()),
+        ("field", pa.string()),
+        ("n", pa.int64()),
+        ("n_filled", pa.int64()),
+        ("n_str", pa.int64()),
+        ("n_int", pa.int64()),
+        ("n_float", pa.int64()),
+        ("n_bool", pa.int64()),
+        ("n_list", pa.int64()),
+        ("n_datelike", pa.int64()),
+        ("distinct", pa.string()),        # JSON sorted list, capped
+        ("distinct_saturated", pa.int64()),
+        ("examples", pa.string()),        # JSON list (smallest K distincts)
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# distributed field profiling (the scale-sensitive part)
+
+
+def _classify(value: object, acc: dict[str, int]) -> None:
+    if isinstance(value, bool):
+        acc["n_bool"] += 1
+    elif isinstance(value, int):
+        acc["n_int"] += 1
+    elif isinstance(value, float):
+        acc["n_float"] += 1
+    elif isinstance(value, str):
+        acc["n_str"] += 1
+        if _ISO_DATE.match(value):
+            acc["n_datelike"] += 1
+    elif isinstance(value, (list, tuple)):
+        acc["n_list"] += 1
+
+
+def _is_filled(value: object) -> bool:
+    if value is None:
+        return False
+    if isinstance(value, str):
+        return bool(value.strip())
+    if isinstance(value, (list, dict)):
+        return bool(value)
+    return True
+
+
+def _partial_rows(cls: str, per_field: dict[str, dict]) -> pa.Table:
+    rows = []
+    for field in sorted(per_field):
+        acc = per_field[field]
+        distinct = sorted(acc["distinct"])[:DISTINCT_CAP]
+        rows.append(
+            {
+                "cls": cls,
+                "field": field,
+                "n": acc["n"],
+                "n_filled": acc["n_filled"],
+                "n_str": acc["n_str"],
+                "n_int": acc["n_int"],
+                "n_float": acc["n_float"],
+                "n_bool": acc["n_bool"],
+                "n_list": acc["n_list"],
+                "n_datelike": acc["n_datelike"],
+                "distinct": json.dumps(distinct, ensure_ascii=False),
+                "distinct_saturated": int(acc["saturated"]),
+                "examples": json.dumps(distinct[:MAX_FIELD_EXAMPLES],
+                                       ensure_ascii=False),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=PROFILE_SCHEMA)
+
+
+def _new_acc() -> dict:
+    return {
+        "n": 0, "n_filled": 0, "n_str": 0, "n_int": 0, "n_float": 0,
+        "n_bool": 0, "n_list": 0, "n_datelike": 0,
+        "distinct": set(), "saturated": False,
+    }
+
+
+def _observe(acc: dict, value: object) -> None:
+    acc["n"] += 1
+    if not _is_filled(value):
+        return
+    acc["n_filled"] += 1
+    _classify(value, acc)
+    if not isinstance(value, (list, tuple, dict)):
+        if len(acc["distinct"]) < DISTINCT_CAP:
+            acc["distinct"].add(json.dumps(value, ensure_ascii=False))
+        elif json.dumps(value, ensure_ascii=False) not in acc["distinct"]:
+            acc["saturated"] = True
+
+
+def profile_columns(ds, *, cls: str, columns: list[str]):
+    """Per-field stats over typed Arrow columns: ``map_batches`` partial
+    profiles (one row per field per batch) merged by a tiny
+    ``groupby((cls, field))`` — the partial-aggregate-before-shuffle
+    pattern, so the wide step moves O(batches × fields) rows, never the
+    data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_field = {c: _new_acc() for c in columns}
+        for c in columns:
+            for value in batch.column(c).to_pylist():
+                _observe(per_field[c], value)
+        return _partial_rows(cls, per_field)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["cls", "field"]).map_groups(
+        _merge_partials, batch_format="pyarrow"
+    )
+
+
+def profile_json_records(ds, *, json_col: str, cls: str):
+    """Same, over untyped JSON records (the induce-from-documents case:
+    values carry their own types, so the type votes are genuine)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per_field: dict[str, dict] = {}
+        records = [json.loads(s) if s else {} for s in
+                   batch.column(json_col).to_pylist()]
+        fields = sorted({k for r in records for k in r})
+        for f in fields:
+            per_field[f] = _new_acc()
+        for r in records:
+            for f in fields:
+                _observe(per_field[f], r.get(f))
+        return _partial_rows(cls, per_field)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["cls", "field"]).map_groups(
+        _merge_partials, batch_format="pyarrow"
+    )
+
+
+def _merge_partials(group: pa.Table) -> pa.Table:
+    rows = group.to_pylist()
+    out = dict(rows[0])
+    distinct = set()
+    saturated = False
+    for r in rows:
+        distinct.update(json.loads(r["distinct"]))
+        saturated = saturated or bool(r["distinct_saturated"])
+    for key in ("n", "n_filled", "n_str", "n_int", "n_float", "n_bool",
+                "n_list", "n_datelike"):
+        out[key] = sum(r[key] for r in rows)
+    if len(distinct) > DISTINCT_CAP:
+        saturated = True
+    capped = sorted(distinct)[:DISTINCT_CAP]
+    out["distinct"] = json.dumps(capped, ensure_ascii=False)
+    out["distinct_saturated"] = int(saturated)
+    out["examples"] = json.dumps(capped[:MAX_FIELD_EXAMPLES], ensure_ascii=False)
+    return pa.Table.from_pylist([out], schema=PROFILE_SCHEMA)
+
+
+def field_distinct_counts(ds, *, columns: list[str]):
+    """Exact per-field distinct counts at any cardinality: project to
+    (field, value) rows, distinct them with a groupby, count per field
+    with a second tiny groupby.  Two shuffles of O(rows × fields) —
+    use only when exactness matters (the profile's capped sketch covers
+    induction)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        fields, values = [], []
+        for c in columns:
+            col = batch.column(c)
+            for v in col.to_pylist():
+                if _is_filled(v):
+                    fields.append(c)
+                    values.append(json.dumps(v, ensure_ascii=False))
+        return pa.table({"field": pa.array(fields, pa.string()),
+                         "value": pa.array(values, pa.string())})
+
+    def pre_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["field", "value"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .map_batches(pre_distinct, batch_format="pyarrow")  # combiner
+        .groupby(["field", "value"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def to_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("field").aggregate([([], "count_all")])
+        return pa.table({"field": g.column("field"),
+                         "n_distinct": g.column("count_all").cast(pa.int64())})
+
+    summed = pairs.map_batches(to_partial, batch_format="pyarrow") \
+                  .groupby("field").sum("n_distinct")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["field", "n_distinct"])
+
+    return summed.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# spec IR (plain dicts; validated by lint_spec)
+#
+# spec = {
+#   "name": str, "docstring": str, "root": str,
+#   "enums":  [{"name", "members": [str], "include_other": bool}],
+#   "models": [{"name", "kind": "root"|"entity"|"component",
+#               "docstring": str, "identity": [field names],
+#               "fields": [{"name", "type", "is_list", "optional",
+#                           "description", "examples", "role",
+#                           "edge_label", "reference"}]}],
+# }
+
+
+def induce_spec(profiles, *, root: str, name: str = "induced_template",
+                enum_max: int = 8, enum_min_uses: int = 3) -> dict:
+    """Build a spec from profile rows (a small table — collect is fine).
+
+    Type = majority vote with numeric promotion; optional = any empty
+    slot; enum = unsaturated string field with few, well-used distinct
+    values; identity = *_id / name-like / near-unique scalar, capped at
+    MAX_IDENTITY_FIELDS (reference induce/documents.py proposes the
+    same shape; spec.py:74-76 enforces scalarity)."""
+    if hasattr(profiles, "to_pandas"):      # ray Dataset / pyarrow Table
+        rows = profiles.to_pandas().to_dict("records")
+    elif hasattr(profiles, "to_dict"):      # pandas DataFrame
+        rows = profiles.to_dict("records")
+    else:
+        rows = list(profiles)
+
+    by_cls: dict[str, list[dict]] = {}
+    for r in rows:
+        by_cls.setdefault(r["cls"], []).append(r)
+
+    enums: list[dict] = []
+    models: list[dict] = []
+    for cls in sorted(by_cls):
+        fields = []
+        id_candidates: list[tuple[int, str]] = []
+        for r in sorted(by_cls[cls], key=lambda r: r["field"]):
+            fname = r["field"]
+            filled = r["n_filled"]
+            if filled == 0:
+                continue  # a gap, not a field (spec.py SpecGap analogue)
+            is_list = r["n_list"] > 0
+            if r["n_bool"] == filled:
+                ftype = "bool"
+            elif r["n_int"] + r["n_float"] == filled:
+                ftype = "float" if r["n_float"] > 0 else "int"
+            elif r["n_str"] == filled and r["n_datelike"] == filled:
+                ftype = "date"
+            elif r["n_str"] > 0:
+                ftype = "str"
+            else:
+                ftype = "str"
+            distinct = json.loads(r["distinct"])
+            n_distinct = len(distinct)
+            if (
+                ftype == "str" and not is_list and not r["distinct_saturated"]
+                and 0 < n_distinct <= enum_max
+                and filled >= enum_min_uses * n_distinct
+            ):
+                ename = _pascal(cls) + _pascal(fname)
+                enums.append({
+                    "name": ename,
+                    "members": [json.loads(v) for v in distinct],
+                    "include_other": True,
+                })
+                ftype = ename
+            examples = [str(json.loads(v)) for v in
+                        json.loads(r["examples"])][:MAX_FIELD_EXAMPLES]
+            fields.append({
+                "name": fname, "type": ftype, "is_list": is_list,
+                "optional": filled < r["n"],
+                "description": "", "examples": examples,
+                "role": "property", "edge_label": None, "reference": False,
+            })
+            # identity candidates: scalar str/int, unsaturated-or-unique
+            if not is_list and ftype in ("str", "int"):
+                if fname == "id" or fname.endswith("_id"):
+                    rank = 0
+                elif fname in _NAME_FIELDS:
+                    rank = 1
+                elif (r["distinct_saturated"] or n_distinct * 100
+                      >= filled * 95):
+                    rank = 2
+                else:
+                    continue
+                id_candidates.append((rank, fname))
+        identity = [f for _, f in sorted(id_candidates)[:1]]
+        for f in fields:
+            if f["name"] in identity:
+                f["role"] = "identity"
+        kind = "root" if cls == root else ("entity" if identity
+                                           else "component")
+        models.append({
+            "name": cls, "kind": kind,
+            "docstring": f"{cls} records (induced from field profiles).",
+            "identity": identity, "fields": fields,
+        })
+    return {"name": name, "docstring": f"Template induced from data "
+            f"profiles of {', '.join(sorted(by_cls))}.",
+            "root": root, "enums": enums, "models": models}
+
+
+# ---------------------------------------------------------------------------
+# lint + repair
+
+
+def sanitize_identifier(value: str, *, pascal: bool = False) -> str:
+    """Deterministic rename for names that cannot be interpolated into
+    source (spec.py:33-64 gate; linter renames, render refuses)."""
+    cleaned = re.sub(r"[^0-9a-zA-Z_]+", "_", str(value)).strip("_") or "field"
+    if cleaned[0].isdigit():
+        cleaned = "f_" + cleaned
+    if pascal:
+        cleaned = _pascal(cleaned)
+    if keyword.iskeyword(cleaned):
+        cleaned += "_"
+    # dunders need no special case: leading/trailing underscores are
+    # already stripped above.
+    return cleaned
+
+
+def _pascal(value: str) -> str:
+    parts = re.split(r"[^0-9a-zA-Z]+", str(value))
+    return "".join(p[:1].upper() + p[1:] for p in parts if p) or "X"
+
+
+def _is_bad_name(value: str) -> bool:
+    return (
+        not isinstance(value, str) or not value or not value.isidentifier()
+        or keyword.iskeyword(value)
+        or (value.startswith("__") and value.endswith("__"))
+    )
+
+
+def lint_spec(spec: dict) -> list[dict]:
+    """Deterministic findings (code, where, message) — the reference
+    linter's rule families that apply to a dict spec (linter.py):
+    identity arity/scalarity, identifier safety, duplicate/unknown
+    names, edge-marker placement."""
+    findings: list[dict] = []
+
+    def finding(code: str, where: str, message: str) -> None:
+        findings.append({"code": code, "where": where, "message": message})
+
+    enum_names = [e["name"] for e in spec.get("enums", [])]
+    model_names = [m["name"] for m in spec.get("models", [])]
+    for dup in sorted({n for n in enum_names if enum_names.count(n) > 1}
+                      | {n for n in model_names if model_names.count(n) > 1}):
+        finding("E05", dup, "duplicate class name")
+    declared = set(enum_names) | set(model_names) | SCALAR_TYPES
+
+    root = spec.get("root")
+    if root not in model_names:
+        finding("E09", str(root), "root is not a declared model")
+
+    for e in spec.get("enums", []):
+        if _is_bad_name(e["name"]):
+            finding("E04", e["name"], "enum name is not a safe identifier")
+        if not e.get("members"):
+            finding("E08", e["name"], "enum has no members")
+
+    for m in spec.get("models", []):
+        where = m["name"]
+        if _is_bad_name(m["name"]):
+            finding("E04", where, "model name is not a safe identifier")
+        if not m.get("fields"):
+            finding("E08", where, "model has no fields")
+        identity = m.get("identity", [])
+        field_by_name = {f["name"]: f for f in m.get("fields", [])}
+        if m.get("kind") == "entity" and not identity:
+            finding("E01", where, "entity without identity fields")
+        if len(identity) > MAX_IDENTITY_FIELDS:
+            finding("E02", where,
+                    f"more than {MAX_IDENTITY_FIELDS} identity fields")
+        if m.get("kind") == "component" and identity:
+            finding("W01", where, "component carries identity fields")
+        for fname in identity:
+            f = field_by_name.get(fname)
+            if f is None:
+                finding("E10", f"{where}.{fname}",
+                        "identity names an undeclared field")
+            elif f["is_list"] or f["type"] not in SCALAR_TYPES:
+                finding("E03", f"{where}.{fname}",
+                        "identity fields must be scalar-typed")
+        for f in m.get("fields", []):
+            fwhere = f"{where}.{f['name']}"
+            if _is_bad_name(f["name"]):
+                finding("E04", fwhere, "field name is not a safe identifier")
+            if f.get("type") not in declared:
+                finding("E07", fwhere, f"unknown type {f.get('type')!r}")
+            if f.get("role") == "edge" and not f.get("edge_label"):
+                finding("E06", fwhere, "edge field without edge_label")
+            if f.get("role") != "edge" and f.get("edge_label"):
+                finding("E06", fwhere, "edge_label on a non-edge field")
+    return findings
+
+
+def repair_spec(spec: dict) -> tuple[dict, list[str]]:
+    """Apply the deterministic repairs the linter's rename/demote rules
+    perform (linter.py repair_draft): sanitize unsafe names (tracking
+    renames so identity lists and type references follow), demote
+    identity-less entities to components, drop identity overflow."""
+    spec = json.loads(json.dumps(spec))  # deep copy
+    actions: list[str] = []
+    renames: dict[str, str] = {}
+
+    for e in spec.get("enums", []):
+        if _is_bad_name(e["name"]):
+            new = sanitize_identifier(e["name"], pascal=True)
+            renames[e["name"]] = new
+            actions.append(f"renamed enum {e['name']!r} -> {new!r}")
+            e["name"] = new
+    for m in spec.get("models", []):
+        if _is_bad_name(m["name"]):
+            new = sanitize_identifier(m["name"], pascal=True)
+            renames[m["name"]] = new
+            actions.append(f"renamed model {m['name']!r} -> {new!r}")
+            m["name"] = new
+    if spec.get("root") in renames:
+        spec["root"] = renames[spec["root"]]
+
+    for m in spec.get("models", []):
+        field_renames: dict[str, str] = {}
+        for f in m.get("fields", []):
+            f["type"] = renames.get(f["type"], f["type"])
+            if _is_bad_name(f["name"]):
+                new = sanitize_identifier(f["name"])
+                field_renames[f["name"]] = new
+                actions.append(
+                    f"renamed field {m['name']}.{f['name']!r} -> {new!r}")
+                f["name"] = new
+        m["identity"] = [field_renames.get(i, i) for i in m.get("identity", [])]
+        if len(m["identity"]) > MAX_IDENTITY_FIELDS:
+            dropped = m["identity"][MAX_IDENTITY_FIELDS:]
+            m["identity"] = m["identity"][:MAX_IDENTITY_FIELDS]
+            actions.append(f"dropped identity overflow on {m['name']}: "
+                           f"{dropped}")
+        if m.get("kind") == "entity" and not m["identity"]:
+            m["kind"] = "component"
+            actions.append(f"demoted identity-less entity {m['name']} "
+                           "to component")
+    return spec, actions
+
+
+# ---------------------------------------------------------------------------
+# deterministic renderer + verify gate
+
+
+_SCALAR_PY = {"str": "str", "int": "int", "float": "float", "bool": "bool",
+              "date": "date", "datetime": "datetime"}
+
+
+def _assert_renderable(spec: dict) -> None:
+    for e in spec.get("enums", []):
+        if _is_bad_name(e["name"]):
+            raise ValueError(f"unrenderable enum name {e['name']!r}")
+    for m in spec.get("models", []):
+        if _is_bad_name(m["name"]):
+            raise ValueError(f"unrenderable model name {m['name']!r}")
+        for f in m.get("fields", []):
+            if _is_bad_name(f["name"]):
+                raise ValueError(
+                    f"unrenderable field name {m['name']}.{f['name']!r}")
+
+
+def _enum_member_name(value: object, used: set[str]) -> str:
+    base = sanitize_identifier(str(value)).upper() or "MEMBER"
+    name, i = base, 2
+    while name in used:
+        name = f"{base}_{i}"
+        i += 1
+    used.add(name)
+    return name
+
+
+def render_template(spec: dict) -> str:
+    """Spec -> Python module source.  Pure function of the spec: stable
+    ordering (enums alphabetical, models dependency-first with the root
+    last), no timestamps — byte-identical re-renders, the reference's
+    determinism discipline (renderer.py; merger.py:1-10 applied to
+    codegen)."""
+    _assert_renderable(spec)
+    model_by_name = {m["name"]: m for m in spec.get("models", [])}
+
+    # dependency-first model order (nested model types render before use)
+    ordered: list[str] = []
+    seen: set[str] = set()
+
+    def visit(name: str, trail: tuple[str, ...] = ()) -> None:
+        if name in seen or name not in model_by_name:
+            return
+        if name in trail:
+            raise ValueError(f"model dependency cycle at {name!r}")
+        for f in model_by_name[name].get("fields", []):
+            if f["type"] in model_by_name:
+                visit(f["type"], trail + (name,))
+        seen.add(name)
+        ordered.append(name)
+
+    root = spec.get("root")
+    for name in sorted(model_by_name):
+        if name != root:
+            visit(name)
+    if root in model_by_name:
+        visit(root)
+
+    lines: list[str] = []
+    emit = lines.append
+    emit('"""' + (spec.get("docstring") or spec.get("name", "template")) +
+         '\n\nGenerated by docling_graph_ray.templategen render_template '
+         '(deterministic).\n"""')
+    emit("")
+    # no `from __future__ import annotations`: the rendered module is
+    # exec'd in a scratch namespace where lazy string annotations cannot
+    # be resolved by pydantic; dependency-first ordering makes eager
+    # annotation evaluation safe (cycles are refused above).
+    emit("from datetime import date, datetime")
+    emit("from enum import Enum")
+    emit("from typing import Any, List, Optional")
+    emit("")
+    emit("from pydantic import BaseModel, ConfigDict, Field")
+    emit("")
+    emit("")
+    emit("def edge(label: str, default: Any = None, *, reference: bool = "
+         "False, **kwargs: Any) -> Any:")
+    emit('    """Mark a field as a graph edge (json_schema_extra markers '
+         'read by the graph converter)."""')
+    emit("    extra = {'edge_label': label}")
+    emit("    if reference:")
+    emit("        extra['graph_reference'] = True")
+    emit("    if 'default_factory' in kwargs:")
+    emit("        return Field(json_schema_extra=extra, **kwargs)")
+    emit("    return Field(default, json_schema_extra=extra, **kwargs)")
+
+    for e in sorted(spec.get("enums", []), key=lambda e: e["name"]):
+        emit("")
+        emit("")
+        emit(f"class {e['name']}(str, Enum):")
+        used: set[str] = set()
+        for member in e["members"]:
+            emit(f"    {_enum_member_name(member, used)} = "
+                 f"{json.dumps(str(member), ensure_ascii=False)}")
+        if e.get("include_other", True) and "OTHER" not in used:
+            emit('    OTHER = "OTHER"')
+
+    for name in ordered:
+        m = model_by_name[name]
+        emit("")
+        emit("")
+        emit(f"class {m['name']}(BaseModel):")
+        if m.get("docstring"):
+            emit(f'    """{m["docstring"]}"""')
+        emit("")
+        cfg = [f"is_entity={m.get('kind') != 'component'}"]
+        if m.get("identity"):
+            cfg.append(f"graph_id_fields={m['identity']!r}")
+        emit(f"    model_config = ConfigDict({', '.join(cfg)})")
+        emit("")
+        for f in m.get("fields", []):
+            py = _SCALAR_PY.get(f["type"], f["type"])
+            ann = f"List[{py}]" if f["is_list"] else py
+            optional = f.get("optional", True)
+            if optional and not f["is_list"]:
+                ann = f"Optional[{ann}]"
+            if f["is_list"]:
+                default = "Field(default_factory=list)"
+            else:
+                default = "None" if optional else None  # required: no default
+            if f.get("role") == "edge":
+                label = json.dumps(str(f["edge_label"]))
+                # edge() wraps the default; list edges pass the factory kwarg
+                if f["is_list"]:
+                    default = (f"edge({label}, "
+                               "default_factory=list"
+                               + (", reference=True" if f.get("reference")
+                                  else "") + ")")
+                else:
+                    default = (f"edge({label}"
+                               + (", reference=True" if f.get("reference")
+                                  else "") + ")")
+            line = f"    {f['name']}: {ann}"
+            if default is not None:
+                line += f" = {default}"
+            if f.get("description"):
+                line += f"  # {f['description']}"
+            emit(line)
+        if not m.get("fields"):
+            emit("    pass")
+    emit("")
+    return "\n".join(lines)
+
+
+def verify_template_source(source: str) -> dict[str, type]:
+    """Parse + execute the rendered source in a scratch namespace and
+    return its BaseModel classes — the accept gate
+    (templategen/verify.py): a render that cannot execute, or that
+    lost a class, never reaches the user."""
+    ast.parse(source)  # clear SyntaxError before exec
+    namespace: dict = {}
+    # dont_inherit: compile() otherwise inherits THIS module's
+    # `from __future__ import annotations`, turning the rendered
+    # module's eager annotations into unresolvable lazy strings.
+    exec(compile(source, "<rendered-template>", "exec", dont_inherit=True),
+         namespace)
+    from enum import Enum
+
+    from pydantic import BaseModel
+
+    return {
+        name: obj for name, obj in namespace.items()
+        if isinstance(obj, type)
+        and ((issubclass(obj, BaseModel) and obj is not BaseModel)
+             or (issubclass(obj, Enum) and obj is not Enum))
+    }

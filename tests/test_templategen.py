@@ -1,0 +1,232 @@
+"""Template induction: distributed field profiling, spec induction,
+lint/repair, deterministic render + exec-verify gate (reference:
+docling_graph/templategen/ — spec.py, linter.py, renderer.py, verify.py)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from docling_graph_ray.templategen import (
+    field_distinct_counts,
+    induce_spec,
+    lint_spec,
+    profile_columns,
+    profile_json_records,
+    render_template,
+    repair_spec,
+    sanitize_identifier,
+    verify_template_source,
+)
+
+ROWS = [
+    {"doc_id": 1, "lang": "en", "score": 1.5, "tags": ["a"], "when": "2024-01-02"},
+    {"doc_id": 2, "lang": "en", "score": 2, "tags": [], "when": "2024-01-03"},
+    {"doc_id": 3, "lang": "fr", "score": None, "tags": ["b", "c"], "when": "2024-02-01"},
+    {"doc_id": 4, "lang": "en", "score": 4.0, "tags": ["a"], "when": None},
+    {"doc_id": 5, "lang": "fr", "score": 5.5, "tags": None, "when": "2024-03-05"},
+    {"doc_id": 6, "lang": "fr", "score": 6.0, "tags": ["d"], "when": "2024-03-06"},
+]
+
+
+def _ds(rows, blocks=3):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(blocks)
+
+
+@pytest.fixture()
+def profile(ray_session):
+    out = profile_columns(
+        _ds(ROWS), cls="Doc",
+        columns=["doc_id", "lang", "score", "tags", "when"],
+    ).to_pandas().set_index("field")
+    return out
+
+
+def test_profile_counts(profile):
+    assert int(profile.loc["doc_id", "n"]) == 6
+    assert int(profile.loc["doc_id", "n_filled"]) == 6
+    assert int(profile.loc["doc_id", "n_int"]) == 6
+    # score: one null -> 5 filled; Arrow already promoted the column to
+    # double, so every filled value votes float (typed-column votes are
+    # degenerate by design — JSON records exercise real mixes)
+    assert int(profile.loc["score", "n_filled"]) == 5
+    assert int(profile.loc["score", "n_float"]) == 5
+    assert int(profile.loc["score", "n_int"]) == 0
+    # tags: empty list and None are unfilled
+    assert int(profile.loc["tags", "n_filled"]) == 4
+    assert int(profile.loc["tags", "n_list"]) == 4
+    # when: all filled values are ISO-date-like strings
+    assert int(profile.loc["when", "n_datelike"]) == 5
+    # distinct merged across 3 blocks
+    assert json.loads(profile.loc["lang", "distinct"]) == ['"en"', '"fr"']
+    assert int(profile.loc["lang", "distinct_saturated"]) == 0
+
+
+def test_profile_json_records(ray_session):
+    recs = [{"j": json.dumps(d)} for d in
+            ({"a": 1, "b": True}, {"a": 2.5}, {"b": False, "c": "x"})]
+    out = profile_json_records(
+        _ds(recs, blocks=2), json_col="j", cls="E"
+    ).to_pandas().set_index("field")
+    assert int(out.loc["a", "n_int"]) == 1 and int(out.loc["a", "n_float"]) == 1
+    assert int(out.loc["b", "n_bool"]) == 2
+    assert int(out.loc["c", "n_filled"]) == 1
+    # n counts every record that the field was observed against in its batch
+
+
+def test_field_distinct_counts_exact(ray_session):
+    out = field_distinct_counts(
+        _ds(ROWS), columns=["doc_id", "lang"]
+    ).to_pandas().set_index("field")
+    assert int(out.loc["doc_id", "n_distinct"]) == 6
+    assert int(out.loc["lang", "n_distinct"]) == 2
+
+
+@pytest.fixture()
+def spec(profile):
+    return induce_spec(profile.reset_index(), root="Doc",
+                       enum_max=4, enum_min_uses=3)
+
+
+def test_induce_spec(spec):
+    model = spec["models"][0]
+    assert model["kind"] == "root"
+    # doc_id: *_id rank wins identity
+    assert model["identity"] == ["doc_id"]
+    fields = {f["name"]: f for f in model["fields"]}
+    assert fields["doc_id"]["role"] == "identity"
+    assert fields["score"]["type"] == "float"       # numeric promotion
+    assert fields["score"]["optional"] is True
+    assert fields["doc_id"]["optional"] is False
+    assert fields["tags"]["is_list"] is True
+    assert fields["when"]["type"] == "date"
+    # lang: 2 distinct values over 6 uses -> enum
+    assert fields["lang"]["type"] == "DocLang"
+    assert spec["enums"][0]["members"] == ["en", "fr"]
+
+
+def test_lint_clean_spec(spec):
+    assert lint_spec(spec) == []
+
+
+def test_lint_findings():
+    bad = {
+        "name": "t", "root": "Missing", "enums": [{"name": "class",
+                                                   "members": []}],
+        "models": [
+            {"name": "A", "kind": "entity", "identity": [], "fields": [
+                {"name": "import", "type": "str", "is_list": False,
+                 "role": "property", "edge_label": "X"},
+                {"name": "x", "type": "Nope", "is_list": False,
+                 "role": "property", "edge_label": None},
+            ]},
+            {"name": "A", "kind": "component",
+             "identity": ["ghost"], "fields": [
+                 {"name": "y", "type": "str", "is_list": True,
+                  "role": "edge", "edge_label": None}]},
+        ],
+    }
+    codes = sorted({f["code"] for f in lint_spec(bad)})
+    assert codes == ["E01", "E04", "E05", "E06", "E07", "E08", "E09",
+                     "E10", "W01"]
+
+
+def test_repair_spec_renames_follow():
+    spec = {
+        "name": "t", "root": "2bad class", "enums": [],
+        "models": [
+            {"name": "2bad class", "kind": "entity",
+             "identity": ["for"], "fields": [
+                 {"name": "for", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "child", "type": "sub item", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+            {"name": "sub item", "kind": "entity", "identity": [],
+             "fields": [{"name": "v", "type": "str", "is_list": False,
+                         "optional": True, "role": "property",
+                         "edge_label": None, "reference": False}]},
+        ],
+    }
+    fixed, actions = repair_spec(spec)
+    assert fixed["root"] == "F2badClass"
+    assert fixed["models"][0]["identity"] == ["for_"]
+    assert fixed["models"][0]["fields"][1]["type"] == "SubItem"
+    assert fixed["models"][1]["kind"] == "component"   # demoted
+    assert lint_spec(fixed) == []
+    assert len(actions) == 4
+
+
+def test_render_verify_roundtrip(spec):
+    src = render_template(spec)
+    assert src == render_template(spec)  # byte-identical re-render
+    classes = verify_template_source(src)
+    doc = classes["Doc"]
+    assert doc.model_config["graph_id_fields"] == ["doc_id"]
+    assert doc.model_config["is_entity"] is True
+    inst = doc(doc_id=7, lang="en", score=1.0, tags=["t"])
+    assert inst.doc_id == 7 and inst.lang == "en"
+    assert classes["DocLang"]("en").name == "EN"
+    assert classes["DocLang"]("OTHER").name == "OTHER"
+
+
+def test_render_edges_and_nesting():
+    spec = {
+        "name": "t", "docstring": "d", "root": "Root", "enums": [],
+        "models": [
+            {"name": "Root", "kind": "root", "identity": ["name"],
+             "docstring": "", "fields": [
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "parts", "type": "Part", "is_list": True,
+                  "optional": True, "role": "edge",
+                  "edge_label": "HAS_PART", "reference": False},
+                 {"name": "owner", "type": "str", "is_list": False,
+                  "optional": True, "role": "edge",
+                  "edge_label": "OWNED_BY", "reference": True}]},
+            {"name": "Part", "kind": "component", "identity": [],
+             "docstring": "", "fields": [
+                 {"name": "label", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    src = render_template(spec)
+    # dependency-first: Part must be defined before Root
+    assert src.index("class Part") < src.index("class Root")
+    classes = verify_template_source(src)
+    root = classes["Root"](name="r", parts=[classes["Part"](label="p")])
+    assert root.parts[0].label == "p"
+    extra = root.model_fields["parts"].json_schema_extra
+    assert extra["edge_label"] == "HAS_PART"
+    assert root.model_fields["owner"].json_schema_extra["graph_reference"]
+
+
+def test_render_refuses_unsafe_names():
+    spec = {"name": "t", "root": "A", "enums": [], "models": [
+        {"name": "A; import os", "kind": "root", "identity": [],
+         "fields": []}]}
+    with pytest.raises(ValueError, match="unrenderable"):
+        render_template(spec)
+
+
+def test_sanitize_identifier():
+    assert sanitize_identifier("2bad name!") == "f_2bad_name"
+    assert sanitize_identifier("class") == "class_"
+    assert sanitize_identifier("__dunder__") == "dunder"
+    assert sanitize_identifier("sub item", pascal=True) == "SubItem"
+
+
+def test_end_to_end_induction(ray_session):
+    prof = profile_columns(_ds(ROWS), cls="Doc",
+                           columns=["doc_id", "lang", "score"])
+    spec = induce_spec(prof, root="Doc")
+    fixed, _ = repair_spec(spec)
+    assert lint_spec(fixed) == []
+    classes = verify_template_source(render_template(fixed))
+    assert "Doc" in classes
