@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": g.graph_stats_query,
         "graph_eval_strict": g.graph_eval_strict,
         "template_field_profile": t.template_field_profile,
+        "root_identity_repair": g.root_identity_repair,
         "events_props_salvage": t.events_props_salvage,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
@@ -74,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
         "graph_merge_runs": g.graph_merge_runs,
+        "orders_deep_merge": r.orders_deep_merge,
         "graph_content_dedup": g.graph_content_dedup,
         "doc_langid": t.doc_langid,
         "doc_fingerprints": t.doc_fingerprints,
@@ -225,6 +227,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'edges', rung, 'PLACED',
                    CAST(tp AS BIGINT), CAST(fp AS BIGINT), CAST(fn AS BIGINT)
             FROM edge_counts CROSS JOIN rungs
+        """,
+        "root_identity_repair": """
+            WITH base AS (
+                SELECT p_partkey AS partkey,
+                       CASE p_partkey % 5
+                           WHEN 0 THEN 'Part'
+                           WHEN 1 THEN p_name
+                           WHEN 2 THEN ''
+                           ELSE 'P-' || CAST(p_partkey AS VARCHAR)
+                       END AS ref,
+                       'doc_' || CAST(p_partkey AS VARCHAR) AS stem
+                FROM part
+            ),
+            flags AS (
+                SELECT *,
+                       (TRIM(ref) <> '' AND regexp_replace(lower(ref),
+                            '[^a-z0-9]+', '', 'g') = 'part') AS is_echo,
+                       (TRIM(ref) <> ''
+                        AND NOT regexp_matches(ref, '[0-9]')
+                        AND regexp_matches(TRIM(ref), '\\s')) AS is_mislabeled
+                FROM base
+            ),
+            cleared AS (
+                SELECT partkey, stem,
+                       CASE WHEN is_echo OR is_mislabeled THEN ''
+                            ELSE ref END AS ref2,
+                       CASE WHEN is_echo THEN 'cleared_echo:part_ref'
+                            WHEN is_mislabeled
+                                THEN 'cleared_mislabeled:part_ref'
+                            ELSE '' END AS clear_action
+                FROM flags
+            )
+            SELECT partkey,
+                   CASE WHEN TRIM(ref2) = '' THEN stem
+                        ELSE ref2 END AS part_ref,
+                   CASE WHEN TRIM(ref2) = '' AND clear_action <> ''
+                            THEN clear_action || ',stem_fallback:part_ref'
+                        WHEN TRIM(ref2) = ''
+                            THEN 'stem_fallback:part_ref'
+                        ELSE clear_action END AS root_repairs
+            FROM cleared
         """,
         "template_field_profile": """
             SELECT 'doc_id' AS field, COUNT(*) AS n,

@@ -410,3 +410,49 @@ def graph_eval_strict(sf_dir: str):
         )
     )
     return evaluate_graphs(tagged, structural="off")
+
+
+def root_identity_repair(sf_dir: str):
+    """Root-identity repair ladder over synthetic root records derived
+    from part: ``part_ref`` is built to exercise every branch
+    (class-name echo / mislabeled numeric-named prose / empty → stem
+    fallback / kept), with the document stem ``doc_<partkey>``.  Emits
+    the repaired id plus the audit column.  SQL oracle mirrors the
+    rules as CASE expressions (reference: root_identity.py:42-100,
+    orchestrator.py:147-183)."""
+    from docling_graph_ray.functions.root_identity import (
+        repair_root_identity_batch,
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def build(b: pa.Table) -> pa.Table:
+        keys = b.column("p_partkey").to_pylist()
+        names = b.column("p_name").to_pylist()
+        refs = []
+        for k, name in zip(keys, names):
+            m = k % 5
+            if m == 0:
+                refs.append("Part")           # class-name echo
+            elif m == 1:
+                refs.append(name)             # prose in a *_ref field
+            elif m == 2:
+                refs.append("")               # empty -> stem fallback
+            else:
+                refs.append(f"P-{k}")         # legitimate id, kept
+        return pa.table({
+            "partkey": pa.array(keys, pa.int64()),
+            "part_ref": pa.array(refs, pa.string()),
+            "stem": pa.array([f"doc_{k}" for k in keys], pa.string()),
+        })
+
+    def repair(b: pa.Table) -> pa.Table:
+        out = repair_root_identity_batch(
+            b, class_name="Part", id_cols=["part_ref"], stem_col="stem",
+        )
+        return out.select(["partkey", "part_ref", "root_repairs"])
+
+    return (
+        part.map_batches(build, batch_format="pyarrow")
+        .map_batches(repair, batch_format="pyarrow")
+    )

@@ -464,3 +464,40 @@ def events_sliding_window(sf_dir: str, window_days: int = 7):
         })
 
     return daily.groupby("user_id").map_groups(trailing, batch_format="pyarrow")
+
+
+def orders_deep_merge(sf_dir: str):
+    """Per-order deep merge of per-lineitem partial records: each
+    lineitem row becomes a partial JSON record {orderkey, items:[{ln,
+    qty}]}; merge_partial_records folds them (sorted by linenumber)
+    into one nested record per order — the reference's
+    merge_pydantic_models per-document reduce (dict_merger.py:17-73)
+    exercised at relational scale.  Rows-only check: the merged JSON
+    column is not SQL-expressible."""
+    import json
+
+    from docling_graph_ray.functions.deep_merge import merge_partial_records
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def to_partials(b: pa.Table) -> pa.Table:
+        orderkeys = b.column("l_orderkey").to_pylist()
+        lns = b.column("l_linenumber").to_pylist()
+        qtys = b.column("l_quantity").to_pylist()
+        records = [
+            json.dumps({"orderkey": ok,
+                        "items": [{"ln": ln, "qty": float(q)}]},
+                       sort_keys=True)
+            for ok, ln, q in zip(orderkeys, lns, qtys)
+        ]
+        return pa.table({
+            "doc_id": pa.array([str(ok) for ok in orderkeys], pa.string()),
+            "page_no": pa.array(lns, pa.int64()),
+            "record": pa.array(records, pa.string()),
+        })
+
+    partials = li.map_batches(to_partials, batch_format="pyarrow")
+    return merge_partial_records(
+        partials, identity_fields_map={"items": ["ln"]}
+    )
