@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_eval_strict": g.graph_eval_strict,
         "template_field_profile": t.template_field_profile,
         "root_identity_repair": g.root_identity_repair,
+        "doc_contract_routing": t.doc_contract_routing,
         "events_props_salvage": t.events_props_salvage,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
@@ -227,6 +228,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'edges', rung, 'PLACED',
                    CAST(tp AS BIGINT), CAST(fp AS BIGINT), CAST(fn AS BIGINT)
             FROM edge_counts CROSS JOIN rungs
+        """,
+        "doc_contract_routing": """
+            SELECT doc_id, n_chars,
+                   GREATEST(1, n_chars // 4) AS est_input_tokens,
+                   CASE WHEN GREATEST(1, n_chars // 4) + 2048 <= 8192
+                             AND n_chars <= 8192
+                        THEN 'direct' ELSE 'dense' END AS contract
+            FROM documents
         """,
         "root_identity_repair": """
             WITH base AS (

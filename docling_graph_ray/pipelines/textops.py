@@ -381,3 +381,22 @@ def template_field_profile(sf_dir: str):
         "n_filled": out["n_filled"].astype("int64"),
         "n_distinct": out["n_distinct"].astype("int64"),
     })
+
+
+def doc_contract_routing(sf_dir: str):
+    """Per-document direct/dense contract routing over the documents
+    table (budget 2048 tokens, context 8192): a pure column predicate
+    (contracts.resolve_contract_batch) splitting the corpus into the
+    two extraction lanes — the reference's resolve_auto_contract
+    (auto.py:31-132) as a vectorized batch column."""
+    from docling_graph_ray.functions.contracts import resolve_contract_batch
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def route(b: pa.Table) -> pa.Table:
+        return resolve_contract_batch(
+            b, chars_col="n_chars", output_budget_tokens=2048,
+            context_limit_tokens=8192,
+        )
+
+    return docs.map_batches(route, batch_format="pyarrow")
