@@ -176,6 +176,12 @@ def _merge_entity_lists(
     id_map: dict[str, dict] = {}
     seen_hashes: dict[str, dict] = {}
     for entity in target_list:
+        # mixed lists (a scalar among entity dicts) are malformed input;
+        # keep the scalar as an opaque member rather than throwing —
+        # the engine-wide salvage discipline (functions/salvage.py)
+        if not isinstance(entity, dict):
+            merged.append(entity)
+            continue
         entity_id = entity.get("id")
         if entity_id:
             id_map[entity_id] = entity
@@ -184,6 +190,10 @@ def _merge_entity_lists(
         merged.append(entity)
 
     for source_entity in source_list:
+        if not isinstance(source_entity, dict):
+            if source_entity not in merged:
+                merged.append(source_entity)
+            continue
         source_id = source_entity.get("id")
         if source_id and source_id in id_map:
             merge_into(id_map[source_id], source_entity)

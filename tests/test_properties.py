@@ -114,3 +114,72 @@ def test_extract_total_function(raw, fallback):
     for s in r["spans"]:
         assert 0 <= s["start"] <= s["end"] <= len(text)
     assert r["n_blocks_kept"] == len(r["spans"])
+
+
+# --- deep merge properties -------------------------------------------------
+
+_json_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-1000, 1000),
+    st.text(max_size=12),
+)
+_entity = st.dictionaries(
+    st.sampled_from(["name", "v", "w"]), _json_scalar, max_size=3
+)
+_nested_record = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "items", "sub"]),
+    st.one_of(
+        _json_scalar,
+        st.lists(_json_scalar.filter(lambda v: v is not None), max_size=3),
+        st.lists(_entity, min_size=1, max_size=3),
+        st.dictionaries(st.sampled_from(["x", "y"]), _json_scalar, max_size=2),
+    ),
+    max_size=4,
+)
+
+
+@given(_nested_record)
+@settings(max_examples=150, deadline=None)
+def test_deep_merge_self_idempotent(record):
+    """merge(a, a) == a: merging a record into itself changes nothing
+    (the reference's merge(A,A)=A discipline, merger.py:1-10, holds for
+    the dict merger too)."""
+    import copy
+
+    from docling_graph_ray.functions.deep_merge import deep_merge_dicts
+
+    target = copy.deepcopy(record)
+    deep_merge_dicts(target, copy.deepcopy(record))
+    assert target == record
+
+
+@given(st.lists(_nested_record, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_consolidate_deterministic(records):
+    """Same partials, same order -> byte-identical consolidation."""
+    import json as _json
+
+    from docling_graph_ray.functions.deep_merge import consolidate_records
+
+    a = consolidate_records([dict(r) for r in records])
+    b = consolidate_records([dict(r) for r in records])
+    assert _json.dumps(a, sort_keys=True, default=str) == \
+        _json.dumps(b, sort_keys=True, default=str)
+
+
+# --- templategen properties ------------------------------------------------
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_identifier_total_and_idempotent(name):
+    """Any string sanitizes to a safe identifier; sanitizing twice is a
+    no-op (linter rename stability)."""
+    import keyword
+
+    from docling_graph_ray.templategen import sanitize_identifier
+
+    out = sanitize_identifier(name)
+    assert out.isidentifier() and not keyword.iskeyword(out)
+    assert sanitize_identifier(out) == out
+    pascal = sanitize_identifier(name, pascal=True)
+    assert pascal.isidentifier() and not keyword.iskeyword(pascal)
