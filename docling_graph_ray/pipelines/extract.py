@@ -304,7 +304,12 @@ def _auto_concurrency() -> tuple[int, int]:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    n = max(2, cpus - max(1, cpus // 8))
+    # Clamp to cluster capacity minus the allowance: on a 1-2 CPU cluster
+    # max(2, ...) would request a pool that consumes (or exceeds) every
+    # CPU, leaving zero for the unfused read/sort operators — the exact
+    # full-cluster-fixed-pool stall described above.  Small clusters keep
+    # one free CPU and never request more actors than CPUs allow.
+    n = max(1, min(cpus - 1, cpus - max(1, cpus // 8)))
     return (n, n)
 
 

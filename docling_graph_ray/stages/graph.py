@@ -128,15 +128,106 @@ def content_hash(values: list[object]) -> str:
     return blake2b_hex("\x1f".join(parts), digest_size=8)
 
 
+_REDIRECT_SCHEMA = pa.schema([("_dup", pa.string()), ("_canon", pa.string())])
+
+
+def _as_arrow_schema(schema) -> pa.Schema:
+    """ray.data.Schema → pyarrow.Schema (already-arrow passes through)."""
+    base = getattr(schema, "base_schema", schema)
+    if not isinstance(base, pa.Schema):
+        base = pa.schema(
+            [(n, t) for n, t in zip(schema.names, schema.types)]
+        )
+    return base
+
+
+def _redirect_join(edges, redirects, col: str, num_partitions: int,
+                   out_schema: pa.Schema):
+    """Rewrite endpoint ``col`` to its canonical id — a left-outer hash
+    join expressed as a hash-shuffle co-group: edge rows and (dup → canon)
+    redirect rows are unioned on one schema keyed by the endpoint value;
+    groups containing a redirect row rewrite their edge rows, all other
+    groups pass through.  Shuffle payload = edges + redirects, identical
+    to ``Dataset.join`` — but groupby/map_groups tolerates the
+    zero-column empty blocks that chained ``Dataset.join`` calls emit for
+    empty partitions (Ray 2.49's join aggregator builds a schema-less
+    left table and pa.Table.join raises 'No match … for FieldRef'; the
+    round-1 graph_content_dedup failure was the same block pathology).
+
+    Partitioning assumption: one group per distinct endpoint value — a
+    pathologically hot node (millions of edges) makes a giant group, the
+    same skew a hash join would see on that key."""
+    names = list(out_schema.names)
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.schema.names:
+            n = 0
+            key = pa.array([], pa.string())
+        else:
+            n = b.num_rows
+            key = b.column(col).cast(pa.string())
+        cols = {"_key": key}
+        for nm in names:
+            cols[nm] = (b.column(nm) if n else
+                        pa.nulls(0, out_schema.field(nm).type))
+        cols["_canon"] = pa.nulls(n, pa.string())
+        cols["_is_red"] = pa.array([False] * n, pa.bool_())
+        return pa.table(cols)
+
+    def red_side(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "_dup" not in b.schema.names:
+            n = 0
+            key = pa.array([], pa.string())
+            canon = pa.array([], pa.string())
+        else:
+            n = b.num_rows
+            key = b.column("_dup").cast(pa.string())
+            canon = b.column("_canon").cast(pa.string())
+        cols = {"_key": key}
+        for nm in names:
+            cols[nm] = pa.nulls(n, out_schema.field(nm).type)
+        cols["_canon"] = canon
+        cols["_is_red"] = pa.array([True] * n, pa.bool_())
+        return pa.table(cols)
+
+    tagged = edges.map_batches(edge_side, batch_format="pyarrow").union(
+        redirects.map_batches(red_side, batch_format="pyarrow")
+    )
+
+    def regroup(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_is_red" not in g.schema.names:
+            return out_schema.empty_table()
+        is_red = g.column("_is_red")
+        e = g.filter(pc.invert(is_red))
+        if e.num_rows == 0:
+            return out_schema.empty_table()
+        t = pa.table({nm: e.column(nm) for nm in names})
+        red = g.filter(is_red)
+        if red.num_rows > 0:
+            canon = pc.min(red.column("_canon")).as_py()
+            t = t.set_column(
+                t.schema.get_field_index(col), col,
+                pa.array([canon] * t.num_rows, pa.string()),
+            )
+        return t.cast(out_schema)
+
+    return tagged.groupby("_key").map_groups(regroup, batch_format="pyarrow")
+
+
 def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
-                       src_col: str = "src", dst_col: str = "dst"):
+                       src_col: str = "src", dst_col: str = "dst",
+                       num_partitions: int = 8):
     """Merge nodes with identical content hash; redirect edges to the
     surviving node (graph_cleaner.py:273-317,366-391).
 
-    Returns ``(nodes_out, edges_out, redirect_ref)``.  The redirect map
-    (dup id → canonical id) is collected driver-side and broadcast — it is
-    bounded by the number of DUPLICATE nodes, which is small relative to
-    the graph (and per-partition in the flagship layout)."""
+    Returns ``(nodes_out, edges_out, redirects_ds)``.  Fully
+    dataset-native: the redirect map (dup id → canonical id) is emitted as
+    a ``(_dup, _canon)`` dataset and hash-joined onto the edge endpoints —
+    nothing is collected on the driver, so the duplicate count may be
+    O(corpus) (a dedup-heavy web crawl) without OOMing anything.  The
+    redirect dataset is materialized once (it is bounded by the number of
+    DUPLICATE nodes; the object store spills if it is ever huge) so the
+    two endpoint joins don't re-execute the node pipeline."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         cols = [batch.column(c).to_pylist() for c in attr_cols]
@@ -145,57 +236,51 @@ def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
 
     hashed = nodes.map_batches(add_hash, batch_format="pyarrow")
 
-    def keep_first(group: pa.Table) -> pa.Table:
+    def tag_canon(group: pa.Table) -> pa.Table:
         g = group.take(pc.sort_indices(group, sort_keys=[(key_col, "ascending")]))
-        first = g.slice(0, 1)
-        if g.num_rows > 1:
-            canon = g.column(key_col)[0].as_py()
-            dup_ids = g.column(key_col).to_pylist()[1:]
-            redirects = pa.table({
-                "_dup": pa.array(dup_ids, pa.string()),
-                "_canon": pa.array([canon] * len(dup_ids), pa.string()),
-            })
-            first = first.append_column(
-                "_redirects", pa.array([redirects.to_pylist()],
-                                       pa.list_(pa.struct([("_dup", pa.string()),
-                                                           ("_canon", pa.string())])))
-            )
-        else:
-            first = first.append_column(
-                "_redirects", pa.array([[]], pa.list_(pa.struct([("_dup", pa.string()),
-                                                                 ("_canon", pa.string())])))
-            )
-        return first
+        n = g.num_rows
+        canon = g.column(key_col)[0].as_py()
+        keep = pa.array([True] + [False] * (n - 1), pa.bool_())
+        return g.append_column("_keep", keep).append_column(
+            "_canon", pa.array([canon] * n, pa.string())
+        )
 
     merged = hashed.groupby("_content_hash").map_groups(
-        keep_first, batch_format="pyarrow"
+        tag_canon, batch_format="pyarrow"
     )
 
-    # small side: collect redirects driver-side, broadcast for the edge pass
-    redirect: dict[str, str] = {}
-    for ref in merged.select_columns(["_redirects"]).to_arrow_refs():
-        for row in ray.get(ref).column("_redirects").to_pylist():
-            for r in row or []:
-                redirect[r["_dup"]] = r["_canon"]
-    redirect_ref = ray.put(redirect)
-
-    nodes_out = merged.drop_columns(["_content_hash", "_redirects"])
-
-    def redirect_edges(batch: pa.Table) -> pa.Table:
-        rd = ray.get(redirect_ref)
-        if not rd:
-            return batch
-        src = [rd.get(v, v) for v in batch.column(src_col).to_pylist()]
-        dst = [rd.get(v, v) for v in batch.column(dst_col).to_pylist()]
-        batch = batch.set_column(
-            batch.schema.get_field_index(src_col), src_col, pa.array(src, pa.string())
-        )
-        return batch.set_column(
-            batch.schema.get_field_index(dst_col), dst_col, pa.array(dst, pa.string())
+    # Empty input blocks pass through map_groups without the fn running,
+    # so downstream batches may LACK the helper columns (the round-1
+    # KeyError, CORRECTNESS_r01 graph_content_dedup) — every consumer
+    # guards on schema, never assumes.
+    def survivors(batch: pa.Table) -> pa.Table:
+        if batch.num_rows > 0 and "_keep" in batch.schema.names:
+            batch = batch.filter(batch.column("_keep"))
+        return batch.drop_columns(
+            [c for c in ("_content_hash", "_keep", "_canon")
+             if c in batch.schema.names]
         )
 
-    edges_out = edges.map_batches(redirect_edges, batch_format="pyarrow")
-    return nodes_out, edges_out, redirect_ref
+    def to_redirects(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "_keep" not in batch.schema.names:
+            return _REDIRECT_SCHEMA.empty_table()
+        t = batch.filter(pc.invert(batch.column("_keep")))
+        return pa.table({
+            "_dup": t.column(key_col).cast(pa.string()),
+            "_canon": t.column("_canon"),
+        })
+
+    nodes_out = merged.map_batches(survivors, batch_format="pyarrow")
+    redirects = merged.map_batches(
+        to_redirects, batch_format="pyarrow"
+    ).materialize()
+
+    edge_schema = _as_arrow_schema(edges.schema())
+    edges_out = _redirect_join(edges, redirects, src_col, num_partitions,
+                               edge_schema)
+    edges_out = _redirect_join(edges_out, redirects, dst_col, num_partitions,
+                               edge_schema)
+    return nodes_out, edges_out, redirects
 
 
 def cardinality_bound(nodes, *, class_col: str, max_per_class: int,

@@ -256,8 +256,11 @@ _SCAN_RE = re.compile(
 _AMP_RE = re.compile(r"&")
 
 # raw-text elements: content runs to the literal close tag, not parsed
-# (exactly stdlib html.parser's CDATA_CONTENT_ELEMENTS)
+# (exactly stdlib html.parser's CDATA_CONTENT_ELEMENTS).  The close tag is
+# matched case-insensitively, mirroring stdlib's set_cdata_mode — a
+# '</SCRIPT>' in legacy HTML must terminate a '<script>' block.
 _RAWTEXT = ("script", "style")
+_RAWTEXT_CLOSE = {t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in _RAWTEXT}
 
 
 def _scan_feed(p: _BlockParser, s: str) -> None:
@@ -286,7 +289,8 @@ def _scan_feed(p: _BlockParser, s: str) -> None:
                     p.handle_starttag(tag, [])
                     if tag in _RAWTEXT:
                         # skip raw content to the matching close tag
-                        close = s.find("</" + tag, m.end())
+                        cm = _RAWTEXT_CLOSE[tag].search(s, m.end())
+                        close = cm.start() if cm else -1
                         if close < 0:
                             p.handle_endtag(tag)   # unterminated: drop rest
                             last = n

@@ -165,6 +165,13 @@ def test_fast_scanner_edge_cases():
         "<p>unterminated <",                          # trailing junk
         "<p>3 < 5 and more words</p>",                # bare < in text
         "<P>UPPER tags</P>",
+        # uppercase / mixed-case rawtext close tags (legacy HTML): the
+        # scanner must not drop the remainder of the document
+        "<SCRIPT>var a = 1;</SCRIPT><p>after upper script</p>",
+        "<script>x</ScRiPt><p>after mixed script</p>",
+        "<STYLE>.a{color:red}</STYLE><p>after upper style</p>",
+        "<style>.b{}</ STYLE><p>spaced close</p>",
+        "<script>never closed<p>rest is raw</p>",
     ]
     for html in cases:
         assert parse_blocks(html, engine="fast") == parse_blocks(
