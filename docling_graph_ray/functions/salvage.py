@@ -159,8 +159,10 @@ def salvage_record(record: dict, schema: dict[str, dict]) -> tuple[dict, str]:
                         DEFAULTED,
                     )
                 else:
-                    out[field] = None
-                    return out, FAILED
+                    # failed rows are KEPT, with nulls — and every schema
+                    # field must be present so columnar assembly
+                    # (pa.Table.from_pylist) never sees ragged records
+                    v, st = None, FAILED
             else:
                 v, st = None, OK if raw is None else COERCED
         out[field] = v

@@ -23,7 +23,7 @@ import ray.data
 from docling_graph_ray.functions.merging import fold_records
 from docling_graph_ray.stages.graph import (
     cardinality_bound,
-    clean_edges,
+    clean_edges_dataset,
     content_hash_dedup,
     dedup_nodes,
     graph_stats,
@@ -89,17 +89,30 @@ def graph_nodes_dedup(sf_dir: str):
 def graph_edges_clean(sf_dir: str):
     """Order→Part 'contains' edges from lineitem, cleaned: duplicate
     triples dropped, edges to parts outside the node set (p_size < 15)
-    dropped via the broadcast semi-join (graph_cleaner.py:319-364)."""
-    # broadcast node-id set: all order ids + qualifying part ids
-    ids: set[str] = set()
-    for ref in _read(sf_dir, "orders", ["o_orderkey"]).to_arrow_refs():
-        t = ray.get(ref)
-        ids.update("O" + str(v) for v in t.column("o_orderkey").to_pylist())
-    for ref in _read(sf_dir, "part", ["p_partkey", "p_size"]).to_arrow_refs():
-        t = ray.get(ref)
-        t = t.filter(pc.greater_equal(t.column("p_size"), 15))
-        ids.update("P" + str(v) for v in t.column("p_partkey").to_pylist())
-    node_ids_ref = ray.put(np.array(sorted(ids)))
+    dropped (graph_cleaner.py:319-364).  The node-id set scales with the
+    orders table, so it rides the shuffle as a dataset (two anti-tolerant
+    semi-joins) instead of a driver-collected broadcast — the round-1
+    scale-killer (VERDICT.md What's-wrong #2)."""
+    def order_ids(b: pa.Table) -> pa.Table:
+        return pa.table({"node_id": pc.binary_join_element_wise(
+            pa.array(["O"] * b.num_rows),
+            b.column("o_orderkey").cast(pa.string()), "",
+        )})
+
+    def part_ids(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("p_size"), 15))
+        return pa.table({"node_id": pc.binary_join_element_wise(
+            pa.array(["P"] * t.num_rows),
+            t.column("p_partkey").cast(pa.string()), "",
+        )})
+
+    node_ids = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        order_ids, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+            part_ids, batch_format="pyarrow"
+        )
+    )
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -118,7 +131,7 @@ def graph_edges_clean(sf_dir: str):
         })
 
     edges = li.map_batches(to_edges, batch_format="pyarrow")
-    return clean_edges(edges, node_ids_ref)
+    return clean_edges_dataset(edges, node_ids)
 
 
 # ---------------------------------------------------------------------------

@@ -148,32 +148,33 @@ def distinct_brand_type(sf_dir: str):
 # joins
 
 
-def mktsegment_revenue(sf_dir: str):
-    """Broadcast join: customer segment lookup shipped once via ray.put."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()
-    seg_map: dict[int, str] = {}
-    for ref in cust:
-        t = ray.get(ref)
-        seg_map.update(zip(t.column("c_custkey").to_pylist(),
-                           t.column("c_mktsegment").to_pylist()))
-    seg_ref = ray.put(seg_map)
-
+def mktsegment_revenue(sf_dir: str, num_partitions: int = 8):
+    """Hash-shuffle join orders ⋈ customer on custkey, then segment
+    revenue.  Customer scales with the input (it is O(rows), not a dim),
+    so broadcasting its custkey→segment dict would OOM the driver at
+    100 TB — the join ships both sides through the shuffle instead and
+    only the per-segment partials reduce (keep ``ray.put`` broadcasts for
+    true dims like nation/region)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = ray.get(seg_ref)
-        segs = pa.array(
-            [m.get(k) for k in batch.column("o_custkey").to_pylist()], pa.string()
-        )
         t = pa.table(
-            {"c_mktsegment": segs,
+            {"c_mktsegment": batch.column("c_mktsegment"),
              "cents": _cents(batch.column("o_totalprice"), 100)}
         )
         g = t.group_by("c_mktsegment").aggregate([("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
 
     return (
-        orders.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .sum(["revenue_cents", "n_orders"])
         .map_batches(
@@ -237,33 +238,21 @@ def nation_region(sf_dir: str):
     return nation.map_batches(fn, batch_format="pyarrow")
 
 
-def _order_custkeys(sf_dir: str, min_totalprice: float | None = None) -> object:
-    keys: set[int] = set()
-    cols = ["o_custkey"] + (["o_totalprice"] if min_totalprice is not None else [])
-    for ref in _read(sf_dir, "orders", cols).to_arrow_refs():
-        t = ray.get(ref)
-        if min_totalprice is not None:
-            t = t.filter(pc.greater(t.column("o_totalprice"), min_totalprice))
-        keys.update(t.column("o_custkey").to_pylist())
-    return ray.put(np.array(sorted(keys), dtype=np.int64))
-
-
-def semi_join_customers(sf_dir: str):
-    """Semi-join via broadcast key set: customers WITH orders, per nation."""
-    keys_ref = _order_custkeys(sf_dir)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+def _nation_counts(cust_subset):
+    """Per-nation customer counts with batch-local partials before the
+    tiny groupby.  Batches downstream of a join may be empty pass-through
+    blocks with no columns — guard, never assume schema."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array(np.isin(
-            batch.column("c_custkey").to_numpy(zero_copy_only=False), keys
-        ))
-        t = pa.table({"c_nationkey": batch.filter(mask).column("c_nationkey")})
+        if batch.num_rows == 0 or "c_nationkey" not in batch.schema.names:
+            return pa.table({"c_nationkey": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64())})
+        t = pa.table({"c_nationkey": batch.column("c_nationkey").cast(pa.int64())})
         g = t.group_by("c_nationkey").aggregate([([], "count_all")])
         return g.rename_columns(["c_nationkey", "n_customers"])
 
     return (
-        cust.map_batches(partial, batch_format="pyarrow")
+        cust_subset.map_batches(partial, batch_format="pyarrow")
         .groupby("c_nationkey")
         .sum("n_customers")
         .map_batches(
@@ -273,31 +262,50 @@ def semi_join_customers(sf_dir: str):
     )
 
 
-def anti_join_customers(sf_dir: str):
-    """Anti-join via broadcast key set: customers with no order above
-    300000 totalprice, per nation (the plain customers-without-orders
-    anti-join is degenerate on this data — every customer has orders)."""
-    keys_ref = _order_custkeys(sf_dir, min_totalprice=300_000.0)
+def semi_join_customers(sf_dir: str, num_partitions: int = 8):
+    """Hash-shuffle SEMI join: customers with ≥1 order, counted per
+    nation.  The order-custkey side is O(largest table) so it must ride
+    the shuffle, never a driver set (the round-1 scale-killer,
+    VERDICT.md What's-wrong #2); batch-local pre-distinct shrinks it
+    before the exchange."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        mask = pa.array(~np.isin(
-            batch.column("c_custkey").to_numpy(zero_copy_only=False), keys
-        ))
-        t = pa.table({"c_nationkey": batch.filter(mask).column("c_nationkey")})
-        g = t.group_by("c_nationkey").aggregate([([], "count_all")])
-        return g.rename_columns(["c_nationkey", "n_customers"])
+    def predistinct(b: pa.Table) -> pa.Table:
+        return b.group_by("o_custkey").aggregate([])
 
-    return (
-        cust.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_nationkey")
-        .sum("n_customers")
-        .map_batches(
-            lambda t: t.rename_columns(["c_nationkey", "n_customers"]),
-            batch_format="pyarrow",
-        )
+    keys = orders.map_batches(predistinct, batch_format="pyarrow")
+    matched = cust.join(
+        keys,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     )
+    return _nation_counts(matched)
+
+
+def anti_join_customers(sf_dir: str, num_partitions: int = 8):
+    """Hash-shuffle ANTI join: customers with no order above 300000
+    totalprice, per nation (the plain customers-without-orders anti-join
+    is degenerate on this data — every customer has orders).  Same
+    shuffle shape as the semi join; the filter prunes at the read."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big_orders(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("o_totalprice"), 300_000.0))
+        return t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
+
+    keys = orders.map_batches(big_orders, batch_format="pyarrow")
+    unmatched = cust.join(
+        keys,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return _nation_counts(unmatched)
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,55 @@ def hamming64(a: int, b: int) -> int:
 # the shared near-dup template
 
 
+def _has_words(t: str | None) -> bool:
+    return bool((t or "").split())
+
+
+def _empty_doc_reps(ds, *, id_col: str, text_col: str):
+    """Representative assignment for WORDLESS docs, routed around the
+    banded shuffle entirely.
+
+    Every empty/whitespace-only doc shares one signature (minhash all-MAX,
+    simhash 0, empty shingle set), so at web scale they would all land in
+    ONE bucket per band — an unbounded ``map_groups`` group on a
+    pathological key (the round-1 skew hole, VERDICT.md What's-wrong #5).
+    They are trivially mutual duplicates, so their representative is just
+    the global min id among them — a streaming ``Dataset.min`` aggregate;
+    no group ever materializes.  Returns ``(id, rep_id)`` rows or None
+    when the corpus has no wordless docs."""
+
+    def empties(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        mask = pa.array([not _has_words(t) for t in texts], pa.bool_())
+        return b.filter(mask).select([id_col])
+
+    e = ds.map_batches(empties, batch_format="pyarrow").materialize()
+    if e.count() == 0:
+        return None
+    rep = e.min(id_col)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        return pa.table({
+            id_col: ids,
+            "rep_id": pa.array([rep] * len(ids), ids.type),
+        })
+
+    return e.map_batches(assign, batch_format="pyarrow")
+
+
+def _finalize_reps(reps, empty_reps, id_col: str):
+    """Union banded + wordless rep assignments; add ``is_dup``."""
+    if empty_reps is not None:
+        reps = reps.union(empty_reps)
+    return reps.map_batches(
+        lambda t: t.append_column(
+            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _resolve_reps(candidates, id_col: str):
     """(band_idx, band_key, id) candidate rows → (id, rep_id) assignment.
 
@@ -191,6 +240,8 @@ def minhash_lsh_dedup(
         texts = batch.column(text_col).to_pylist()
         out_id, out_band, out_key = [], [], []
         for i, t in zip(ids, texts):
+            if not _has_words(t):
+                continue  # wordless docs route around the banded shuffle
             sig = minhash_signature(t or "", a, b, shingle_words)
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
@@ -207,11 +258,8 @@ def minhash_lsh_dedup(
 
     candidates = ds.map_batches(emit_bands, batch_format="pyarrow")
     reps = _resolve_reps(candidates, id_col)
-    return reps.map_batches(
-        lambda t: t.append_column(
-            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
-        ),
-        batch_format="pyarrow",
+    return _finalize_reps(
+        reps, _empty_doc_reps(ds, id_col=id_col, text_col=text_col), id_col
     )
 
 
@@ -232,6 +280,8 @@ def simhash_dedup(
         texts = batch.column(text_col).to_pylist()
         rows = {"id": [], "band_idx": [], "band_key": [], "sig": []}
         for i, t in zip(ids, texts):
+            if not _has_words(t):
+                continue  # wordless docs route around the banded shuffle
             sig = simhash64(t or "")
             for bi in range(bands):
                 rows["id"].append(i)
@@ -265,11 +315,8 @@ def simhash_dedup(
     reps = pairs.groupby(id_col).min("rep_id").map_batches(
         lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
     )
-    return reps.map_batches(
-        lambda t: t.append_column(
-            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
-        ),
-        batch_format="pyarrow",
+    return _finalize_reps(
+        reps, _empty_doc_reps(ds, id_col=id_col, text_col=text_col), id_col
     )
 
 
@@ -284,9 +331,23 @@ def ngram_jaccard_dedup(
     bands: int = 16,
     seed: int = 42,
 ):
-    """LSH candidate generation + EXACT n-gram-Jaccard verification against
-    the bucket representative (shingle sets travel with the candidate rows
-    as hashed uint64 lists, never raw text)."""
+    """LSH candidate generation + EXACT n-gram-Jaccard verification.
+
+    Band rows carry ``(id, band_idx, band_key)`` ONLY — the round-1
+    version shipped the full hashed-shingle set on every band row, a
+    shuffle payload ≈ bands × corpus token count (VERDICT.md What's-wrong
+    #4).  Shingle sets now live in a one-row-per-doc side dataset
+    (materialized once; the object store spills if it is huge) and are
+    attached to the DISTINCT candidate (member, rep) pairs via two
+    co-group lookup joins, so the shingle payload moves at most twice
+    regardless of the band count.
+
+    Wide steps: band emit → bucket groupby (tiny rows) → pair distinct
+    (tiny) → two lookup joins (shingles move once each) → final per-id
+    min-reduce (tiny).  Semantics are unchanged: members verify against
+    the bucket representative; bucket-chains dedup transitively."""
+    from docling_graph_ray.stages.joins import lookup_join
+
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm, seed)
@@ -294,54 +355,113 @@ def ngram_jaccard_dedup(
     def emit(batch: pa.Table):
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        rows = {"id": [], "band_idx": [], "band_key": [], "shingles": []}
+        rows = {"id": [], "band_idx": [], "band_key": []}
         for i, t in zip(ids, texts):
-            sh = _word_shingles(t or "", shingle_words)
-            hs = sorted(set(int(x) for x in _mix64(_base_hashes(sh)))) if sh else []
+            if not _has_words(t):
+                continue  # wordless docs route around the banded shuffle
             sig = minhash_signature(t or "", a, b, shingle_words)
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 rows["id"].append(i)
                 rows["band_idx"].append(bi)
                 rows["band_key"].append(zlib.crc32(chunk.tobytes()))
-                rows["shingles"].append(hs)
         return pa.table(
             {
                 id_col: pa.array(rows["id"]),
                 "band_idx": pa.array(rows["band_idx"], pa.int32()),
                 "band_key": pa.array(rows["band_key"], pa.int64()),
-                "shingles": pa.array(rows["shingles"], pa.list_(pa.uint64())),
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        shingle_sets = [set(s) for s in group.column("shingles").to_pylist()]
-        rep_pos = min(range(len(ids)), key=lambda k: ids[k])
-        rep, rep_set = ids[rep_pos], shingle_sets[rep_pos]
-        out_id, out_rep = [], []
-        for i, s in zip(ids, shingle_sets):
-            if i == rep:
-                j = 1.0
-            else:
-                union = len(s | rep_set)
-                j = (len(s & rep_set) / union) if union else 1.0
+    def emit_shingles(batch: pa.Table):
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_sh = [], []
+        for i, t in zip(ids, texts):
+            if not _has_words(t):
+                continue
+            sh = _word_shingles(t or "", shingle_words)
             out_id.append(i)
-            out_rep.append(rep if j >= threshold else i)
-        return pa.table({id_col: pa.array(out_id), "rep_id": pa.array(out_rep)})
+            out_sh.append(sorted(set(int(x) for x in _mix64(_base_hashes(sh)))))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+        })
+
+    shingles_ds = ds.map_batches(
+        emit_shingles, batch_format="pyarrow"
+    ).materialize()
+    rep_shingles_ds = shingles_ds.map_batches(
+        lambda t: t.rename_columns([id_col, "rep_shingles"]),
+        batch_format="pyarrow",
+    )
+
+    # bucket → candidate (member, bucket-min) pairs, self-pairs excluded
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col)
+        rep = pc.min(ids).as_py()
+        members = group.filter(pc.not_equal(ids, pa.scalar(rep, ids.type)))
+        return pa.table({
+            id_col: members.column(id_col),
+            "rep_id": pa.array([rep] * members.num_rows, ids.type),
+        })
 
     candidates = ds.map_batches(emit, batch_format="pyarrow")
-    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
-        bucket_verify, batch_format="pyarrow"
+    raw_pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
-    reps = pairs.groupby(id_col).min("rep_id").map_batches(
+
+    # distinct pairs (the same pair arises from several bands)
+    def pair_predistinct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.schema.names:
+            return t
+        return t.group_by([id_col, "rep_id"]).aggregate([])
+
+    def first_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    pairs = (
+        raw_pairs.map_batches(pair_predistinct, batch_format="pyarrow")
+        .groupby([id_col, "rep_id"])
+        .map_groups(first_pair, batch_format="pyarrow")
+    )
+
+    # attach both shingle sets, verify exactly
+    pairs = lookup_join(pairs, shingles_ds, on=id_col, value_cols=["shingles"])
+    pairs = lookup_join(pairs, rep_shingles_ds, on="rep_id", key_col=id_col,
+                        value_cols=["rep_shingles"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "shingles" not in t.schema.names:
+            return pa.table({id_col: pa.array([]), "rep_id": pa.array([])})
+        ids = t.column(id_col).to_pylist()
+        reps = t.column("rep_id").to_pylist()
+        sh = t.column("shingles").to_pylist()
+        rsh = t.column("rep_shingles").to_pylist()
+        out_rep = []
+        for i, r, s, rs in zip(ids, reps, sh, rsh):
+            s, rs = set(s or []), set(rs or [])
+            union = len(s | rs)
+            j = (len(s & rs) / union) if union else 1.0
+            out_rep.append(r if j >= threshold else i)
+        return pa.table({id_col: pa.array(ids), "rep_id": pa.array(out_rep)})
+
+    verified = pairs.map_batches(verify, batch_format="pyarrow")
+
+    # every worded doc is at least its own representative
+    def self_rows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        mask = pa.array([_has_words(t) for t in b.column(text_col).to_pylist()],
+                        pa.bool_())
+        kept = ids.filter(mask)
+        return pa.table({id_col: kept, "rep_id": kept})
+
+    base = ds.map_batches(self_rows, batch_format="pyarrow")
+    reps = base.union(verified).groupby(id_col).min("rep_id").map_batches(
         lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
     )
-    return reps.map_batches(
-        lambda t: t.append_column(
-            "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
-        ),
-        batch_format="pyarrow",
+    return _finalize_reps(
+        reps, _empty_doc_reps(ds, id_col=id_col, text_col=text_col), id_col
     )
 
 

@@ -40,6 +40,20 @@ def _rows_sorted(ds, sort_cols: list[str]) -> list[dict]:
     return rows
 
 
+def _rows_sorted_capped(ds, sort_cols: list[str],
+                        cap: int) -> list[dict] | None:
+    """Collect + sort driver-side, but bail out (→ None) as soon as the
+    row count exceeds ``cap`` — the driver's heap must never scale with
+    the graph (VERDICT.md What's-wrong #6)."""
+    rows: list[dict] = []
+    for batch in ds.to_arrow_refs():
+        rows.extend(_get(batch).to_pylist())
+        if len(rows) > cap:
+            return None
+    rows.sort(key=lambda r: tuple(str(r.get(c)) for c in sort_cols))
+    return rows
+
+
 def _get(ref):
     import ray
 
@@ -48,25 +62,45 @@ def _get(ref):
 
 def export_graph_csv(nodes, edges, out_dir: str, *,
                      node_sort: list[str] | None = None,
-                     edge_sort: list[str] | None = None) -> dict[str, str]:
+                     edge_sort: list[str] | None = None,
+                     max_driver_rows: int = 1_000_000) -> dict[str, str]:
     """Write ``nodes.csv`` + ``edges.csv``; deterministic row order.
 
-    Small-graph path: rows collected driver-side and written as ONE file
-    each (the reference's exact layout).  For big graphs use
-    ``nodes.write_csv(dir)`` directly — this helper is the conformance
-    shape, not the 100 TB path."""
+    Small graphs (≤ ``max_driver_rows`` per table): rows collected
+    driver-side and written as ONE file each (the reference's exact
+    layout, csv_exporter.py:15-111).  Above the threshold the table
+    switches automatically to task-parallel ``Dataset.write_csv`` into a
+    per-table directory (the returned path is then the directory) — the
+    driver never holds a graph-sized list."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     for name, ds, sort_cols in (
         ("nodes", nodes, node_sort or ["node_id"]),
         ("edges", edges, edge_sort or ["src", "dst", "label"]),
     ):
-        rows = _rows_sorted(ds, sort_cols)
+        rows = _rows_sorted_capped(ds, sort_cols, max_driver_rows)
+        if rows is None:
+            # big-graph path: sorted, task-parallel, one dir per table
+            csv_dir = os.path.join(out_dir, f"{name}_csv")
+            ds.sort(sort_cols).write_csv(csv_dir)
+            paths[name] = csv_dir
+            continue
         path = os.path.join(out_dir, f"{name}.csv")
         buf = io.StringIO()
         if rows:
+            # union of keys across all rows in first-seen order:
+            # heterogeneous dicts (schema drift after groupby/map_groups)
+            # must widen the header, not raise ValueError on extra keys
+            fieldnames: list[str] = []
+            seen: set[str] = set()
+            for r in rows:
+                for k in r:
+                    if k not in seen:
+                        seen.add(k)
+                        fieldnames.append(k)
             writer = csv.DictWriter(
-                buf, fieldnames=list(rows[0].keys()), quoting=csv.QUOTE_NONNUMERIC
+                buf, fieldnames=fieldnames, restval="",
+                quoting=csv.QUOTE_NONNUMERIC,
             )
             writer.writeheader()
             for r in rows:

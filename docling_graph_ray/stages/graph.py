@@ -339,6 +339,53 @@ def graph_stats(nodes, edges, *, class_col: str = "class",
     return summed.map_batches(rename, batch_format="pyarrow")
 
 
+_WARN_SCHEMA = pa.schema([
+    ("check", pa.string()), ("item", pa.string()), ("detail", pa.string()),
+])
+
+
+def clean_edges_dataset(edges, node_ids, *, src_col: str = "src",
+                        dst_col: str = "dst", label_col: str = "label",
+                        id_col: str = "node_id"):
+    """Dataset-native edge cleanup — same semantics as :func:`clean_edges`
+    but the node-id set is a DATASET riding the shuffle, not a broadcast
+    array.  Use this when the node set scales with the input (e.g. every
+    order id of the fact table); keep the broadcast variant for
+    per-partition cleanup where the set is genuinely small.
+
+    Two chained semi-joins (src, then dst) via the empty-block-tolerant
+    co-group — chained ``Dataset.join`` calls crash on the empty blocks
+    the first join emits (see stages/joins.py)."""
+    from docling_graph_ray.stages.joins import semi_join
+
+    triple_schema = pa.schema([
+        (src_col, pa.string()), (dst_col, pa.string()), (label_col, pa.string()),
+    ])
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or src_col not in batch.schema.names:
+            return triple_schema.empty_table()
+        keep = pc.invert(pc.equal(batch.column(src_col), batch.column(dst_col)))
+        t = batch.filter(keep).select([src_col, dst_col, label_col])
+        # batch-local pre-distinct shrinks the shuffle input
+        return t.group_by([src_col, dst_col, label_col]).aggregate([]).cast(
+            triple_schema
+        )
+
+    pre = edges.map_batches(pass1, batch_format="pyarrow")
+    kept = semi_join(pre, node_ids, on=src_col, key_col=id_col,
+                     out_schema=triple_schema)
+    kept = semi_join(kept, node_ids, on=dst_col, key_col=id_col,
+                     out_schema=triple_schema)
+
+    def first_triple(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return kept.groupby([src_col, dst_col, label_col]).map_groups(
+        first_triple, batch_format="pyarrow"
+    )
+
+
 def integrity_check(nodes, edges, *, key_col: str = "node_id",
                     src_col: str = "src", dst_col: str = "dst",
                     label_col: str = "label"):
@@ -349,76 +396,138 @@ def integrity_check(nodes, edges, *, key_col: str = "node_id",
 
     - ``duplicate_node_id``: key appears on >1 node row,
     - ``dangling_src`` / ``dangling_dst``: edge endpoint not in the node
-      set (broadcast semi-join, same partitioning assumption as
-      clean_edges),
+      set (anti co-group join — the node-id side rides the shuffle, never
+      a driver dict, so the graph may be arbitrarily large),
     - ``self_loop``: src == dst,
     - ``duplicate_edge``: exact (src, dst, label) triple repeated.
 
     Non-destructive: emits warnings, never mutates — run BEFORE
     clean_edges when auditing, or after to assert emptiness."""
-    import numpy as np
+    from docling_graph_ray.stages.joins import semi_join
 
-    import ray
+    # duplicate node ids: partial count per batch → tiny groupby sum
+    def id_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_col not in batch.schema.names:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = batch.select([key_col]).group_by(key_col).aggregate([([], "count_all")])
+        return pa.table({key_col: g.column(key_col).cast(pa.string()),
+                         "n": g.column("count_all").cast(pa.int64())})
 
-    # node-id multiset (small side: ids only)
-    counts: dict[str, int] = {}
-    for ref in nodes.select_columns([key_col]).to_arrow_refs():
-        for v in ray.get(ref).column(key_col).to_pylist():
-            counts[v] = counts.get(v, 0) + 1
-    dup_rows = [
-        {"check": "duplicate_node_id", "item": str(k), "detail": f"count={c}"}
-        for k, c in sorted(counts.items()) if c > 1
-    ]
-    ids_ref = ray.put(np.array(sorted(counts)))
+    def dup_id_warnings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n)" not in t.schema.names:
+            return _WARN_SCHEMA.empty_table()
+        d = t.filter(pc.greater(t.column("sum(n)"), 1))
+        detail = pc.binary_join_element_wise(
+            pa.array(["count="] * d.num_rows),
+            d.column("sum(n)").cast(pa.string()), "",
+        )
+        return pa.table({
+            "check": pa.array(["duplicate_node_id"] * d.num_rows),
+            "item": d.column(key_col).cast(pa.string()),
+            "detail": detail,
+        }).cast(_WARN_SCHEMA)
 
-    warn_schema = pa.schema([
-        ("check", pa.string()), ("item", pa.string()), ("detail", pa.string()),
+    dup_nodes = (
+        nodes.map_batches(id_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum("n")
+        .map_batches(dup_id_warnings, batch_format="pyarrow")
+    )
+
+    # self-loops: one vectorized pass
+    def self_loops(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or src_col not in batch.schema.names:
+            return _WARN_SCHEMA.empty_table()
+        t = batch.filter(pc.equal(batch.column(src_col), batch.column(dst_col)))
+        return pa.table({
+            "check": pa.array(["self_loop"] * t.num_rows),
+            "item": t.column(src_col).cast(pa.string()),
+            "detail": t.column(label_col).cast(pa.string()),
+        }).cast(_WARN_SCHEMA)
+
+    loop_warns = edges.map_batches(self_loops, batch_format="pyarrow")
+
+    # dangling endpoints: anti co-group join against the node-id dataset
+    node_ids = nodes.map_batches(
+        lambda b: (pa.table({key_col: b.column(key_col).cast(pa.string())})
+                   if b.num_rows and key_col in b.schema.names
+                   else pa.schema([(key_col, pa.string())]).empty_table()),
+        batch_format="pyarrow",
+    )
+    edge_schema = pa.schema([
+        (src_col, pa.string()), (dst_col, pa.string()), (label_col, pa.string()),
     ])
 
-    def edge_warnings(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        src = batch.column(src_col).to_numpy(zero_copy_only=False)
-        dst = batch.column(dst_col).to_numpy(zero_copy_only=False)
-        lbl = batch.column(label_col).to_pylist()
-        rows = []
-        miss_s = ~np.isin(src, ids)
-        miss_d = ~np.isin(dst, ids)
-        for i in range(len(src)):
-            if src[i] == dst[i]:
-                rows.append({"check": "self_loop", "item": str(src[i]),
-                             "detail": lbl[i]})
-            if miss_s[i]:
-                rows.append({"check": "dangling_src", "item": str(src[i]),
-                             "detail": f"{lbl[i]}->{dst[i]}"})
-            if miss_d[i]:
-                rows.append({"check": "dangling_dst", "item": str(dst[i]),
-                             "detail": f"{src[i]}->{lbl[i]}"})
-        return pa.Table.from_pylist(rows, schema=warn_schema)
+    def edges_norm(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or src_col not in b.schema.names:
+            return edge_schema.empty_table()
+        return b.select([src_col, dst_col, label_col]).cast(edge_schema)
 
-    edge_warns = edges.map_batches(edge_warnings, batch_format="pyarrow")
+    e_norm = edges.map_batches(edges_norm, batch_format="pyarrow")
 
+    def dangling(col: str, other: str, check: str):
+        missing = semi_join(e_norm, node_ids, on=col, key_col=key_col,
+                            anti=True, out_schema=edge_schema)
+
+        def to_warn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or col not in b.schema.names:
+                return _WARN_SCHEMA.empty_table()
+            if check == "dangling_src":
+                detail = pc.binary_join_element_wise(
+                    b.column(label_col).cast(pa.string()),
+                    b.column(other).cast(pa.string()), "->",
+                )
+            else:
+                detail = pc.binary_join_element_wise(
+                    b.column(other).cast(pa.string()),
+                    b.column(label_col).cast(pa.string()), "->",
+                )
+            return pa.table({
+                "check": pa.array([check] * b.num_rows),
+                "item": b.column(col).cast(pa.string()),
+                "detail": detail,
+            }).cast(_WARN_SCHEMA)
+
+        return missing.map_batches(to_warn, batch_format="pyarrow")
+
+    dang_src = dangling(src_col, dst_col, "dangling_src")
+    dang_dst = dangling(dst_col, src_col, "dangling_dst")
+
+    # duplicate triples: partial count → groupby sum → filter > 1
     def triple_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or src_col not in batch.schema.names:
+            return pa.schema([
+                (src_col, pa.string()), (dst_col, pa.string()),
+                (label_col, pa.string()), ("n", pa.int64()),
+            ]).empty_table()
         g = batch.group_by([src_col, dst_col, label_col]).aggregate(
             [([], "count_all")]
         )
         return g.rename_columns([src_col, dst_col, label_col, "n"])
 
+    def dup_edge_warnings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n)" not in t.schema.names:
+            return _WARN_SCHEMA.empty_table()
+        d = t.filter(pc.greater(t.column("sum(n)"), 1))
+        item = pc.binary_join_element_wise(
+            d.column(src_col).cast(pa.string()),
+            d.column(dst_col).cast(pa.string()), "->",
+        )
+        detail = pc.binary_join_element_wise(
+            d.column("sum(n)").cast(pa.string()),
+            d.column(label_col).cast(pa.string()), "x ",
+        )
+        return pa.table({
+            "check": pa.array(["duplicate_edge"] * d.num_rows),
+            "item": item, "detail": detail,
+        }).cast(_WARN_SCHEMA)
+
     dup_edges = (
-        edges.map_batches(triple_partial, batch_format="pyarrow")
+        e_norm.map_batches(triple_partial, batch_format="pyarrow")
         .groupby([src_col, dst_col, label_col])
         .sum("n")
-        .map_batches(
-            lambda t: pa.Table.from_pylist([
-                {"check": "duplicate_edge",
-                 "item": f"{r[src_col]}->{r[dst_col]}",
-                 "detail": f"{r['sum(n)']}x {r[label_col]}"}
-                for r in t.to_pylist() if r["sum(n)"] > 1
-            ], schema=warn_schema),
-            batch_format="pyarrow",
-        )
+        .map_batches(dup_edge_warnings, batch_format="pyarrow")
     )
 
-    import ray.data as rd
-
-    dup_ds = rd.from_arrow(pa.Table.from_pylist(dup_rows, schema=warn_schema))
-    return dup_ds.union(edge_warns, dup_edges)
+    return dup_nodes.union(loop_warns, dang_src, dang_dst, dup_edges)

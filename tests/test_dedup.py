@@ -111,6 +111,47 @@ def test_embedding_near_dedup(ray_session):
     assert not out[3]["is_dup"]
 
 
+def test_band_rows_carry_ids_only(ray_session):
+    """The LSH shuffle must move (id, band_idx, band_key) rows ONLY —
+    never shingle sets or text (the round-1 scale hole: shingles rode
+    every band row, ~bands× corpus payload)."""
+    import inspect
+
+    import docling_graph_ray.stages.dedup as dd
+
+    # structural check: the candidate-emitting tables in source have no
+    # payload column beyond the banding triple
+    src = inspect.getsource(dd.ngram_jaccard_dedup)
+    emit_src = src.split("def emit_shingles")[0]
+    assert '"shingles"' not in emit_src.split("def emit(")[1]
+
+    # behavioral check: run with texts large enough that any payload
+    # would be visible in the candidate schema
+    ds = ray.data.from_arrow(_docs_table())
+    out = {r["doc_id"]: r for r in ngram_jaccard_dedup(ds, threshold=0.5).take_all()}
+    assert set(out[1].keys()) == {"doc_id", "rep_id", "is_dup"}
+
+
+def test_empty_text_skew_routes_around_bands(ray_session):
+    """10k wordless docs must NOT form a giant per-band bucket: they are
+    routed through a streaming min-aggregate instead (round-1 skew hole).
+    All are mutual dups of the min id; worded docs dedup as usual."""
+    n = 10_000
+    ids = list(range(1, n + 1))
+    texts = [""] * (n // 2) + ["   \t  "] * (n // 2 - 2) + [BASE, BASE]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    for fn in (minhash_lsh_dedup, simhash_dedup, ngram_jaccard_dedup):
+        out = {r["doc_id"]: r for r in fn(ray.data.from_arrow(t)).take_all()}
+        assert len(out) == n
+        # every wordless doc reps to the global min wordless id (1)
+        assert not out[1]["is_dup"] and out[1]["rep_id"] == 1
+        assert out[2]["is_dup"] and out[2]["rep_id"] == 1
+        assert out[n - 2]["rep_id"] == 1          # whitespace-only doc
+        # the two worded docs dedup among themselves, not against empties
+        assert out[n - 1]["rep_id"] == n - 1
+        assert out[n]["rep_id"] == n - 1 and out[n]["is_dup"]
+
+
 def test_dedup_deterministic_across_runs(ray_session):
     ds1 = ray.data.from_arrow(_docs_table())
     ds2 = ray.data.from_arrow(_docs_table())
