@@ -31,6 +31,8 @@ from datetime import datetime, timedelta
 import numpy as np
 import pyarrow as pa
 
+from docling_graph_ray.fixtures.pdf_writer import simple_text_pdf
+
 BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
 
 PAGES_SCHEMA = pa.schema(
@@ -219,15 +221,29 @@ def _lossy_text(html: str) -> str:
     return " ".join(stripped.split())
 
 
+_PDF_OP_STYLES = ("tm", "td", "tstar", "tj_array", "hex")
+
+
 def _synth_pdf(rng: np.random.Generator, base_id: int) -> bytes:
-    payload = f"synthetic pdf {base_id} " + " ".join(
-        str(int(x)) for x in rng.integers(0, 1_000_000, size=40)
-    )
-    return (
-        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
-        + payload.encode("ascii")
-        + b"\n%%EOF"
-    )
+    """A REAL generated PDF (fixtures/pdf_writer.py: xref, FlateDecode
+    streams, BT/Tj text operators) so the corpus exercises the real
+    parser lane (stages/pdf_codec.py); every fifth one keeps the legacy
+    inline-payload shape to exercise the salvage rung."""
+    words = [str(int(x)) for x in rng.integers(0, 1_000_000, size=40)]
+    if base_id % 5 == 4:
+        payload = f"synthetic pdf {base_id} " + " ".join(words)
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+            + payload.encode("ascii")
+            + b"\n%%EOF"
+        )
+    lines = [f"synthetic pdf {base_id} page intro"] + [
+        " ".join(words[i:i + 8]) for i in range(0, len(words), 8)
+    ]
+    style = _PDF_OP_STYLES[base_id % len(_PDF_OP_STYLES)]
+    # every fourth real PDF is multi-page (3 lines per page)
+    lpp = 3 if base_id % 4 == 3 else 40
+    return simple_text_pdf(lines, op_style=style, lines_per_page=lpp)
 
 
 def make_row(i: int, seed: int = 42, profile: str = "t2") -> dict:

@@ -1,0 +1,155 @@
+"""Tiny deterministic PDF writer for fixture corpora.
+
+Emits genuine, spec-conformant single- or multi-page PDFs: catalog →
+page tree → per-page FlateDecode content streams with BT…ET text
+operators, a correct xref table and trailer.  Used by the synthetic
+pages corpus (fixtures/pages.py) and the pdf round-trip tests so the
+REAL parser lane (stages/pdf_codec.py) is exercised end-to-end — the
+analogue of the reference's checked-in sample documents
+(reference: tests/fixtures/sample_documents/sample.pdf).
+
+``op_style`` varies which text operators carry the content (Tj/Tm,
+Td-relative, TJ arrays, T*-leading, hex strings) so every interpreter
+branch is covered by round-trip tests.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+LETTER = (612, 792)
+
+
+def _esc(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _hex(s: str) -> bytes:
+    return s.encode("latin-1", "replace").hex().upper().encode("ascii")
+
+
+def _content_stream(lines: list[tuple[str, float, float, float]],
+                    op_style: str) -> bytes:
+    """lines: (text, x, y_baseline_from_bottom, size)."""
+    out = [b"BT"]
+    if op_style == "td":
+        # relative Td chain with one Tf
+        prev_x = prev_y = 0.0
+        for i, (text, x, y, size) in enumerate(lines):
+            if i == 0:
+                out.append(b"/F1 %.2f Tf" % size)
+            out.append(b"%.2f %.2f Td" % (x - prev_x, y - prev_y))
+            out.append(b"(" + _esc(text) + b") Tj")
+            prev_x, prev_y = x, y
+    elif op_style == "tstar":
+        # TL leading + T* advance; assumes uniform spacing
+        if lines:
+            _, x0, y0, size0 = lines[0]
+            gap = (y0 - lines[1][2]) if len(lines) > 1 else size0 * 1.2
+            out.append(b"/F1 %.2f Tf" % size0)
+            out.append(b"%.2f TL" % gap)
+            out.append(b"%.2f %.2f Td" % (x0, y0))
+            for i, (text, _x, _y, _s) in enumerate(lines):
+                if i > 0:
+                    out.append(b"T*")
+                out.append(b"(" + _esc(text) + b") Tj")
+    elif op_style == "tj_array":
+        # TJ arrays: words separated by large negative kerning
+        for text, x, y, size in lines:
+            out.append(b"/F1 %.2f Tf" % size)
+            out.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
+            words = text.split(" ")
+            pieces = b" -200 ".join(b"(" + _esc(w) + b")" for w in words)
+            out.append(b"[" + pieces + b"] TJ")
+    elif op_style == "hex":
+        for text, x, y, size in lines:
+            out.append(b"/F1 %.2f Tf" % size)
+            out.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
+            out.append(b"<" + _hex(text) + b"> Tj")
+    else:  # "tm" (default): absolute Tm per line
+        for text, x, y, size in lines:
+            out.append(b"/F1 %.2f Tf" % size)
+            out.append(b"1 0 0 1 %.2f %.2f Tm" % (x, y))
+            out.append(b"(" + _esc(text) + b") Tj")
+    out.append(b"ET")
+    return b"\n".join(out)
+
+
+def build_pdf(pages: list[dict], *, compress: bool = True) -> bytes:
+    """pages: list of ``{"lines": [(text, x, y_from_bottom, size), …],
+    "media_box": (w, h) = LETTER, "op_style": "tm"}`` → PDF bytes.
+
+    Deterministic: same input ⇒ identical bytes (no timestamps, no ids).
+    """
+    objs: list[bytes] = []  # bodies; object number = index + 1
+
+    n_pages = len(pages)
+    catalog_num = 1
+    pages_num = 2
+    font_num = 3
+    first_page_num = 4  # pages at 4, 4+2, …; contents at 5, 5+2, …
+
+    kids = b" ".join(
+        b"%d 0 R" % (first_page_num + 2 * i) for i in range(n_pages)
+    )
+    objs.append(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, page in enumerate(pages):
+        w, h = page.get("media_box", LETTER)
+        content_num = first_page_num + 2 * i + 1
+        objs.append(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+            % (pages_num, int(w), int(h), font_num, content_num)
+        )
+        data = _content_stream(page.get("lines", []),
+                               page.get("op_style", "tm"))
+        if compress:
+            data = zlib.compress(data, 6)
+            filt = b"/Filter /FlateDecode "
+        else:
+            filt = b""
+        objs.append(
+            b"<< " + filt + b"/Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_num, xref_at)
+    )
+    return bytes(buf)
+
+
+def simple_text_pdf(paragraphs: list[str], *, op_style: str = "tm",
+                    size: float = 12.0, lines_per_page: int = 40) -> bytes:
+    """Convenience: wrap paragraphs (one per line) into pages top-down."""
+    w, h = LETTER
+    pages: list[dict] = []
+    cur: list[tuple[str, float, float, float]] = []
+    y = h - 72.0
+    for text in paragraphs:
+        if len(cur) >= lines_per_page:
+            pages.append({"lines": cur, "op_style": op_style})
+            cur, y = [], h - 72.0
+        cur.append((text, 72.0, y, size))
+        y -= size * 1.5
+    if cur:
+        pages.append({"lines": cur, "op_style": op_style})
+    return build_pdf(pages)

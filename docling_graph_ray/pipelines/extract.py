@@ -165,15 +165,9 @@ class ExtractActor(PdfParseActor):
             raw = raw or b""
             acc["idx"].append(i)
             if lane == "pdf":
-                t, st = self._parse_one(raw)
-                spans = (
-                    [{"span_id": 0, "start": 0, "end": len(t),
-                      "kind": "pdf_text", "path": "pdf", "block_class": "pdf",
-                      "page_no": 0, "bbox": [0, 0, 612, 792]}]
-                    if t else []
-                )
+                t, st, spans = self._parse_one(raw)
                 r = {"extracted_text": t, "spans": spans,
-                     "n_blocks_kept": 1 if t else 0, "n_blocks_dropped": 0,
+                     "n_blocks_kept": len(spans), "n_blocks_dropped": 0,
                      "parse_status": st}
             else:
                 # structured-document lanes (already-parsed formats,

@@ -1,0 +1,597 @@
+"""Dependency-free real PDF text extraction (no layout-model stack).
+
+This replaces the round-1 regex stub with an actual PDF parser: object
+scanning, object-syntax parsing, FlateDecode/ASCIIHexDecode stream
+decoding via zlib/binascii, page-tree walk with attribute inheritance,
+and a BT…ET content-stream text interpreter (Tf/Td/TD/Tm/TL/T*/Tj/TJ/'/"
+operators) producing per-line text with page numbers and top-left-origin
+bounding boxes.
+
+Reference semantics being reproduced: the heavy parse of
+``DocumentProcessor.convert_to_docling_doc`` (reference:
+docling_graph/core/extractors/document_processor.py:127-327) — text plus
+provenance geometry — and the BOTTOMLEFT→TOPLEFT origin normalization of
+``_chunk_item_geometry`` (document_processor.py:59-118) with the 512-grid
+``dclg_location`` quantizer (core/provenance/models.py:72-94).
+
+Documented limitations (a full ISO-32000 implementation is out of scope):
+
+- Objects are discovered by scanning ``N G obj`` markers rather than the
+  xref table — the same robustness fallback real parsers use for damaged
+  files; classic xref tables are therefore optional, but PDF-1.5 xref
+  STREAMS / object streams are not decoded (their container objects are
+  simply not found → ``failed``/``salvaged``).
+- No font CMaps: show-string bytes decode as PDFDocEncoding/latin-1,
+  exact for the standard-14-font ASCII/Latin-1 subset.
+- Glyph widths are estimated (0.5 em average) — bbox WIDTHS are
+  approximate; positions (x, y, size, page box) are exact.
+- The CTM (``cm``) is not tracked; text space is assumed unscaled, which
+  holds for the overwhelming majority of text-oriented PDFs.
+"""
+
+from __future__ import annotations
+
+import binascii
+import re
+import zlib
+
+# ---------------------------------------------------------------------------
+# object scanning
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_AVG_GLYPH_EM = 0.5  # Helvetica-ish average advance per glyph, in em
+_TJ_SPACE_KERN = -180.0  # TJ kerning ≤ this (milli-em) renders as a space
+
+
+def find_objects(raw: bytes) -> dict[tuple[int, int], bytes]:
+    """Scan for ``N G obj … endobj`` bodies.  Later definitions of the
+    same (num, gen) win — matching incremental-update semantics, where
+    the appended (later) object shadows the original."""
+    out: dict[tuple[int, int], bytes] = {}
+    for m in _OBJ_RE.finditer(raw):
+        start = m.end()
+        end = raw.find(b"endobj", start)
+        if end < 0:
+            continue
+        out[(int(m.group(1)), int(m.group(2)))] = raw[start:end]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# object-syntax parser (dicts, arrays, names, numbers, strings, refs)
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int) -> None:
+        self.num, self.gen = num, gen
+
+    def __repr__(self) -> str:  # pragma: no cover - debug only
+        return f"Ref({self.num},{self.gen})"
+
+
+class Name(str):
+    """A /Name token (distinct from a decoded string)."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, self.n
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def peek(self) -> int:
+        self._skip_ws()
+        return self.data[self.pos] if self.pos < self.n else -1
+
+    def read_name(self) -> Name:
+        # caller consumed '/'
+        d, n = self.data, self.n
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = d[start:self.pos]
+        # #xx hex escapes in names
+        if b"#" in raw:
+            raw = re.sub(
+                rb"#([0-9A-Fa-f]{2})",
+                lambda m: bytes([int(m.group(1), 16)]), raw,
+            )
+        return Name(raw.decode("latin-1"))
+
+    def read_literal_string(self) -> bytes:
+        # caller consumed '('
+        d, n = self.data, self.n
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:  # backslash
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal \ddd (1-3 digits)
+                    oct_digits = [e]
+                    for _ in range(2):
+                        if self.pos < n and 0x30 <= d[self.pos] <= 0x37:
+                            oct_digits.append(d[self.pos])
+                            self.pos += 1
+                        else:
+                            break
+                    out.append(int(bytes(oct_digits), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:  # '('
+                depth += 1
+                out.append(c)
+            elif c == 0x29:  # ')'
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        return bytes(out)
+
+    def read_hex_string(self) -> bytes:
+        # caller consumed '<'
+        d, n = self.data, self.n
+        out = bytearray()
+        digits = []
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x3E:  # '>'
+                break
+            if chr(c) in "0123456789abcdefABCDEF":
+                digits.append(chr(c))
+        if len(digits) % 2:
+            digits.append("0")
+        for i in range(0, len(digits), 2):
+            out.append(int(digits[i] + digits[i + 1], 16))
+        return bytes(out)
+
+    def read_token(self) -> bytes:
+        """Bare keyword/number token."""
+        d, n = self.data, self.n
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        return d[start:self.pos]
+
+    def parse_value(self):
+        self._skip_ws()
+        if self.pos >= self.n:
+            return None
+        d = self.data
+        c = d[self.pos]
+        if c == 0x2F:  # '/'
+            self.pos += 1
+            return self.read_name()
+        if c == 0x28:  # '('
+            self.pos += 1
+            return self.read_literal_string()
+        if c == 0x3C:  # '<' or '<<'
+            if self.pos + 1 < self.n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                out = {}
+                while True:
+                    self._skip_ws()
+                    if self.pos + 1 < self.n and d[self.pos] == 0x3E and d[self.pos + 1] == 0x3E:
+                        self.pos += 2
+                        return out
+                    if self.pos >= self.n:
+                        return out
+                    key = self.parse_value()
+                    val = self.parse_value()
+                    if isinstance(key, Name):
+                        out[str(key)] = val
+            self.pos += 1
+            return self.read_hex_string()
+        if c == 0x5B:  # '['
+            self.pos += 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.pos < self.n and d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return out
+                if self.pos >= self.n:
+                    return out
+                out.append(self.parse_value())
+        if c == 0x5D:  # stray ']'
+            self.pos += 1
+            return None
+        tok = None
+        if c in b"+-.0123456789":
+            save = self.pos
+            tok = self.read_token()
+            try:
+                num = int(tok)
+            except ValueError:
+                try:
+                    return float(tok)
+                except ValueError:
+                    return tok.decode("latin-1", "replace")
+            # possible indirect reference: NUM GEN R
+            save2 = self.pos
+            self._skip_ws()
+            if self.pos < self.n and d[self.pos] in b"0123456789":
+                save3 = self.pos
+                tok2 = self.read_token()
+                self._skip_ws()
+                if (tok2.isdigit() and self.pos < self.n
+                        and d[self.pos:self.pos + 1] == b"R"
+                        and (self.pos + 1 >= self.n
+                             or d[self.pos + 1] in _WS
+                             or d[self.pos + 1] in _DELIM)):
+                    self.pos += 1
+                    return Ref(num, int(tok2))
+                self.pos = save3
+            self.pos = save2
+            return num
+        tok = self.read_token()
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        if not tok:
+            self.pos += 1  # unknown delimiter; skip it
+            return None
+        return tok.decode("latin-1", "replace")
+
+
+# ---------------------------------------------------------------------------
+# object resolution + streams
+
+
+class _Doc:
+    def __init__(self, raw: bytes) -> None:
+        self.raw = raw
+        self.bodies = find_objects(raw)
+        self._cache: dict[tuple[int, int], object] = {}
+        self.warnings = 0
+
+    def obj(self, ref):
+        if not isinstance(ref, Ref):
+            return ref
+        key = (ref.num, ref.gen)
+        if key in self._cache:
+            return self._cache[key]
+        body = self.bodies.get(key)
+        if body is None:
+            self.warnings += 1
+            return None
+        val = _Lexer(body).parse_value()
+        self._cache[key] = val
+        return val
+
+    def resolve(self, val, depth: int = 0):
+        while isinstance(val, Ref) and depth < 32:
+            val = self.obj(val)
+            depth += 1
+        return val
+
+    def stream_bytes(self, ref) -> bytes | None:
+        """Decoded stream content of the object behind ``ref``."""
+        if isinstance(ref, Ref):
+            body = self.bodies.get((ref.num, ref.gen))
+        else:
+            return None
+        if body is None:
+            self.warnings += 1
+            return None
+        lex = _Lexer(body)
+        sdict = lex.parse_value()
+        if not isinstance(sdict, dict):
+            self.warnings += 1
+            return None
+        m = re.search(rb"stream(\r\n|\n|\r)", body)
+        if not m:
+            self.warnings += 1
+            return None
+        start = m.end()
+        length = self.resolve(sdict.get("Length"))
+        if isinstance(length, int) and 0 <= length <= len(body) - start:
+            data = body[start:start + length]
+        else:
+            end = body.rfind(b"endstream")
+            data = body[start:end if end > start else len(body)]
+            data = data.rstrip(b"\r\n")
+        filters = self.resolve(sdict.get("Filter"))
+        if filters is None:
+            filters = []
+        elif not isinstance(filters, list):
+            filters = [filters]
+        for f in filters:
+            f = str(self.resolve(f))
+            try:
+                if f == "FlateDecode":
+                    data = zlib.decompress(data)
+                elif f == "ASCIIHexDecode":
+                    hex_part = data.split(b">")[0]
+                    hex_clean = bytes(c for c in hex_part if c not in _WS)
+                    if len(hex_clean) % 2:
+                        hex_clean += b"0"
+                    data = binascii.unhexlify(hex_clean)
+                else:
+                    self.warnings += 1
+                    return None  # unsupported filter
+            except Exception:
+                self.warnings += 1
+                return None
+        return data
+
+
+# ---------------------------------------------------------------------------
+# page tree
+
+
+_INHERITABLE = ("MediaBox", "Resources", "Rotate")
+
+
+def _walk_pages(doc: _Doc, node_ref, inherited: dict, out: list,
+                depth: int = 0) -> None:
+    if depth > 64 or len(out) > 10_000:
+        return
+    node = doc.resolve(node_ref)
+    if not isinstance(node, dict):
+        doc.warnings += 1
+        return
+    merged = dict(inherited)
+    for k in _INHERITABLE:
+        if k in node:
+            merged[k] = node[k]
+    t = str(node.get("Type", ""))
+    if t == "Page" or ("Kids" not in node and "Contents" in node):
+        page = dict(node)
+        for k, v in merged.items():
+            page.setdefault(k, v)
+        out.append(page)
+        return
+    for kid in doc.resolve(node.get("Kids")) or []:
+        _walk_pages(doc, kid, merged, out, depth + 1)
+
+
+def _pages(doc: _Doc) -> list[dict]:
+    # proper walk: trailer-less scan for the Catalog
+    root = None
+    for key, body in doc.bodies.items():
+        if b"/Catalog" in body:
+            val = doc.obj(Ref(*key))
+            if isinstance(val, dict) and str(val.get("Type", "")) == "Catalog":
+                root = val
+                break
+    out: list[dict] = []
+    if root is not None:
+        _walk_pages(doc, root.get("Pages"), {}, out)
+    if out:
+        return out
+    # fallback: every object that looks like a page, in object order
+    for key in sorted(doc.bodies):
+        val = doc.obj(Ref(*key))
+        if isinstance(val, dict) and str(val.get("Type", "")) == "Page":
+            out.append(val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+
+
+def _content_tokens(data: bytes):
+    """Yield ('op', name) / ('val', value) in stream order."""
+    lex = _Lexer(data)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= lex.n:
+            return
+        c = lex.data[lex.pos]
+        if c in b"/(<[+-.0123456789":
+            yield ("val", lex.parse_value())
+            continue
+        tok = lex.read_token()
+        if not tok:
+            lex.pos += 1
+            continue
+        yield ("op", tok.decode("latin-1", "replace"))
+
+
+def _decode_show(s) -> str:
+    if isinstance(s, bytes):
+        return s.decode("latin-1")
+    return str(s) if s is not None else ""
+
+
+def interpret_text(content: bytes, page_height: float) -> list[dict]:
+    """Content stream → reading-order text lines with top-left bboxes.
+
+    A 'line' is the text accumulated between positioning operators
+    (Td/TD/T*/Tm/'/\"), matching how writers emit one show per visual
+    line.  bbox = [l, t, r, b] ints, top-left origin (BOTTOMLEFT→TOPLEFT
+    normalization per document_processor.py:59-118)."""
+    lines: list[dict] = []
+    size = 12.0
+    leading = 0.0
+    tx = ty = 0.0
+    line_x = line_y = 0.0
+    in_text = False
+    buf: list[str] = []
+    buf_x = buf_y = 0.0
+    buf_size = 12.0
+
+    def flush():
+        nonlocal buf
+        text = "".join(buf)
+        if text.strip():
+            w = _AVG_GLYPH_EM * buf_size * len(text)
+            top = page_height - buf_y - buf_size
+            lines.append({
+                "text": " ".join(text.split()),
+                "bbox": [int(round(buf_x)), int(round(top)),
+                         int(round(buf_x + w)), int(round(top + buf_size))],
+            })
+        buf = []
+
+    def newline(new_x: float, new_y: float):
+        nonlocal buf_x, buf_y, buf_size
+        flush()
+        buf_x, buf_y, buf_size = new_x, new_y, size
+
+    operands: list = []
+    for kind, val in _content_tokens(content):
+        if kind == "val":
+            operands.append(val)
+            continue
+        op = val
+        try:
+            if op == "BT":
+                in_text = True
+                tx = ty = line_x = line_y = 0.0
+                newline(0.0, 0.0)
+            elif op == "ET":
+                flush()
+                in_text = False
+            elif not in_text:
+                pass
+            elif op == "Tf" and len(operands) >= 2:
+                size = float(operands[-1])
+            elif op == "TL" and operands:
+                leading = float(operands[-1])
+            elif op == "Td" and len(operands) >= 2:
+                line_x += float(operands[-2])
+                line_y += float(operands[-1])
+                tx, ty = line_x, line_y
+                newline(tx, ty)
+            elif op == "TD" and len(operands) >= 2:
+                leading = -float(operands[-1])
+                line_x += float(operands[-2])
+                line_y += float(operands[-1])
+                tx, ty = line_x, line_y
+                newline(tx, ty)
+            elif op == "Tm" and len(operands) >= 6:
+                line_x = tx = float(operands[-2])
+                line_y = ty = float(operands[-1])
+                newline(tx, ty)
+            elif op == "T*":
+                line_y -= leading
+                tx, ty = line_x, line_y
+                newline(tx, ty)
+            elif op == "Tj" and operands:
+                buf.append(_decode_show(operands[-1]))
+            elif op == "'" and operands:
+                line_y -= leading
+                tx, ty = line_x, line_y
+                newline(tx, ty)
+                buf.append(_decode_show(operands[-1]))
+            elif op == '"' and len(operands) >= 3:
+                line_y -= leading
+                tx, ty = line_x, line_y
+                newline(tx, ty)
+                buf.append(_decode_show(operands[-1]))
+            elif op == "TJ" and operands and isinstance(operands[-1], list):
+                for piece in operands[-1]:
+                    if isinstance(piece, (bytes, str)):
+                        buf.append(_decode_show(piece))
+                    elif isinstance(piece, (int, float)) and piece <= _TJ_SPACE_KERN:
+                        buf.append(" ")
+        except (TypeError, ValueError):
+            pass
+        operands = []
+    flush()
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# top-level API
+
+
+def parse_pdf(raw: bytes) -> dict:
+    """→ ``{"pages": [{"page_no", "width", "height", "lines": [{"text",
+    "bbox"}]}], "status": "ok"|"salvaged"|"failed"}``.
+
+    ``salvaged`` = some stream/object failed to decode but text was still
+    recovered; ``failed`` = no text."""
+    if not raw.startswith(b"%PDF-"):
+        return {"pages": [], "status": "failed"}
+    try:
+        doc = _Doc(raw)
+        pages_out = []
+        for pno, page in enumerate(_pages(doc)):
+            mb = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+            try:
+                x0, y0, x1, y1 = (float(doc.resolve(v)) for v in mb)
+            except (TypeError, ValueError):
+                x0, y0, x1, y1 = 0.0, 0.0, 612.0, 792.0
+            width, height = abs(x1 - x0), abs(y1 - y0)
+            c = page.get("Contents")
+            c_res = doc.resolve(c)
+            if isinstance(c_res, list):
+                refs = c_res          # array of stream refs
+            elif isinstance(c, Ref):
+                refs = [c]            # single stream ref
+            else:
+                refs = []
+            data = b""
+            for r in refs:
+                part = doc.stream_bytes(r) if isinstance(r, Ref) else None
+                if part is not None:
+                    data += part + b"\n"
+            lines = interpret_text(data, height) if data else []
+            pages_out.append({
+                "page_no": pno, "width": width, "height": height,
+                "lines": lines,
+            })
+        has_text = any(p["lines"] for p in pages_out)
+        if not has_text:
+            return {"pages": pages_out, "status": "failed"}
+        status = "salvaged" if doc.warnings else "ok"
+        return {"pages": pages_out, "status": status}
+    except Exception:
+        return {"pages": [], "status": "failed"}
+
+
+def quantize_bbox_512(bbox: list[int], width: float,
+                      height: float) -> list[int]:
+    """DocLang 512-grid quantization of a top-left-origin bbox
+    (core/provenance/models.py:72-94): coordinates scaled into [0, 512)
+    from the pre-rounding floats of the page box."""
+    if width <= 0 or height <= 0:
+        return [0, 0, 0, 0]
+    l, t, r, b = bbox
+    return [
+        max(0, min(511, int(l * 512.0 / width))),
+        max(0, min(511, int(t * 512.0 / height))),
+        max(0, min(511, int(r * 512.0 / width))),
+        max(0, min(511, int(b * 512.0 / height))),
+    ]
