@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "root_identity_repair": g.root_identity_repair,
         "doc_contract_routing": t.doc_contract_routing,
         "events_props_salvage": t.events_props_salvage,
+        "doc_geometry": t.doc_geometry,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -236,6 +237,40 @@ def oracle_sql() -> dict[str, str]:
                              AND n_chars <= 8192
                         THEN 'direct' ELSE 'dense' END AS contract
             FROM documents
+        """,
+        "doc_geometry": """
+            WITH g AS (
+                SELECT p_partkey AS partkey,
+                       CASE WHEN p_partkey % 2 = 1 THEN 'BOTTOMLEFT'
+                            ELSE 'TOPLEFT' END AS origin,
+                       (p_partkey % 400) + 0.25 AS l,
+                       CASE WHEN p_partkey % 2 = 1
+                            THEN 600.25 - (p_partkey % 200)
+                            ELSE (p_partkey % 300) + 0.25 END AS t,
+                       (p_partkey % 400) + 0.25 + 100.5 AS r,
+                       CASE WHEN p_partkey % 2 = 1
+                            THEN 600.25 - (p_partkey % 200) - 50.5
+                            ELSE (p_partkey % 300) + 0.25 + 50.5 END AS b
+                FROM part
+            ),
+            n AS (
+                SELECT partkey, origin, l, r,
+                       CASE WHEN origin = 'BOTTOMLEFT' THEN 792.0 - t
+                            ELSE t END AS t2,
+                       CASE WHEN origin = 'BOTTOMLEFT' THEN 792.0 - b
+                            ELSE b END AS b2
+                FROM g
+            )
+            SELECT partkey, origin,
+                   CAST(ROUND(LEAST(l, r)) AS BIGINT) AS tl_l,
+                   CAST(ROUND(LEAST(t2, b2)) AS BIGINT) AS tl_t,
+                   CAST(ROUND(GREATEST(l, r)) AS BIGINT) AS tl_r,
+                   CAST(ROUND(GREATEST(t2, b2)) AS BIGINT) AS tl_b,
+                   CAST(FLOOR(LEAST(l, r) * 512 / 612.0) AS BIGINT) AS q_l,
+                   CAST(FLOOR(LEAST(t2, b2) * 512 / 792.0) AS BIGINT) AS q_t,
+                   CAST(FLOOR(GREATEST(l, r) * 512 / 612.0) AS BIGINT) AS q_r,
+                   CAST(FLOOR(GREATEST(t2, b2) * 512 / 792.0) AS BIGINT) AS q_b
+            FROM n
         """,
         "root_identity_repair": """
             WITH base AS (

@@ -28,6 +28,7 @@ from __future__ import annotations
 import ast
 import json
 import math
+import re
 from typing import Any
 
 OK, COERCED, DEFAULTED, FAILED = "ok", "coerced", "defaulted", "failed"
@@ -39,8 +40,38 @@ def _worse(a: str, b: str) -> str:
     return a if _RANK[a] >= _RANK[b] else b
 
 
+_QTY_STRIP_RE = re.compile(r"[^\d.\-eE]")
+
+
+def coerce_quantity(value: Any) -> tuple[dict | None, str]:
+    """Scalar → QuantityWithUnit-shaped dict — the reference's first
+    salvage rung (llm_backend.py:233-243, `_coerce_scalar_to_quantity_
+    with_unit`): numbers become ``{"numeric_value": float}``; strings
+    parse numerically after stripping non-numeric chars ('12.5 kg' →
+    12.5) or fall back to ``{"text_value": s}``."""
+    if value is None:
+        return None, FAILED
+    if isinstance(value, dict):
+        if "numeric_value" in value or "text_value" in value:
+            return value, OK
+        return None, FAILED
+    if isinstance(value, bool):
+        return {"numeric_value": float(value)}, COERCED
+    if isinstance(value, (int, float)):
+        return {"numeric_value": float(value)}, COERCED
+    if isinstance(value, str):
+        clean = _QTY_STRIP_RE.sub("", value)
+        try:
+            return {"numeric_value": float(clean)}, COERCED
+        except ValueError:
+            return {"text_value": value}, COERCED
+    return {"numeric_value": None, "text_value": str(value)}, COERCED
+
+
 def _coerce_scalar(value: Any, kind: str) -> tuple[Any, str]:
-    """kind ∈ {'int','float','str','bool'} → (value, rung)."""
+    """kind ∈ {'int','float','str','bool','quantity'} → (value, rung)."""
+    if kind == "quantity":
+        return coerce_quantity(value)
     if value is None:
         return None, FAILED
     # QuantityWithUnit-style dict → numeric_value (llm_backend.py:223-243)
@@ -131,7 +162,8 @@ def _coerce_list(value: Any, item_kind: str) -> tuple[Any, str]:
     return out, status
 
 
-_DEFAULTS = {"int": 0, "float": 0.0, "str": "", "bool": False}
+_DEFAULTS = {"int": 0, "float": 0.0, "str": "", "bool": False,
+             "quantity": {"numeric_value": None, "text_value": ""}}
 
 
 def salvage_record(record: dict, schema: dict[str, dict]) -> tuple[dict, str]:
@@ -168,3 +200,60 @@ def salvage_record(record: dict, schema: dict[str, dict]) -> tuple[dict, str]:
         out[field] = v
         status = _worse(status, st)
     return out, status
+
+
+# ---------------------------------------------------------------------------
+# deepest-first phantom-hub prune
+
+
+def _walk_instances(record: dict, segs: list[str], prefix: str = ""):
+    """Yield (parent_list, index, path_str) for every instance at the
+    list path ``a[].b[]…`` — used by the prune below."""
+    seg = segs[0]
+    assert seg.endswith("[]")
+    key = seg[:-2]
+    lst = record.get(key)
+    if not isinstance(lst, list):
+        return
+    for i, item in enumerate(lst):
+        if not isinstance(item, dict):
+            continue
+        path = f"{prefix}{key}[{i}]"
+        if len(segs) == 1:
+            yield lst, i, path
+        else:
+            yield from _walk_instances(item, segs[1:], path + ".")
+
+
+def prune_missing_identity(
+    record: dict, identity_spec: dict[str, list[str]],
+) -> tuple[dict, list[str]]:
+    """Drop nested instances that carry NO non-empty identity field — the
+    phantom-hub guard (reference: llm_backend.py
+    ``_drop_instances_missing_identity`` with deepest-first deletion
+    ordering, dense salvage pass 0).  A 'phantom hub' is an id-less
+    instance that would otherwise become a graph node aggregating
+    unrelated children.
+
+    ``identity_spec`` maps list paths (``'studies[]'``,
+    ``'studies[].experiments[]'``) to their required identity fields.
+    Deletion processes the DEEPEST paths first and, within one list,
+    descending indices — so removals never shift indices of deletions
+    still pending (the reference's exact ordering concern).
+
+    Returns ``(pruned_record, dropped_path_strings)``."""
+    out = json.loads(json.dumps(record))  # deep copy, JSON-typed
+    dropped: list[str] = []
+    for path in sorted(identity_spec, key=lambda p: (-p.count("[]"), p)):
+        id_fields = identity_spec[path]
+        hits = list(_walk_instances(out, path.split(".")))
+        for lst, i, pstr in sorted(hits, key=lambda h: h[1], reverse=True):
+            inst = lst[i]
+            if all(_is_empty_value(inst.get(f)) for f in id_fields):
+                del lst[i]
+                dropped.append(pstr)
+    return out, sorted(dropped)
+
+
+def _is_empty_value(v: Any) -> bool:
+    return v is None or v == "" or v == [] or v == {}

@@ -348,6 +348,47 @@ def doc_anchor_scan(sf_dir: str, n_values: int = 50):
     )
 
 
+def doc_geometry(sf_dir: str):
+    """Vectorized geometry normalization (BOTTOMLEFT→TOPLEFT flip +
+    512-grid quantization) over synthetic provenance boxes derived from
+    the part table — the ``_chunk_item_geometry`` semantics
+    (document_processor.py:59-118, models.py:72-94) as a ``map_batches``
+    numpy pass (stages/geometry.py).  SQL oracle mirrors the arithmetic;
+    offsets are chosen so no value lands on a .5 rounding boundary."""
+    from docling_graph_ray.stages.geometry import normalize_geometry_batch
+
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey"])
+
+    def build(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bl = (k % 2) == 1
+        l = (k % 400) + 0.25
+        t = np.where(bl, 600.25 - (k % 200), (k % 300) + 0.25)
+        r = l + 100.5
+        bb = np.where(bl, t - 50.5, t + 50.5)
+        return pa.table({
+            "partkey": pa.array(k, pa.int64()),
+            "origin": pa.array(np.where(bl, "BOTTOMLEFT", "TOPLEFT")),
+            "l": pa.array(l, pa.float64()), "t": pa.array(t, pa.float64()),
+            "r": pa.array(r, pa.float64()), "b": pa.array(bb, pa.float64()),
+            "page_w": pa.array(np.full(len(k), 612.0)),
+            "page_h": pa.array(np.full(len(k), 792.0)),
+        })
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["partkey", "origin", "tl_l", "tl_t", "tl_r",
+                         "tl_b", "q_l", "q_t", "q_r", "q_b"])
+
+    return (
+        part.map_batches(build, batch_format="pyarrow")
+        .map_batches(normalize_geometry_batch, batch_format="pyarrow")
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def emb_ivf_topk(sf_dir: str, k: int = 10):
     """IVF-partitioned approximate cosine top-k (the tunable scale path:
     codebook broadcast once, each query probes n_probe inverted lists)."""

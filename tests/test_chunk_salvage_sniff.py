@@ -114,6 +114,53 @@ def test_salvage_closed_schema_drops_unknown():
     assert "extra" not in rec
 
 
+def test_coerce_scalar_to_quantity_rung():
+    """Scalar → QuantityWithUnit coercion (llm_backend.py:233-243)."""
+    from docling_graph_ray.functions.salvage import coerce_quantity, salvage_record
+
+    assert coerce_quantity(12) == ({"numeric_value": 12.0}, "coerced")
+    assert coerce_quantity("12.5 kg") == ({"numeric_value": 12.5}, "coerced")
+    assert coerce_quantity("-3e2 m/s") == ({"numeric_value": -300.0}, "coerced")
+    assert coerce_quantity("about right") == (
+        {"text_value": "about right"}, "coerced")
+    q, st = coerce_quantity({"numeric_value": 5.0})
+    assert st == "ok" and q["numeric_value"] == 5.0
+    # wired into the ladder via kind='quantity'
+    schema = {"wt": {"kind": "quantity", "required": True}}
+    rec, status = salvage_record({"wt": "80 kg"}, schema)
+    assert rec["wt"] == {"numeric_value": 80.0} and status == "coerced"
+    rec2, status2 = salvage_record({}, schema)
+    assert status2 == "defaulted" and rec2["wt"]["text_value"] == ""
+
+
+def test_prune_missing_identity_deepest_first():
+    """Phantom-hub guard: id-less nested instances drop deepest-first
+    (llm_backend._drop_instances_missing_identity ordering)."""
+    from docling_graph_ray.functions.salvage import prune_missing_identity
+
+    record = {
+        "title": "root",
+        "studies": [
+            {"study_id": "s1", "experiments": [
+                {"exp_id": "e1"}, {"exp_id": ""}, {"exp_id": "e3"},
+            ]},
+            {"study_id": "", "experiments": [{"exp_id": "e9"}]},  # phantom hub
+            {"study_id": "s3", "experiments": []},
+        ],
+    }
+    spec = {"studies[]": ["study_id"],
+            "studies[].experiments[]": ["exp_id"]}
+    out, dropped = prune_missing_identity(record, spec)
+    assert dropped == ["studies[0].experiments[1]", "studies[1]"]
+    assert [s["study_id"] for s in out["studies"]] == ["s1", "s3"]
+    assert [e["exp_id"] for e in out["studies"][0]["experiments"]] == ["e1", "e3"]
+    # input untouched (pure function)
+    assert len(record["studies"]) == 3
+    # idempotent
+    out2, dropped2 = prune_missing_identity(out, spec)
+    assert dropped2 == [] and out2 == out
+
+
 # ---------------------------------------------------------------------- sniff
 
 @pytest.mark.parametrize("raw,kind", [
