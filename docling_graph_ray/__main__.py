@@ -131,6 +131,68 @@ def cmd_induce(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_from_ontology(args: argparse.Namespace) -> int:
+    """Compile an ontology/schema file into a template module — the
+    reference's LLM-free ``docling-graph template from-ontology`` flow
+    (templategen/ontology/{jsonschema,linkml,owl}.py): compile → repair →
+    lint gate → deterministic render → exec verification.  Driver-side
+    tooling; no Ray session needed."""
+    import json as _json
+    from pathlib import Path
+
+    from docling_graph_ray.ontology import (
+        spec_from_json_schema,
+        spec_from_linkml,
+        spec_from_ttl,
+    )
+    from docling_graph_ray.templategen import (
+        lint_spec,
+        render_template,
+        repair_spec,
+        verify_template_source,
+    )
+
+    src_path = Path(args.input)
+    text = src_path.read_text(encoding="utf-8")
+    suffix = src_path.suffix.lower()
+    if args.format:
+        fmt = args.format
+    elif suffix == ".json" or src_path.name.endswith(".schema.json"):
+        fmt = "jsonschema"
+    elif suffix in (".yaml", ".yml"):
+        fmt = "linkml"
+    elif suffix in (".ttl", ".n3"):
+        fmt = "ttl"
+    else:
+        print(f"from-ontology: cannot infer format of {src_path}; "
+              "pass --format", file=sys.stderr)
+        return 1
+    if fmt == "jsonschema":
+        spec = spec_from_json_schema(_json.loads(text), name=src_path.stem)
+    elif fmt == "linkml":
+        spec = spec_from_linkml(text, name=src_path.stem)
+    else:
+        spec = spec_from_ttl(text, name=src_path.stem)
+    spec, actions = repair_spec(spec)
+    findings = [f for f in lint_spec(spec) if f["code"].startswith("E")]
+    if findings:
+        print(f"from-ontology: {len(findings)} unrepaired lint errors",
+              file=sys.stderr)
+        for f in findings:
+            print(f"  {f['code']} {f['where']}: {f['message']}",
+                  file=sys.stderr)
+        return 1
+    source = render_template(spec)
+    verify_template_source(source)
+    out = Path(args.out)
+    out.write_text(source, encoding="utf-8")
+    out.with_suffix(".spec.json").write_text(
+        _json.dumps(spec, indent=2, ensure_ascii=False), encoding="utf-8")
+    print(f"from-ontology[{fmt}]: {len(spec['models'])} models, "
+          f"{len(spec['enums'])} enums, {len(actions)} repairs → {out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -162,6 +224,16 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma-separated columns (default: all)")
     ind.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     ind.set_defaults(fn=cmd_induce)
+
+    onto = sub.add_parser(
+        "from-ontology",
+        help="JSON-Schema / LinkML / OWL-TTL file → template .py (no LLM)",
+    )
+    onto.add_argument("--input", required=True, help="schema/ontology file")
+    onto.add_argument("--out", required=True, help="template .py output path")
+    onto.add_argument("--format", choices=("jsonschema", "linkml", "ttl"),
+                      default=None, help="override format inference")
+    onto.set_defaults(fn=cmd_from_ontology)
 
     args = p.parse_args(argv)
     return args.fn(args)
