@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
+        "doc_node_provenance": t.doc_node_provenance,
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
         "graph_merge_runs": g.graph_merge_runs,

@@ -143,10 +143,18 @@ def run_child(num_cpus: int, rows: int) -> None:
 # (measured: raw multiprocessing gets 2.0x from 8→32 procs but 3.1x from
 # 4→16), so 8→32 measures the hardware ceiling, not the engine.
 SCALING_CPUS = (4, 16)
-# best-of-N per level: this host shows ±30% run-to-run noise on identical
-# fresh-process runs (virtualized neighbors); best-of measures the
-# engine's capability at each level rather than the host's worst moment
-SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+# ≥5 interleaved reps per level (round-2 protocol): the headline
+# efficiency is the MEDIAN-of-reps ratio — robust to this host's ±30%
+# run-to-run noise on identical fresh-process runs (virtualized
+# neighbors) without cherry-picking; best-of is reported alongside as
+# the engine-capability number, with every sample in all_observed.
+SCALING_REPS = int(os.environ.get("GRAFT_SCALING_REPS", "5"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def run_scaling() -> None:
@@ -168,21 +176,42 @@ def run_scaling() -> None:
             if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
                 results[cpus] = r
     lo, hi = SCALING_CPUS
-    t_lo = results[lo]["docs_per_sec"]
-    t_hi = results[hi]["docs_per_sec"]
-    eff = t_hi / (4 * t_lo) if t_lo else 0.0
+    med_lo, med_hi = _median(observed[lo]), _median(observed[hi])
+    best_lo = results[lo]["docs_per_sec"]
+    best_hi = results[hi]["docs_per_sec"]
     print(json.dumps({
         "metric": f"flagship extraction N->4N scaling (num_cpus {lo} vs {hi})",
         "rows": SCALING_ROWS,
         "profile": SCALING_PROFILE,
-        f"throughput_{lo}": t_lo,
-        f"throughput_{hi}": t_hi,
+        f"throughput_{lo}": med_lo,
+        f"throughput_{hi}": med_hi,
+        "efficiency": round(med_hi / (4 * med_lo), 3) if med_lo else 0.0,
+        f"best_throughput_{lo}": best_lo,
+        f"best_throughput_{hi}": best_hi,
+        "efficiency_best": round(best_hi / (4 * best_lo), 3) if best_lo else 0.0,
         f"wall_{lo}": results[lo]["wall_sec"],
         f"wall_{hi}": results[hi]["wall_sec"],
-        "efficiency": round(eff, 3),
         "reps_per_level": SCALING_REPS,
         "all_observed": observed,
         "unit": "docs/sec",
+        "protocol": {
+            "headline": "median of interleaved reps per level",
+            "reps_interleaved": True,
+            "fresh_process_per_rep": True,
+            "untimed_warm_pilot": (
+                "a 256-row pilot spawns the actor pool + worker imports "
+                "before the timed section; actor spin-up is a fixed "
+                "per-session cost that would charge the 4N level ~4x the "
+                "relative penalty"
+            ),
+            "cpu_pair_rationale": (
+                "4 vs 16: this box is memory-bandwidth-limited above "
+                "~16-way for string work (raw multiprocessing control: "
+                "3.1x for 4->16 procs, 2.0x for 8->32), so 8->32 would "
+                "measure the hardware ceiling, not the engine; at 1-2 "
+                "cpus Ray's fixed system processes dominate the level"
+            ),
+        },
     }))
 
 

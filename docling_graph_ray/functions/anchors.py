@@ -77,6 +77,120 @@ def anchor_scan_batch(values_by_url: dict[str, list[str]],
     return fn
 
 
+NODE_PROVENANCE_SCHEMA = pa.schema(
+    [
+        ("node_id", pa.string()),
+        ("url", pa.string()),
+        ("value", pa.string()),
+        ("chunk_id", pa.int32()),
+        ("kind", pa.string()),       # verbatim | verbatim_ci | derived
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+    ]
+)
+
+
+def bind_node_provenance(nodes, chunks, *,
+                         node_id_col: str = "node_id",
+                         url_col: str = "url",
+                         value_col: str = "id_value",
+                         chunk_id_col: str = "chunk_id",
+                         text_col: str = "chunk_text"):
+    """Per-node provenance binding: each graph node's identity values are
+    scanned against ITS document's chunk texts, emitting one anchor row
+    per (node, value, matching chunk) — plus a ``derived`` row when no
+    chunk matches, so every node value has at least one anchor (the
+    ledger completeness invariant).
+
+    Reference: ``bind_provenance`` looks up NodeProvenance by identity
+    key and upgrades anchors to verbatim by scanning final id values
+    against chunk texts (docling_graph/core/provenance/binder.py:172-360
+    + anchor_scan.py:55-134).  Ray shape: a per-document co-group —
+    node-value rows and chunk rows union on one schema and groupby(url);
+    the scan is chunk×value string search WITHIN one document, never a
+    cross-document product.  Both sides ride the shuffle; nothing is
+    collected on the driver.
+
+    ``nodes``: rows ``(node_id, url, id_value)`` (one per identity
+    value); ``chunks``: rows ``(url, chunk_id, chunk_text)``."""
+    union_schema = pa.schema([
+        ("_key", pa.string()), ("node_id", pa.string()),
+        ("value", pa.string()), ("chunk_id", pa.int32()),
+        ("text", pa.large_string()), ("_is_chunk", pa.bool_()),
+    ])
+
+    def node_side(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or url_col not in b.schema.names:
+            return union_schema.empty_table()
+        n = b.num_rows
+        return pa.table({
+            "_key": b.column(url_col).cast(pa.string()),
+            "node_id": b.column(node_id_col).cast(pa.string()),
+            "value": b.column(value_col).cast(pa.string()),
+            "chunk_id": pa.nulls(n, pa.int32()),
+            "text": pa.nulls(n, pa.large_string()),
+            "_is_chunk": pa.array([False] * n, pa.bool_()),
+        })
+
+    def chunk_side(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or text_col not in b.schema.names:
+            return union_schema.empty_table()
+        n = b.num_rows
+        return pa.table({
+            "_key": b.column(url_col).cast(pa.string()),
+            "node_id": pa.nulls(n, pa.string()),
+            "value": pa.nulls(n, pa.string()),
+            "chunk_id": b.column(chunk_id_col).cast(pa.int32()),
+            "text": b.column(text_col).cast(pa.large_string()),
+            "_is_chunk": pa.array([True] * n, pa.bool_()),
+        })
+
+    tagged = nodes.map_batches(node_side, batch_format="pyarrow").union(
+        chunks.map_batches(chunk_side, batch_format="pyarrow")
+    )
+
+    def bind(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "_is_chunk" not in group.schema.names:
+            return NODE_PROVENANCE_SCHEMA.empty_table()
+        url = group.column("_key")[0].as_py()
+        is_chunk = group.column("_is_chunk")
+        ch = group.filter(is_chunk)
+        nd = group.filter(pa.compute.invert(is_chunk))
+        chunk_rows = sorted(
+            zip(ch.column("chunk_id").to_pylist(),
+                ch.column("text").to_pylist()),
+            key=lambda x: x[0],
+        )
+        rows = []
+        for nid, val in sorted(zip(nd.column("node_id").to_pylist(),
+                                   nd.column("value").to_pylist())):
+            if not val:
+                continue
+            hit = False
+            lowered_val = None
+            for cid, text in chunk_rows:
+                text = text or ""
+                pos = text.find(val)
+                kind = "verbatim"
+                if pos < 0:
+                    if lowered_val is None:
+                        lowered_val = val.casefold()
+                    pos = text.casefold().find(lowered_val)
+                    kind = "verbatim_ci"
+                if pos >= 0:
+                    hit = True
+                    rows.append({"node_id": nid, "url": url, "value": val,
+                                 "chunk_id": int(cid), "kind": kind,
+                                 "start": pos, "end": pos + len(val)})
+            if not hit:
+                rows.append({"node_id": nid, "url": url, "value": val,
+                             "chunk_id": -1, "kind": "derived",
+                             "start": -1, "end": -1})
+        return pa.Table.from_pylist(rows, schema=NODE_PROVENANCE_SCHEMA)
+
+    return tagged.groupby("_key").map_groups(bind, batch_format="pyarrow")
+
+
 def derive_unanchored(anchors: list[dict],
                       values_by_url: dict[str, list[str]]) -> list[dict]:
     """Values with no verbatim hit anywhere → ``derived`` anchor rows

@@ -111,6 +111,15 @@ _SUB_BATCH_BYTES = 32 << 20
 _SUB_BATCH_ROWS = 512
 
 
+#: per-row parse budget for the ``html_giant`` lane: a single
+#: pathological row (a 500 MB "html" blob in a web crawl) must never
+#: hold a task hostage; rows above the cap parse only their head and are
+#: downgraded to ``salvaged`` — the truncation-ladder analogue
+#: (reference: batch halving orchestrator.py:1587-1741 + char-level
+#: splits document_chunker.py:301-334 as the skew playbook, SURVEY §4.1)
+GIANT_PARSE_CAP_BYTES = 8 << 20
+
+
 class ExtractActor(PdfParseActor):
     """Generator ``map_batches`` actor: classified pages in, _STAGE_SCHEMA
     sub-batches out.
@@ -121,7 +130,9 @@ class ExtractActor(PdfParseActor):
     docling_graph/core/extractors/document_processor.py:127-230).  HTML
     rows are stateless per-row work and run inline; giant rows are handled
     by sub-batch yields so a multi-MB row never holds a whole output block
-    hostage."""
+    hostage, plus the ``giant_parse_cap`` head-parse budget above."""
+
+    giant_parse_cap = GIANT_PARSE_CAP_BYTES
 
     def __call__(self, batch: pa.Table):
         urls = batch.column("url").to_pylist()
@@ -170,16 +181,25 @@ class ExtractActor(PdfParseActor):
                      "n_blocks_kept": len(spans), "n_blocks_dropped": 0,
                      "parse_status": st}
             else:
+                # giant-lane head-parse budget: parse only the first
+                # giant_parse_cap bytes of a pathological row (decode_html
+                # salvages the cut-mid-byte tail); successful rows
+                # downgrade to 'salvaged' since content was dropped
+                capped = (lane == "html_giant"
+                          and len(raw) > self.giant_parse_cap)
+                body = raw[:self.giant_parse_cap] if capped else raw
                 # structured-document lanes (already-parsed formats,
                 # handlers.py:526-673 analogue): cheap head checks here,
                 # full sniffing in stages/sniff.py
-                head = raw[:2048]
+                head = body[:2048]
                 if head.lstrip()[:1] == b"{" and b'"schema_name"' in head:
-                    r = extract_doc_json(raw)
+                    r = extract_doc_json(body)
                 elif b"<doclang" in head[:256].lower():
-                    r = extract_doclang(raw)
+                    r = extract_doclang(body)
                 else:
-                    r = extract_html_doc(raw, fb)
+                    r = extract_html_doc(body, fb)
+                if capped and r["parse_status"] == "ok":
+                    r["parse_status"] = "salvaged"
                 if r["parse_status"] == "failed" and fb:
                     r = {"extracted_text": fb,
                          "spans": [{"span_id": 0, "start": 0, "end": len(fb),

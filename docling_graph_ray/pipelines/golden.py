@@ -31,6 +31,10 @@ def golden_extract(
     pages = make_pages_table(list(range(n)), seed, profile)
     htmls = pages.column("html").to_pylist()
     is_pdf = pa.array([(h or b"")[: len(PDF_MAGIC)] == PDF_MAGIC for h in htmls])
+    # NOTE: rows above ExtractActor.giant_parse_cap (8 MB) would parse
+    # head-only in the Ray path; no fixture profile crosses the cap, so
+    # the eager oracle needs no cap branch (asserted by the unit test on
+    # the actor's cap mechanism with an overridden small cap).
 
     html_rows = pages.filter(pa.compute.invert(is_pdf))
     pdf_rows = pages.filter(is_pdf)

@@ -42,7 +42,6 @@ import pyarrow.compute as pc
 import ray
 
 from docling_graph_ray.functions.hashing import blake2b_hex
-from docling_graph_ray.functions.merging import enrich_first_wins
 
 
 def _sort_indices(table: pa.Table, order_col: str) -> pa.Array:
@@ -59,12 +58,35 @@ def dedup_nodes(nodes, *, key_col: str, order_col: str, attr_cols: list[str]):
     Reference: graph_converter.py:540-545 (id-level dedup) + :656-689
     (duplicate-instance enrichment)."""
 
+    def first_nonempty(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        """First non-null (and non-empty-string) value in sorted order —
+        the vectorized first-non-empty-wins fold (replaces the round-1
+        per-group to_pylist→from_pylist Python loop)."""
+        valid = pc.is_valid(col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            valid = pc.and_(valid, pc.not_equal(pc.fill_null(col, ""), ""))
+        nz = np.flatnonzero(
+            valid.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(valid, pa.ChunkedArray)
+            else valid.to_numpy(zero_copy_only=False)
+        )
+        if len(nz):
+            return pa.array([col[int(nz[0])].as_py()], col.type)
+        return pa.nulls(1, col.type)
+
     def enrich(group: pa.Table) -> pa.Table:
         g = group.take(_sort_indices(group, order_col))
-        recs = g.select([key_col, order_col, *attr_cols]).to_pylist()
-        merged = enrich_first_wins(recs)
-        merged["n_mentions"] = g.num_rows
-        return pa.Table.from_pylist([merged])
+        arrays = [
+            pa.array([g.column(key_col)[0].as_py()], g.column(key_col).type),
+            pa.array([g.column(order_col)[0].as_py()], g.column(order_col).type),
+        ]
+        names = [key_col, order_col]
+        for c in attr_cols:
+            arrays.append(first_nonempty(g.column(c)))
+            names.append(c)
+        arrays.append(pa.array([g.num_rows], pa.int64()))
+        names.append("n_mentions")
+        return pa.Table.from_arrays(arrays, names=names)
 
     return nodes.groupby(key_col).map_groups(enrich, batch_format="pyarrow")
 

@@ -240,6 +240,45 @@ def test_anchor_scan_and_derive():
                         "kind": "derived", "start": -1, "end": -1}]
 
 
+def test_bind_node_provenance(ray_session):
+    """Per-node provenance binding: node identity values join their
+    document's chunks per-url co-group (binder.py:172-360 semantics)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from docling_graph_ray.functions.anchors import bind_node_provenance
+
+    nodes = ray.data.from_arrow(pa.Table.from_pylist([
+        {"node_id": "P_1", "url": "u1", "id_value": "beta"},
+        {"node_id": "P_2", "url": "u1", "id_value": "GAMMA"},
+        {"node_id": "P_3", "url": "u1", "id_value": "absent"},
+        {"node_id": "P_4", "url": "u2", "id_value": "beta"},  # other doc
+    ]))
+    chunks = ray.data.from_arrow(pa.Table.from_pylist([
+        {"url": "u1", "chunk_id": 0, "chunk_text": "Alpha beta gamma"},
+        {"url": "u1", "chunk_id": 1, "chunk_text": "beta again here"},
+        {"url": "u2", "chunk_id": 0, "chunk_text": "no match content"},
+    ]))
+    rows = bind_node_provenance(nodes, chunks).take_all()
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r["node_id"], []).append(r)
+    # P_1: verbatim in BOTH u1 chunks, never in u2
+    assert sorted(a["chunk_id"] for a in by_node["P_1"]) == [0, 1]
+    assert all(a["kind"] == "verbatim" and a["url"] == "u1"
+               for a in by_node["P_1"])
+    assert by_node["P_1"][0]["start"] == 6
+    # P_2: case-folded hit
+    assert by_node["P_2"][0]["kind"] == "verbatim_ci"
+    # P_3: no chunk matches → exactly one derived anchor (completeness)
+    assert by_node["P_3"] == [{
+        "node_id": "P_3", "url": "u1", "value": "absent", "chunk_id": -1,
+        "kind": "derived", "start": -1, "end": -1}]
+    # P_4: scanning is scoped to the node's own document
+    assert by_node["P_4"][0]["kind"] == "derived"
+
+
 def test_run_manifest(ray_session, tmp_path):
     import json
 

@@ -63,3 +63,40 @@ def test_parse_status_population(ray_session, golden):
     statuses = set(gold_ded.column("parse_status").to_pylist())
     # fixture guarantees ok + salvaged rows at this scale
     assert "ok" in statuses and "salvaged" in statuses
+
+
+def test_giant_parse_cap_downgrades_to_salvaged():
+    """html_giant rows above the per-row parse budget head-parse only and
+    downgrade to 'salvaged' — the skew safety valve (truncation-ladder
+    analogue; a 500 MB row must never hold a task hostage)."""
+    import datetime
+
+    import pyarrow as pa_
+
+    from docling_graph_ray.pipelines.extract import ExtractActor
+
+    body = ("<html><body><article>" +
+            "<p>real paragraph content with many words here</p>" * 50 +
+            "</article></body></html>").encode()
+
+    class Capped(ExtractActor):
+        giant_parse_cap = 256  # tiny budget for the test
+
+    batch = pa_.table({
+        "url": ["giant", "normal"],
+        "warc_ts": pa_.array([datetime.datetime(2024, 1, 1)] * 2,
+                             pa_.timestamp("us")),
+        "lang": ["en", "en"],
+        "html": pa_.array([body, body], pa_.binary()),
+        "text": ["", ""],
+        "lane": ["html_giant", "html"],
+        "part_id": pa_.array([0, 0], pa_.int32()),
+    })
+    out = pa_.concat_tables(list(Capped()(batch)))
+    rows = {r["url"]: r for r in out.to_pylist()}
+    assert rows["giant"]["parse_status"] == "salvaged"
+    assert rows["normal"]["parse_status"] == "ok"
+    # the capped row parsed only its head
+    assert len(rows["giant"]["extracted_text"]) < len(
+        rows["normal"]["extracted_text"])
+    assert rows["giant"]["extracted_text"]  # but is not empty
