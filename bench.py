@@ -118,7 +118,9 @@ def _flagship_run(num_cpus: int, rows: int) -> dict:
         ).count()
         shutil.rmtree(warm, ignore_errors=True)
         t0 = time.perf_counter()
-        pages = ray.data.read_parquet(src)
+        from docling_graph_ray.pipelines.extract import read_pages_parquet
+
+        pages = read_pages_parquet(src)
         lineage = run_extract_pipeline(pages, out_dir=out, num_partitions=parts)
         n_parts = lineage.count()
         wall = time.perf_counter() - t0
@@ -224,6 +226,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> None:
     )
     try:
         import __ray_entry__ as e
+
+        # UNTIMED fixture warm-up: pages_flagship reads the synthetic
+        # pages table from a generated-once Parquet cache; generating it
+        # is test-fixture setup, not engine work, and must not land in
+        # the timed section on a cold cache.
+        from docling_graph_ray.fixtures.pages import pages_parquet_dir
+        from docling_graph_ray.pipelines.textops import _SF_ROWS
+
+        tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        pages_parquet_dir(_SF_ROWS.get(tier, 300), profile="t1")
 
         qs = e.queries()
         timings: dict[str, float] = {}

@@ -15,6 +15,7 @@ ray.init (driver contract)."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -39,11 +40,18 @@ def cmd_extract(args: argparse.Namespace) -> int:
     import ray
     import ray.data
 
-    from docling_graph_ray.pipelines.extract import run_extract_pipeline
+    from docling_graph_ray.pipelines.extract import (
+        read_pages_parquet,
+        run_extract_pipeline,
+    )
     from docling_graph_ray.report import write_run_report
     from docling_graph_ray.state.manifest import write_run_manifest
 
-    pages = ray.data.read_parquet(args.input)
+    pages = (
+        read_pages_parquet(args.input)
+        if os.path.isdir(args.input)
+        else ray.data.read_parquet(args.input)
+    )
     lineage = run_extract_pipeline(
         pages, out_dir=args.out, num_partitions=args.partitions,
         resume=not args.no_resume,

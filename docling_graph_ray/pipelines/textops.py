@@ -156,6 +156,7 @@ def pages_flagship(sf_dir: str):
     from docling_graph_ray.pipelines.extract import (
         dedup_extracted,
         extract_pages_dataset,
+        read_pages_parquet,
     )
 
     tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -167,7 +168,7 @@ def pages_flagship(sf_dir: str):
 
     src = pages_parquet_dir(n, profile="t1")
     ded = dedup_extracted(
-        extract_pages_dataset(ray.data.read_parquet(src), num_partitions=16)
+        extract_pages_dataset(read_pages_parquet(src), num_partitions=16)
     )
     return ded.map_batches(
         lambda t: t.select(
