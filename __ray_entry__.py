@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity (oracle-checked)
         "emb_topk": t.emb_topk,
         "events_sliding_window": r.events_sliding_window,
+        "events_asof_orders": r.events_asof_orders,
+        "orders_followup_window": r.orders_followup_window,
         # knowledge-graph operators (oracle-checked)
         "graph_nodes_dedup": g.graph_nodes_dedup,
         "graph_edges_clean": g.graph_edges_clean,
@@ -460,5 +462,165 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY query_id
                 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id) <= 10
+        """,
+        # content-hash dedup: hashing (nationkey, segment) groups exactly the
+        # rows that GROUP BY (nationkey, segment) groups; survivor = the
+        # lexicographic-min node_id (pyarrow ascending string sort == DuckDB
+        # binary-collation MIN).  Edges redirect dup srcs to the survivor,
+        # then distinct.
+        "graph_content_dedup": """
+            WITH nodes AS (
+                SELECT 'C' || CAST(c_custkey AS VARCHAR) AS node_id,
+                       CAST(c_nationkey AS BIGINT) AS nationkey,
+                       c_mktsegment AS segment
+                FROM customer
+            ),
+            canon AS (
+                SELECT node_id,
+                       MIN(node_id) OVER (PARTITION BY nationkey, segment)
+                           AS canon_id
+                FROM nodes
+            ),
+            edges AS (
+                SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
+                       'N' || CAST(c_nationkey AS VARCHAR) AS dst,
+                       'in_nation' AS label
+                FROM customer
+            )
+            SELECT DISTINCT c.canon_id AS src, e.dst, e.label
+            FROM edges e JOIN canon c ON e.src = c.node_id
+        """,
+        # DuckDB regexps are RE2, same engine as Arrow's
+        # count_substring_regex — identical non-overlapping match counts.
+        "doc_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^\\sA-Za-zÀ-ÿ0-9]+'
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_langid": """
+            WITH c AS (
+                SELECT doc_id,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:the|and|of|is|was|with|that|this|are|for|have|which|not)\\b'
+                  )) AS BIGINT) AS en,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:le|les|des|une|est|sont|dans|avec|pour|qui|leur|aux)\\b'
+                  )) AS BIGINT) AS fr,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:der|die|das|und|ist|nicht|mit|für|auf|ein|welche|hatte)\\b'
+                  )) AS BIGINT) AS de,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:el|los|las|es|son|para|con|por|una|del|más|como)\\b'
+                  )) AS BIGINT) AS es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN en + fr + de + es = 0 THEN 'und'
+                        WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+                        WHEN fr >= de AND fr >= es THEN 'fr'
+                        WHEN de >= es THEN 'de'
+                        ELSE 'es' END AS pred_lang,
+                   GREATEST(en, fr, de, es) AS stopword_hits
+            FROM c
+        """,
+        # backward as-of: latest order at-or-before each event's ts within
+        # the user's key, max orderkey on orderdate ties (stages/asof.py
+        # determinism rule); inner — events with no prior order drop.
+        "events_asof_orders": """
+            WITH ranked AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       o.o_orderkey, o.o_orderdate,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+            FROM ranked WHERE rn = 1
+        """,
+        # range join (bucket-replication shuffle): the customer's other
+        # orders inside [orderdate, orderdate + 30 days], both ends
+        # inclusive, reduced per order; inner — orders with no follow-up
+        # drop.
+        "orders_followup_window": """
+            SELECT o1.o_orderkey,
+                   COUNT(*) AS n_followups,
+                   MAX(o2.o_orderkey) AS last_followup_orderkey
+            FROM orders o1
+            JOIN orders o2
+              ON o2.o_custkey = o1.o_custkey
+             AND o2.o_orderkey <> o1.o_orderkey
+             AND o2.o_orderdate >= o1.o_orderdate
+             AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+            GROUP BY o1.o_orderkey
+        """,
+        # keep-first fold over the total order (run, order, ln); a conflict
+        # is any later row whose value differs from the folded (first) one,
+        # counted per watched field.
+        "graph_merge_runs": """
+            WITH m AS (
+                SELECT CAST(l_suppkey AS BIGINT) AS suppkey,
+                       CASE WHEN l_linenumber % 2 = 1 THEN 'A' ELSE 'B' END AS run,
+                       CAST(l_orderkey AS BIGINT) AS order_in_run,
+                       CAST(l_linenumber AS BIGINT) AS ln,
+                       l_returnflag AS rf, l_linestatus AS ls
+                FROM lineitem
+            ),
+            w AS (
+                SELECT *,
+                    ROW_NUMBER() OVER (PARTITION BY suppkey
+                        ORDER BY run, order_in_run, ln) AS rn,
+                    FIRST_VALUE(rf) OVER (PARTITION BY suppkey
+                        ORDER BY run, order_in_run, ln) AS f_rf,
+                    FIRST_VALUE(ls) OVER (PARTITION BY suppkey
+                        ORDER BY run, order_in_run, ln) AS f_ls
+                FROM m
+            )
+            SELECT suppkey,
+                   MIN(f_rf) AS returnflag,
+                   MIN(f_ls) AS linestatus,
+                   CAST(SUM(CASE WHEN rn > 1 AND rf <> f_rf THEN 1 ELSE 0 END)
+                      + SUM(CASE WHEN rn > 1 AND ls <> f_ls THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_conflicts,
+                   COUNT(*) AS n_mentions
+            FROM w GROUP BY suppkey
+        """,
+        # the merged nested record rebuilt as the exact
+        # json.dumps(sort_keys=True) string: keys alphabetical, default
+        # separators (', ', ': '), items sorted by linenumber; DuckDB's
+        # shortest-round-trip DOUBLE-to-VARCHAR matches Python repr for
+        # these values.  l_linenumber is NOT unique per order in this
+        # synthetic table, so items dedup by ln; deep_merge_dicts is
+        # source-overwrites-scalar, so under the fold's ascending
+        # (page_no, record-string) total order the LAST record wins —
+        # for a fixed ln that is the record whose qty VARCHAR is
+        # lexicographically largest (the JSON prefix before qty is
+        # identical, and '}' sorts above every digit, so the two
+        # comparisons agree).  n_partials still counts every partial.
+        "orders_deep_merge": """
+            WITH it AS (
+                SELECT l_orderkey, l_linenumber AS ln,
+                       MAX(CAST(l_quantity AS VARCHAR)) AS qty_s
+                FROM lineitem
+                GROUP BY l_orderkey, l_linenumber
+            ),
+            n AS (
+                SELECT l_orderkey, COUNT(*) AS n_partials
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT CAST(it.l_orderkey AS VARCHAR) AS doc_id,
+                   ANY_VALUE(n.n_partials) AS n_partials,
+                   '{"items": ['
+                   || string_agg(
+                        '{"ln": ' || ln || ', "qty": ' || qty_s || '}',
+                        ', ' ORDER BY ln)
+                   || '], "orderkey": ' || it.l_orderkey || '}' AS record
+            FROM it JOIN n ON n.l_orderkey = it.l_orderkey
+            GROUP BY it.l_orderkey
         """,
     }

@@ -254,7 +254,13 @@ def merge_partial_records(
     assumption: one document's partials fit in one group."""
 
     def merge_group(group: pa.Table) -> pa.Table:
-        group = group.sort_by(order_col)
+        # json_col as tiebreak: order_col alone is not a total order when
+        # two partials share a page (observed: duplicate l_linenumber per
+        # order), and without one the keep-first winner depends on shuffle
+        # arrival order.
+        group = group.sort_by(
+            [(order_col, "ascending"), (json_col, "ascending")]
+        )
         records = [json.loads(s) if s else {} for s in
                    group.column(json_col).to_pylist()]
         merged = consolidate_records(

@@ -259,6 +259,7 @@ def graph_merge_runs(sf_dir: str):
             "suppkey": batch.column("l_suppkey").cast(pa.int64()),
             "run": run,
             "order_in_run": batch.column("l_orderkey").cast(pa.int64()),
+            "ln": batch.column("l_linenumber").cast(pa.int64()),
             "returnflag": batch.column("l_returnflag"),
             "linestatus": batch.column("l_linestatus"),
         })
@@ -267,9 +268,13 @@ def graph_merge_runs(sf_dir: str):
 
     def fold_group(group: pa.Table) -> pa.Table:
         # deterministic within-group order: run A before run B, then by
-        # (order_in_run) — left-associative precedence (merger.py:1-10)
+        # (order_in_run, ln) — left-associative precedence (merger.py:1-10).
+        # ln breaks (run, order) ties: several lineitems of one order land
+        # in one run, and without a total order the folded value would
+        # depend on shuffle arrival order.
         idx = pc.sort_indices(group, sort_keys=[
             ("run", "ascending"), ("order_in_run", "ascending"),
+            ("ln", "ascending"),
         ])
         g = group.take(idx)
         recs = g.select(["returnflag", "linestatus"]).to_pylist()

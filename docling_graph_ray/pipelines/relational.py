@@ -509,3 +509,76 @@ def orders_deep_merge(sf_dir: str):
     return merge_partial_records(
         partials, identity_fields_map={"items": ["ln"]}
     )
+
+
+def events_asof_orders(sf_dir: str):
+    """Backward as-of join: each event picks the user's latest order with
+    ``o_orderdate <= ts`` (ties on orderdate broken by max orderkey).
+    The custom wide operator the reference-class pipelines need and Ray
+    Data lacks (stages.asof — union-shuffle, per-group searchsorted)."""
+    from docling_graph_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"])
+    return asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate"],
+        right_tiebreak="o_orderkey",
+        inner=True,
+    )
+
+
+def orders_followup_window(sf_dir: str, days: int = 30):
+    """Range join (self): for each order, the customer's OTHER orders
+    placed within ``days`` after it (both ends inclusive), reduced per
+    order to (n_followups, last_followup_orderkey).  Non-equi join via
+    stages.rangejoin's bucket-replication shuffle; partial-agg before
+    the final groupby.  (A self-join because the synthetic events table
+    lives in 2024 while orders live in 1995-2001 — no cross-table time
+    overlap exists to join on.)"""
+    from ray.data.aggregate import Max, Sum
+
+    from docling_graph_ray.stages.rangejoin import range_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    followups = orders.map_batches(
+        lambda t: t.rename_columns(
+            ["followup_orderkey", "o_custkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    horizon = days * 86_400 * 1_000_000  # us
+    pairs = range_join(
+        orders, followups,
+        left_key="o_custkey", right_key="o_custkey",
+        left_time="o_orderdate", right_time="o_orderdate",
+        horizon=horizon,
+        left_cols=["o_orderkey"], right_cols=["followup_orderkey"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("o_orderkey"),
+                                  b.column("followup_orderkey")))
+        g = b.group_by("o_orderkey").aggregate(
+            [("followup_orderkey", "count"), ("followup_orderkey", "max")]
+        )
+        return g.rename_columns(
+            ["o_orderkey", "n_followups", "last_followup_orderkey"]
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("n_followups"), Max("last_followup_orderkey"))
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["o_orderkey", "n_followups", "last_followup_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -46,8 +46,42 @@ CHUNK_SCHEMA = pa.schema(
         ("text_hash", pa.string()),
         ("resplit_of", pa.int32()),       # -1 = not a re-split
         ("span_ids", pa.list_(pa.int32())),
+        # chunk geometry: page + union bbox of the covered spans on that
+        # page (the reference's per-chunk ItemGeometry,
+        # document_chunker.py _chunk_item_geometry; provenance/models.py
+        # ItemGeometry).  Null when the source carries no geometry (plain
+        # text / HTML without layout).
+        ("page_no", pa.int32()),
+        ("bbox", pa.list_(pa.int32())),
     ]
 )
+
+
+def _chunk_geometry(
+    covered: list[dict],
+) -> tuple[int | None, list[int] | None]:
+    """Geometry of one chunk from its covered span dicts: the first
+    span's page, and the union bbox of every covered span on that page
+    (whole top-left pixels — same units the extraction lanes emit)."""
+    page_no = None
+    for s in covered:
+        p = s.get("page_no")
+        if p is not None:
+            page_no = int(p)
+            break
+    if page_no is None:
+        return None, None
+    boxes = [
+        s["bbox"] for s in covered
+        if s.get("page_no") == page_no
+        and isinstance(s.get("bbox"), list) and len(s["bbox"]) == 4
+    ]
+    if not boxes:
+        return page_no, None
+    return page_no, [
+        min(int(b[0]) for b in boxes), min(int(b[1]) for b in boxes),
+        max(int(b[2]) for b in boxes), max(int(b[3]) for b in boxes),
+    ]
 
 
 def count_tokens(text: str) -> int:
@@ -118,12 +152,17 @@ def chunk_document(url: str, text: str, spans: list[dict] | None,
         blocks = [
             (int(s["span_id"]), text[int(s["start"]):int(s["end"])]) for s in spans
         ]
+        by_id = {int(s["span_id"]): s for s in spans}
     else:
         blocks = [(-1, text)]
+        by_id = {}
 
     chunks: list[dict] = []
 
     def emit(chunk_text: str, span_ids: list[int], resplit_of: int) -> None:
+        page_no, bbox = _chunk_geometry(
+            [by_id[i] for i in span_ids if i in by_id]
+        )
         chunks.append({
             "url": url,
             "chunk_id": len(chunks),
@@ -133,6 +172,8 @@ def chunk_document(url: str, text: str, spans: list[dict] | None,
             "text_hash": blake2b_hex(chunk_text, digest_size=8),
             "resplit_of": resplit_of,
             "span_ids": span_ids,
+            "page_no": page_no,
+            "bbox": bbox,
         })
 
     cur_texts: list[str] = []

@@ -123,10 +123,18 @@ def extract_doc_json(raw: bytes) -> dict:
     }
 
 
+def _unescape_dclg(s: str) -> str:
+    """The three entities docling-core's DocLang serializer escapes."""
+    if "&" not in s:
+        return s
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
 def extract_doclang(raw: bytes) -> dict:
     """DocLang XML → text: per-element text with the element name as the
     block class.  A lean split on tags (the markup is machine-generated
-    and regular, unlike web HTML)."""
+    and regular, unlike web HTML).  Entity-escaped markup chars in content
+    (&lt; &gt; &amp;) are restored, so write→read round-trips."""
     empty = {"extracted_text": "", "spans": [], "n_blocks_kept": 0,
              "n_blocks_dropped": 0, "parse_status": "failed"}
     try:
@@ -137,7 +145,7 @@ def extract_doclang(raw: bytes) -> dict:
     last_tag = "doclang"
     cursor = 0
     for m in _XML_TAG_RE.finditer(xml):
-        seg = _norm(xml[cursor:m.start()])
+        seg = _unescape_dclg(_norm(xml[cursor:m.start()]))
         if seg:
             if parts:
                 pos += 2
@@ -156,7 +164,7 @@ def extract_doclang(raw: bytes) -> dict:
         if name and not tag.startswith("</"):
             last_tag = name.group(1).lower()
         cursor = m.end()
-    tail = _norm(xml[cursor:])
+    tail = _unescape_dclg(_norm(xml[cursor:]))
     if tail:
         if parts:
             pos += 2

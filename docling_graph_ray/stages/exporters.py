@@ -30,7 +30,19 @@ FORMAT_MARKER = "docling-graph-ray/v1"
 
 def _encode_cell(v: Any) -> Any:
     if isinstance(v, (dict, list)):
-        return json.dumps(v, sort_keys=True, default=str)
+        from docling_graph_ray.functions.formatting import json_serializable
+
+        # exotic leaf types (dates, Decimals, UUIDs, Enums, models) encode
+        # via the reference's serialization ladder rather than repr noise
+        # (string_formatter.py:79-103); str() is the last-resort rung so a
+        # CSV export never hard-fails on a stray object
+        def _fallback(o: Any) -> Any:
+            try:
+                return json_serializable(o)
+            except TypeError:
+                return str(o)
+
+        return json.dumps(v, sort_keys=True, default=_fallback)
     return v
 
 
@@ -277,5 +289,136 @@ def export_documents_markdown(extracted, out_dir: str,
             names.append(name)
         return pa.table({url_col: pa.array([str(u) for u in urls]),
                          "md_file": pa.array(names)})
+
+    return extracted.map_batches(write_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# DoclingExporter parity: canonical .json / .md / .dclg per document
+# (docling_exporter.py:25-120 semantics on the extracted-row document model)
+
+_CTRL_RE = None  # compiled lazily (module import stays cheap on workers)
+
+
+def _scrub_ctrl(s: str) -> str:
+    """Strip the control chars DocLang forbids (doclang_sanitizer.py:50-71
+    semantics): C0 except \\t \\n \\r, plus DEL."""
+    global _CTRL_RE
+    if _CTRL_RE is None:
+        import re
+
+        _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    return _CTRL_RE.sub("", s)
+
+
+def _escape_dclg(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def document_to_dict(url: str, text: str, spans: list[dict]) -> dict:
+    """Canonical, lossless document dict — the ``document.json`` artifact
+    (stable key order via the canonical dumps; schema marker included so
+    re-import can dispatch)."""
+    return {
+        "format": FORMAT_MARKER + "/document",
+        "url": url,
+        "extracted_text": text,
+        "spans": [dict(s) for s in spans],
+    }
+
+
+def render_doclang(text: str, spans: list[dict]) -> str:
+    """DocLang markup view: one element per span, element name = the
+    span's block class, page/bbox geometry attached when present (whole
+    top-left pixels, the pre-quantization coordinates; the 512-grid
+    ``dclg_location`` needs page dims the row model doesn't carry).
+    Content is entity-escaped and control-char scrubbed, so
+    ``extract_doclang`` round-trips it (write → read → same text)."""
+    out: list[str] = ["<doclang>"]
+    for s in sorted(spans, key=lambda r: r["span_id"]):
+        seg = _scrub_ctrl(text[s["start"]:s["end"]])
+        cls = str(s.get("block_class") or "text") or "text"
+        tag = "".join(c if c.isalnum() or c in "_-" else "_" for c in cls)
+        if not tag[:1].isalpha():
+            tag = "b_" + tag
+        attrs = ""
+        bbox, page_no = s.get("bbox"), s.get("page_no")
+        if bbox is not None and len(bbox) == 4:
+            attrs += f' bbox="{",".join(str(int(v)) for v in bbox)}"'
+        if page_no is not None:
+            attrs += f' page="{int(page_no)}"'
+        out.append(f"<{tag}{attrs}>{_escape_dclg(seg)}</{tag}>")
+    out.append("</doclang>")
+    return "\n".join(out) + "\n"
+
+
+def export_document(url: str, text: str, spans: list[dict], out_dir: str,
+                    base_name: str, *, include_json: bool = True,
+                    include_markdown: bool = True,
+                    include_doclang: bool = True,
+                    per_page: bool = False) -> dict:
+    """One document → the reference's artifact set
+    (docling_exporter.py:25-88): ``{base}.json`` (canonical, lossless),
+    ``{base}.md`` (human view), ``{base}.dclg`` (content+geometry
+    interchange), optional per-page markdown under ``{base}_pages/``.
+    Returns the artifact path map."""
+    from docling_graph_ray.functions.formatting import dumps_canonical
+
+    os.makedirs(out_dir, exist_ok=True)
+    spans = sorted(spans or [], key=lambda r: r["span_id"])
+    paths: dict[str, Any] = {}
+    if include_json:
+        p = os.path.join(out_dir, base_name + ".json")
+        with open(p, "w") as f:
+            f.write(dumps_canonical(document_to_dict(url, text, spans)))
+        paths["document_json"] = p
+    if include_markdown:
+        p = os.path.join(out_dir, base_name + ".md")
+        with open(p, "w") as f:
+            f.write(render_markdown(text, spans))
+        paths["markdown"] = p
+    if include_doclang:
+        p = os.path.join(out_dir, base_name + ".dclg")
+        with open(p, "w") as f:
+            f.write(render_doclang(text, spans))
+        paths["doclang"] = p
+    if per_page:
+        page_dir = os.path.join(out_dir, base_name + "_pages")
+        os.makedirs(page_dir, exist_ok=True)
+        pages: dict[int, list[dict]] = {}
+        for s in spans:
+            pages.setdefault(int(s.get("page_no") or 0), []).append(s)
+        page_files = []
+        for page_no in sorted(pages):
+            p = os.path.join(page_dir, f"page_{page_no:03d}.md")
+            with open(p, "w") as f:
+                f.write(render_markdown(text, pages[page_no]))
+            page_files.append(p)
+        paths["page_markdowns"] = page_files
+    return paths
+
+
+def export_documents(extracted, out_dir: str, *, url_col: str = "url",
+                     **kw) -> "Any":
+    """Task-parallel Dataset version of ``export_document``: each batch
+    writes its documents' artifacts (names = blake2b-8 of the url, same
+    scheme as the markdown sidecars); returns (url, base_name) rows."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        from docling_graph_ray.functions.hashing import blake2b_hex
+
+        urls = batch.column(url_col).to_pylist()
+        texts = batch.column("extracted_text").to_pylist()
+        spans = batch.column("spans").to_pylist()
+        names = []
+        for u, t, sp in zip(urls, texts, spans):
+            base = blake2b_hex(str(u), digest_size=8)
+            export_document(str(u), t or "", sp or [], out_dir, base, **kw)
+            names.append(base)
+        return pa.table({url_col: pa.array([str(u) for u in urls]),
+                         "base_name": pa.array(names)})
 
     return extracted.map_batches(write_batch, batch_format="pyarrow")

@@ -1,0 +1,69 @@
+"""Structural backend protocols — the extension surface, typed.
+
+The reference exposes backend/exporter plugin protocols
+(docling_graph/core/extractors/backends/*, SURVEY.md §2.11); in this
+engine the plugin point is "a callable class usable as a warm actor in
+``map_batches(Cls, concurrency=...)``".  These ``typing.Protocol``
+classes make that contract checkable: a custom backend that satisfies
+the protocol slots into the pipeline unchanged — pass the class where
+the built-in one (``PdfParseActor``, ``MediaFeatureActor``, …) goes.
+
+All are ``runtime_checkable``: ``isinstance(obj, BatchStage)`` verifies
+a candidate instance structurally in tests / registry validation (the
+check sees method *presence*, not signatures — the unit tests cover the
+signature contract).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Protocol, runtime_checkable
+
+import pyarrow as pa
+
+
+@runtime_checkable
+class BatchStage(Protocol):
+    """A warm-actor batch stage: construct once per actor (load models,
+    compile patterns, build indexes), then transform Arrow batches."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table: ...
+
+
+@runtime_checkable
+class DocumentParser(Protocol):
+    """A binary-document parser lane (the ``PdfParseActor`` shape):
+    row-local bytes → (extracted_text, parse_status, spans)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table: ...
+
+    def _parse_one(self, raw: bytes) -> tuple[str, str, list[dict]]: ...
+
+
+@runtime_checkable
+class Exporter(Protocol):
+    """A graph/document exporter: Dataset in, artifact paths out."""
+
+    def __call__(self, ds: Any, out_dir: str) -> Any: ...
+
+
+def validate_stage(cls: type, *, batch: pa.Table | None = None) -> None:
+    """Registry-time validation for a custom stage class: instantiable
+    with no args (actor-pool contract) and structurally a BatchStage;
+    with ``batch`` given, also smoke-runs one call and checks the output
+    is an Arrow table.  Raises TypeError with a precise message."""
+    try:
+        inst = cls()
+    except TypeError as e:
+        raise TypeError(
+            f"{cls.__name__} must be constructible with no arguments "
+            f"(map_batches actor-pool contract): {e}"
+        ) from None
+    if not isinstance(inst, BatchStage):
+        raise TypeError(f"{cls.__name__} lacks a __call__(batch) method")
+    if batch is not None:
+        out = inst(batch)
+        if not isinstance(out, pa.Table):
+            raise TypeError(
+                f"{cls.__name__}.__call__ must return pyarrow.Table, "
+                f"got {type(out).__name__}"
+            )

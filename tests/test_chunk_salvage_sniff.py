@@ -62,6 +62,29 @@ def test_split_oversized_monster_single_word():
     assert len(pieces) > 1
 
 
+def test_chunk_geometry_union():
+    text = "alpha beta\n\ngamma delta\n\nepsilon zeta"
+    spans = [
+        {"span_id": 0, "start": 0, "end": 10, "page_no": 1,
+         "bbox": [10, 20, 100, 40]},
+        {"span_id": 1, "start": 12, "end": 23, "page_no": 1,
+         "bbox": [5, 50, 80, 70]},
+        {"span_id": 2, "start": 25, "end": 37, "page_no": 2,
+         "bbox": [0, 0, 50, 10]},
+    ]
+    chunks = chunk_document("u", text, spans, max_tokens=100)
+    assert len(chunks) == 1
+    # page = first covered span's page; bbox = union over that page only
+    assert chunks[0]["page_no"] == 1
+    assert chunks[0]["bbox"] == [5, 20, 100, 70]
+
+
+def test_chunk_geometry_null_without_spans():
+    chunks = chunk_document("u", "plain text here", None, max_tokens=100)
+    assert chunks[0]["page_no"] is None
+    assert chunks[0]["bbox"] is None
+
+
 def test_chunk_determinism():
     text = " ".join(f"t{i}" for i in range(300))
     a = chunk_document("u", text, None, max_tokens=32)
