@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_deep_merge": r.orders_deep_merge,
         "graph_content_dedup": g.graph_content_dedup,
         "doc_langid": t.doc_langid,
+        "doc_gopher_quality": t.doc_gopher_quality,
+        "doc_segment_dedup": t.doc_segment_dedup,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
         "doc_minhash_dedup": t.doc_minhash_dedup,
@@ -524,6 +526,72 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS pred_lang,
                    GREATEST(en, fr, de, es) AS stopword_hits
             FROM c
+        """,
+        # Gopher A1.1 repetition/quality rules; words = string_split on a
+        # single space (mirrors the Arrow split_pattern exactly), ROUND
+        # half-away == pc.round half_towards_infinity for these
+        # non-negative values; the pass flag applies thresholds to the
+        # ROUNDED metrics on both sides so boundaries agree.
+        "doc_gopher_quality": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            per_word AS (
+                SELECT doc_id, word, COUNT(*) AS cnt, length(word) AS wl
+                FROM w GROUP BY doc_id, word
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                       CAST(SUM(cnt * wl) AS BIGINT) AS total_chars,
+                       CAST(MAX(cnt * wl) AS BIGINT) AS top_chars
+                FROM per_word GROUP BY doc_id
+            ),
+            m AS (
+                SELECT d.doc_id, a.n_words, a.n_distinct_words,
+                       ROUND(a.total_chars * 1.0 / a.n_words, 6) AS mean_word_len,
+                       ROUND(1.0 - (a.n_distinct_words * 1.0 / a.n_words), 6)
+                           AS dup_word_frac,
+                       ROUND(a.top_chars * 1.0 / GREATEST(a.total_chars, 1), 6)
+                           AS top_word_char_frac,
+                       CAST(length(regexp_extract_all(d.text,
+                            '\\b(?:the|a|and|of|to|in)\\b')) AS BIGINT)
+                           AS stopword_hits
+                FROM documents d JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, n_words, n_distinct_words, mean_word_len,
+                   dup_word_frac, top_word_char_frac, stopword_hits,
+                   (n_words >= 30
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND dup_word_frac <= 0.5
+                    AND top_word_char_frac <= 0.25
+                    AND stopword_hits >= 1) AS gopher_pass
+            FROM m
+        """,
+        # C4-style segment dedup on 20-word windows: the corpus-wide
+        # first occurrence (min doc_id, seg_idx) of each distinct segment
+        # keeps.  DuckDB list slices are 1-based inclusive; md5 matches
+        # hashlib.md5 on the utf-8 bytes.
+        "doc_segment_dedup": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            segs AS (
+                SELECT w.doc_id,
+                       CAST(g.i AS BIGINT) AS seg_idx,
+                       md5(array_to_string(
+                           w.words[g.i * 20 + 1 : g.i * 20 + 20], ' '))
+                           AS seg_hash
+                FROM w, unnest(range(CAST(ceil(len(w.words) / 20.0)
+                                          AS BIGINT))) AS g(i)
+            )
+            SELECT doc_id, seg_idx, seg_hash,
+                   (ROW_NUMBER() OVER (PARTITION BY seg_hash
+                                       ORDER BY doc_id, seg_idx) = 1) AS keep
+            FROM segs
         """,
         # backward as-of: latest order at-or-before each event's ts within
         # the user's key, max orderkey on orderdate ties (stages/asof.py

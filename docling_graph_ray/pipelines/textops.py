@@ -90,6 +90,24 @@ def doc_bpe_tokens(sf_dir: str):
     )
 
 
+def doc_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality rules per document (Rae et al.
+    2021 A1.1): duplicate-word fraction, top-word char fraction, mean
+    word length, stopword hits, combined pass flag."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.gopher_quality_batch, batch_format="pyarrow"
+    )
+
+
+def doc_segment_dedup(sf_dir: str):
+    """C4-style segment-level corpus dedup (word-window unit): first
+    corpus-wide occurrence of each 20-word segment keeps, later
+    occurrences are flagged dropped.  Only (id, idx, md5) rows shuffle."""
+    from docling_graph_ray.stages.dedup import segment_exact_dedup
+
+    return segment_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # near-dup dedup family (rows-only; semantics tested in unit tests)
 

@@ -67,6 +67,72 @@ def add_text_hash(text_col: str, out_col: str = "text_hash"):
     return fn
 
 
+def segment_rows_udf(*, text_col: str = "text", id_col: str = "doc_id",
+                     window: int = 20):
+    """map_batches UDF factory: explode documents into non-overlapping
+    ``window``-word segments, emitting only ``(id, seg_idx, seg_hash)``
+    rows — the segment-level (C4-style "paragraph") dedup unit.  The
+    synthetic corpus carries no newlines, so the segmentation unit is a
+    fixed word window rather than a blank-line paragraph; the dedup
+    shape is identical.  Words split on a single space (matching DuckDB
+    ``string_split(text, ' ')`` so the oracle mirrors exactly); segments
+    hash with md5 (the digest both sides share).  Text itself never
+    leaves the batch — only ~48-byte rows shuffle."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_ids: list = []
+        out_idx: list[int] = []
+        out_hash: list[str] = []
+        for d, t in zip(ids, texts):
+            words = (t or "").split(" ")
+            n_seg = (len(words) + window - 1) // window
+            for i in range(n_seg):
+                seg = " ".join(words[i * window:(i + 1) * window])
+                out_ids.append(d)
+                out_idx.append(i)
+                out_hash.append(hashlib.md5(seg.encode("utf-8", "surrogatepass")).hexdigest())
+        return pa.table({
+            id_col: pa.array(out_ids, batch.column(id_col).type),
+            "seg_idx": pa.array(out_idx, pa.int64()),
+            "seg_hash": pa.array(out_hash, pa.string()),
+        })
+
+    return fn
+
+
+def segment_exact_dedup(docs, *, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 20):
+    """Corpus-wide segment-level exact dedup (the C4 pipeline's
+    paragraph dedup, Raffel et al. 2020 §2.2, adapted to word windows):
+    every document explodes into ``window``-word segments; the first
+    occurrence of each distinct segment corpus-wide (min ``(id,
+    seg_idx)``) keeps, all later occurrences are marked dropped.
+
+    Returns ``(id, seg_idx, seg_hash, keep)`` rows.  One hash-partition
+    shuffle of tiny signature rows; groups are occurrence lists of a
+    single segment hash (small — bounded by that segment's corpus
+    frequency), marked with a vectorized sort + first-flag."""
+    segs = docs.map_batches(
+        segment_rows_udf(text_col=text_col, id_col=id_col, window=window),
+        batch_format="pyarrow",
+    )
+
+    def mark_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[(id_col, "ascending"), ("seg_idx", "ascending")],
+        )
+        g = group.take(idx)
+        keep = np.zeros(len(g), dtype=bool)
+        keep[0] = True
+        return g.append_column("keep", pa.array(keep))
+
+    return segs.groupby("seg_hash").map_groups(mark_first, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # signature machinery (vectorized per doc)
 

@@ -85,6 +85,89 @@ def quality_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+# Gopher-style repetition / quality rules (Rae et al. 2021 "Scaling
+# Language Models" appendix A1.1, public).  Word-level repetition stats
+# (duplicate-word fraction, top-word character fraction), mean word
+# length, stopword presence, and the combined pass flag.  Words = split
+# on a single space, matching the oracle's ``string_split(text, ' ')``.
+
+_GOPHER_STOPWORD_RE = r"\b(?:the|a|and|of|to|in)\b"
+
+# pass-rule thresholds (documented, applied to the ROUNDED metrics so the
+# Ray and SQL sides agree on boundary values)
+GOPHER_MIN_WORDS = 30
+GOPHER_WORD_LEN_RANGE = (3.0, 10.0)
+GOPHER_MAX_DUP_WORD_FRAC = 0.5
+GOPHER_MAX_TOP_WORD_CHAR_FRAC = 0.25
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Per-document Gopher repetition/quality metrics, vectorized: Arrow
+    ``split_pattern``/``list_flatten`` explodes words zero-copy, pandas
+    C-path groupbys compute the per-(doc, word) counts — no Python loop
+    over rows or words."""
+    import numpy as np
+    import pandas as pd
+
+    n_docs = len(batch)
+    text = pc.fill_null(batch.column(text_col), "")
+    words_list = pc.split_pattern(text, " ")
+    counts = pc.list_value_length(words_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words_list)
+    doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    df = pd.DataFrame({"i": doc_ix, "w": flat.to_pandas(), "wl": wl})
+    per_word = df.groupby(["i", "w"], sort=False).agg(
+        cnt=("wl", "size"), wl=("wl", "first")
+    )
+    per_word["chars"] = per_word["cnt"] * per_word["wl"]
+    by_doc = per_word.groupby(level=0)
+    full = pd.RangeIndex(n_docs)
+    n_distinct = by_doc.size().reindex(full, fill_value=0).to_numpy()
+    total_chars = by_doc["chars"].sum().reindex(full, fill_value=0).to_numpy()
+    top_chars = by_doc["chars"].max().reindex(full, fill_value=0).to_numpy()
+
+    n_words = np.maximum(counts, 1)
+    safe_chars = np.maximum(total_chars, 1)
+
+    def round6(a: "np.ndarray") -> pa.Array:
+        # half_towards_infinity matches SQL ROUND for non-negative values
+        return pc.round(pa.array(a, pa.float64()), ndigits=6,
+                        round_mode="half_towards_infinity")
+
+    dup_word_frac = round6(1.0 - (n_distinct * 1.0 / n_words))
+    top_word_char_frac = round6(top_chars * 1.0 / safe_chars)
+    mean_word_len = round6(total_chars * 1.0 / n_words)
+    stopword_hits = pc.count_substring_regex(text, _GOPHER_STOPWORD_RE).cast(pa.int64())
+
+    dw = dup_word_frac.to_numpy(zero_copy_only=False)
+    tw = top_word_char_frac.to_numpy(zero_copy_only=False)
+    mw = mean_word_len.to_numpy(zero_copy_only=False)
+    sh = stopword_hits.to_numpy(zero_copy_only=False)
+    lo, hi = GOPHER_WORD_LEN_RANGE
+    gopher_pass = (
+        (counts >= GOPHER_MIN_WORDS)
+        & (mw >= lo) & (mw <= hi)
+        & (dw <= GOPHER_MAX_DUP_WORD_FRAC)
+        & (tw <= GOPHER_MAX_TOP_WORD_CHAR_FRAC)
+        & (sh >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(counts, pa.int64()),
+        "n_distinct_words": pa.array(n_distinct, pa.int64()),
+        "mean_word_len": mean_word_len,
+        "dup_word_frac": dup_word_frac,
+        "top_word_char_frac": top_word_char_frac,
+        "stopword_hits": stopword_hits,
+        "gopher_pass": pa.array(gopher_pass),
+    })
+
+
 # ---------------------------------------------------------------------------
 # language ID (stopword-profile heuristic)
 

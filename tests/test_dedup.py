@@ -158,3 +158,42 @@ def test_dedup_deterministic_across_runs(ray_session):
     a = sorted(map(tuple, (r.values() for r in minhash_lsh_dedup(ds1).take_all())))
     b = sorted(map(tuple, (r.values() for r in minhash_lsh_dedup(ds2).take_all())))
     assert a == b
+
+
+def test_segment_exact_dedup(ray_session):
+    """20-word-window segment dedup: first corpus occurrence keeps."""
+    import hashlib
+
+    from docling_graph_ray.stages.dedup import segment_exact_dedup
+
+    w = ["w%d" % i for i in range(20)]
+    seg_a = " ".join(w)               # shared 20-word segment
+    tail_b = "unique tail b"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [seg_a + " " + "only one extra word here for doc one x y z a b c d e f g h i",
+                 seg_a + " " + tail_b,
+                 "totally different words entirely"],
+    })
+    rows = segment_exact_dedup(ray.data.from_arrow(t)).take_all()
+    by = {(r["doc_id"], r["seg_idx"]): r for r in rows}
+    # doc 1 and doc 2 share segment 0 (exact same first 20 words)
+    h1, h2 = by[(1, 0)], by[(2, 0)]
+    assert h1["seg_hash"] == h2["seg_hash"]
+    assert h1["keep"] and not h2["keep"]           # min (doc_id, idx) wins
+    # unique segments all keep
+    assert by[(2, 1)]["keep"] and by[(3, 0)]["keep"]
+    # hash matches hashlib.md5 of the joined window
+    assert h1["seg_hash"] == hashlib.md5(seg_a.encode()).hexdigest()
+
+
+def test_segment_dedup_empty_text(ray_session):
+    from docling_graph_ray.stages.dedup import segment_exact_dedup
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["", ""]})
+    rows = segment_exact_dedup(ray.data.from_arrow(t)).take_all()
+    # '' splits to [''] → one (empty) segment per doc; doc 1 keeps
+    assert len(rows) == 2
+    by = {r["doc_id"]: r for r in rows}
+    assert by[1]["keep"] and not by[2]["keep"]

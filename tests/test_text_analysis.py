@@ -67,3 +67,38 @@ def test_bpe_tokens_at_least_words():
     toks = out.column("n_bpe_tokens").to_pylist()
     for t, n in zip(TEXTS, toks):
         assert n >= len(t.split())
+
+
+def test_gopher_quality_metrics():
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.text_analysis import gopher_quality_batch
+
+    # 30 words, 'the' present, varied words → passes every rule
+    good = "the " + " ".join("word%02d" % i for i in range(29))
+    # heavy repetition of one word → dup + top-word rules fail
+    bad = "spam " * 40 + "the end"
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": [good, bad.strip()]})
+    out = gopher_quality_batch(t).to_pylist()
+    g, b = out[0], out[1]
+    assert g["n_words"] == 30 and g["n_distinct_words"] == 30
+    assert g["dup_word_frac"] == 0.0
+    assert g["stopword_hits"] >= 1
+    assert g["gopher_pass"]
+    assert b["dup_word_frac"] > 0.5 or b["top_word_char_frac"] > 0.25
+    assert not b["gopher_pass"]
+
+
+def test_gopher_quality_empty_and_null():
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.text_analysis import gopher_quality_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", None], pa.string())})
+    out = gopher_quality_batch(t).to_pylist()
+    for r in out:
+        assert r["n_words"] == 1      # '' splits to one empty word
+        assert r["mean_word_len"] == 0.0
+        assert not r["gopher_pass"]
