@@ -527,6 +527,27 @@ def oracle_sql() -> dict[str, str]:
                    GREATEST(en, fr, de, es) AS stopword_hits
             FROM c
         """,
+        # The 64-bit FNV-style rolling polynomial hash, replayed in SQL:
+        # Horner fold (acc*B + byte) mod 2^64 via HUGEINT list_reduce,
+        # seeded by prepending the offset basis (functions/hashing.py
+        # rolling_fingerprint's  seed*B^n + sum byte_j*B^(n-1-j)  is
+        # exactly that Horner form).  ascii(char) == utf-8 byte because
+        # the synthetic corpus is pure ASCII (verified at every sf tier);
+        # empty text short-circuits to the seed, matching the Python side.
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0
+                        THEN 'cbf29ce484222325'
+                        ELSE lower(lpad(to_hex(CAST(list_reduce(
+                          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                            list_transform(string_split(text, ''),
+                                           c -> CAST(ascii(c) AS HUGEINT))),
+                          (a, b) -> (a * 1099511628211 + b)
+                                    % 18446744073709551616
+                        ) AS UBIGINT)), 16, '0'))
+                   END AS fingerprint
+            FROM documents
+        """,
         # Gopher A1.1 repetition/quality rules; words = string_split on a
         # single space (mirrors the Arrow split_pattern exactly), ROUND
         # half-away == pc.round half_towards_infinity for these
