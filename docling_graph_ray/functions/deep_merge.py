@@ -225,6 +225,45 @@ def _merge_entity_lists(
     return merged
 
 
+def record_path_catalog(records: list[dict] | dict) -> list[str]:
+    """Dotted paths of every nested entity location observed in
+    ``records`` — the data-derived analogue of the reference's
+    template-derived NodeCatalog paths (dense/catalog.py NodeCatalog;
+    a path exists wherever a value is a dict or a list of dicts).
+    Returns paths sorted ascending; '' (the root) is always present."""
+    if isinstance(records, dict):
+        records = [records]
+    paths: set[str] = {""}
+
+    def walk(value: object, path: str) -> None:
+        if isinstance(value, dict):
+            if path:
+                paths.add(path)
+            for k, v in value.items():
+                walk(v, f"{path}.{k}" if path else k)
+        elif isinstance(value, list):
+            for item in value:
+                if isinstance(item, dict):
+                    walk(item, path)
+
+    for r in records:
+        walk(r, "")
+    return sorted(paths)
+
+
+def bottom_up_path_order(paths: list[str]) -> list[str]:
+    """Paths deepest-first (depth = dotted segments; root '' last), ties
+    by path ascending for determinism — the fill/merge scheduling order
+    (dense/catalog.py:469-476 ``bottom_up_path_order``): children
+    consolidate before the parents that embed them, so a parent-level
+    merge never sees half-merged child lists."""
+
+    def depth(p: str) -> int:
+        return (p.count(".") + 1) if p else 0
+
+    return sorted(paths, key=lambda p: (-depth(p), p))
+
+
 def consolidate_records(records: list[dict], **kwargs) -> dict:
     """Left-associative fold of partial records
     (dict_merger.py:324-347 ``consolidate_extracted_data``)."""
