@@ -27,6 +27,7 @@ from __future__ import annotations
 import gzip
 import re
 import zlib
+from html import unescape
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -84,28 +85,35 @@ _CODEC_ALIASES = {
 }
 
 
-def decode_html(raw: bytes) -> tuple[str, str]:
-    """bytes → (text, decode_status in {ok, salvaged, failed})."""
-    if raw[:2] == _GZIP_MAGIC:
+def decode_html(raw) -> tuple[str, str]:
+    """bytes-like → (text, decode_status in {ok, salvaged, failed}).
+
+    Accepts ``bytes`` or ``memoryview`` — callers that read rows straight
+    off an Arrow binary column pass a zero-copy view of the object-store
+    buffer, so the only copy of the input payload is the decoded ``str``
+    itself (``str(view, codec)`` reads the buffer directly)."""
+    # bytes(...) on the 2-byte slice: a signed-format memoryview (pyarrow
+    # buffers expose format 'b') never compares equal to a bytes literal
+    if bytes(raw[:2]) == _GZIP_MAGIC:
         try:
             raw = gzip.decompress(raw)
         except (OSError, EOFError, zlib.error):
             return "", "failed"
     try:
-        return raw.decode("utf-8"), "ok"
+        return str(raw, "utf-8"), "ok"
     except UnicodeDecodeError:
         pass
     m = _CHARSET_RE.search(raw[:2048])
     if m:
-        name = m.group(1).decode("ascii", "ignore").lower()
+        name = str(m.group(1), "ascii", "ignore").lower()
         codec = _CODEC_ALIASES.get(name, name)
         if codec not in ("utf-8",):
             try:
-                return raw.decode(codec), "ok"
+                return str(raw, codec), "ok"
             except (UnicodeDecodeError, LookupError):
                 pass
     # lenient last rung: never throw a row away
-    return raw.decode("cp1252", errors="replace"), "salvaged"
+    return str(raw, "cp1252", "replace"), "salvaged"
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +228,7 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data: str) -> None:
         if self._skip_depth > 0 or not data:
             return
-        if not data.strip():
+        if data.isspace():  # blank-test without the strip() allocation
             return
         b = self._block()
         b.parts.append(data)
@@ -265,8 +273,6 @@ _RAWTEXT_CLOSE = {t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in _RAWTEXT}
 
 def _scan_feed(p: _BlockParser, s: str) -> None:
     """Drive _BlockParser's callbacks from one finditer pass."""
-    from html import unescape
-
     pos = 0
     n = len(s)
     find = _SCAN_RE.finditer
@@ -340,7 +346,7 @@ def parse_blocks(html_text: str, engine: str = "fast") -> list[dict]:
             {
                 "text": text,
                 "len": len(text),
-                "link_chars": min(b.link_chars, len("".join(b.parts))),
+                "link_chars": min(b.link_chars, len(joined)),
                 "n_tags": b.n_tags,
                 "tag_class": b.tag_class,
                 "boiler": b.boiler,
@@ -497,48 +503,80 @@ def extract_html_doc(raw: bytes, fallback_text: str | None) -> dict:
 # the batch operator (pyarrow in → pyarrow out; html projected away)
 
 
+def iter_binary_views(col):
+    """Yield one zero-copy ``memoryview`` per row of an Arrow (large_)binary
+    column (``b""`` for nulls) — the input-side bandwidth rule: the raw
+    payload is read straight off the object-store buffer, never first
+    materialized as a Python ``bytes`` list (``to_pylist`` copies every
+    row up-front and doubles the stage's resident input)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        for s in chunk:
+            yield memoryview(s.as_buffer()) if s.is_valid else b""
+
+
+def text_column_with_digests(texts: list[str]):
+    """texts → (large_string array, sha256 hex list, byte-length array).
+
+    Single-encode rule: the text is UTF-8-encoded exactly ONCE — by the
+    Arrow array build — and both the content digest and ``bytes_out`` are
+    computed from the array's own data buffer (zero-copy scalar views),
+    instead of two more ``str.encode`` passes per row.  On the flagship
+    profile the output text is ~40% of input bytes, so the two dropped
+    passes are a measurable share of the stage's memory bandwidth (the
+    4→16-way scaling binder on bandwidth-limited hosts)."""
+    import hashlib
+
+    text_arr = pa.array(texts, pa.large_string())
+    bin_arr = text_arr.cast(pa.large_binary())  # zero-copy view
+    import pyarrow.compute as pc
+
+    shas = [hashlib.sha256(s.as_buffer()).hexdigest() for s in bin_arr]
+    lens = pc.binary_length(bin_arr).cast(pa.int64())
+    return text_arr, shas, lens
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """``map_batches`` UDF: pages schema in, EXTRACT_SCHEMA out.
 
     The per-row work (DOM parse) is inherently row-wise Python; columns are
     assembled as Arrow arrays and the ``html`` binary column is dropped
-    here, as early as possible (SURVEY.md §7.5 wide-record rule).
+    here, as early as possible (SURVEY.md §7.5 wide-record rule).  The
+    ``url``/``warc_ts``/``lang`` columns pass through as Arrow arrays
+    (never round-tripped through Python), input html rows are read as
+    zero-copy views, and the output text is encoded once
+    (``text_column_with_digests``).
     """
-    urls = batch.column("url").to_pylist()
-    htmls = batch.column("html").to_pylist()
     texts = batch.column("text").to_pylist()
 
     out = {
-        "extracted_text": [], "text_sha256": [], "spans": [],
+        "extracted_text": [], "spans": [],
         "n_blocks_kept": [], "n_blocks_dropped": [], "parse_status": [],
-        "bytes_in": [], "bytes_out": [],
+        "bytes_in": [],
     }
-    for raw, fb in zip(htmls, texts):
-        raw = raw or b""
+    for raw, fb in zip(iter_binary_views(batch.column("html")), texts):
         r = extract_html_doc(raw, fb)
-        t = r["extracted_text"]
-        out["extracted_text"].append(t)
-        out["text_sha256"].append(sha256_hex(t))
+        out["extracted_text"].append(r["extracted_text"])
         out["spans"].append(r["spans"])
         out["n_blocks_kept"].append(r["n_blocks_kept"])
         out["n_blocks_dropped"].append(r["n_blocks_dropped"])
         out["parse_status"].append(r["parse_status"])
         out["bytes_in"].append(len(raw))
-        out["bytes_out"].append(len(t.encode("utf-8", "surrogatepass")))
 
+    text_arr, shas, bytes_out = text_column_with_digests(out["extracted_text"])
     return pa.Table.from_arrays(
         [
-            pa.array(urls, pa.string()),
+            batch.column("url").cast(pa.string()),
             batch.column("warc_ts"),
             batch.column("lang"),
-            pa.array(out["extracted_text"], pa.large_string()),
-            pa.array(out["text_sha256"], pa.string()),
+            text_arr,
+            pa.array(shas, pa.string()),
             pa.array(out["spans"], pa.list_(SPAN_TYPE)),
             pa.array(out["n_blocks_kept"], pa.int32()),
             pa.array(out["n_blocks_dropped"], pa.int32()),
             pa.array(out["parse_status"], pa.string()),
             pa.array(out["bytes_in"], pa.int64()),
-            pa.array(out["bytes_out"], pa.int64()),
+            bytes_out,
         ],
         schema=EXTRACT_SCHEMA,
     )

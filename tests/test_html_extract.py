@@ -88,6 +88,26 @@ def test_decode_gzip_and_charsets():
     assert st == "salvaged" and "bad" in txt
 
 
+def test_decode_accepts_arrow_buffer_memoryview():
+    """Regression: pyarrow binary buffers expose signed-format ('b')
+    memoryviews, whose slices never compare equal to bytes literals —
+    the gzip-magic check must coerce before comparing, or every gzipped
+    row read zero-copy off an Arrow column silently skips decompression
+    and lands in the salvage rung."""
+    import pyarrow as pa
+
+    payload = gzip.compress("<p>zero-copy héllo</p>".encode("utf-8"))
+    arr = pa.array([payload], pa.binary())
+    view = memoryview(arr[0].as_buffer())
+    assert view.format == "b"  # the signed-format trap this guards
+    txt, st = decode_html(view)
+    assert st == "ok" and "zero-copy héllo" in txt
+    # plain utf-8 via memoryview too
+    arr2 = pa.array(["plain é".encode()], pa.binary())
+    txt, st = decode_html(memoryview(arr2[0].as_buffer()))
+    assert st == "ok" and "plain é" in txt
+
+
 def test_fallback_text_rung():
     # corrupt gzip → decode failed → crawler text column used
     bad = b"\x1f\x8b\x00\x00garbage"
