@@ -41,12 +41,14 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from docling_graph_ray.functions.hashing import sha256_hex, url_part_ids, xor_rollup_hex
+from docling_graph_ray.functions.hashing import url_part_ids, xor_rollup_hex
 from docling_graph_ray.stages.doc_formats import extract_doc_json, extract_doclang
 from docling_graph_ray.stages.html_extract import (
     EXTRACT_SCHEMA,
     SPAN_TYPE,
     extract_html_doc,
+    iter_binary_views,
+    text_column_with_digests,
 )
 from docling_graph_ray.stages.pdf_parse import PDF_MAGIC, PdfParseActor
 from docling_graph_ray.state.manifest import completed_parts, write_partition_atomic
@@ -135,36 +137,40 @@ class ExtractActor(PdfParseActor):
     giant_parse_cap = GIANT_PARSE_CAP_BYTES
 
     def __call__(self, batch: pa.Table):
-        urls = batch.column("url").to_pylist()
+        urls = batch.column("url")
         warcs = batch.column("warc_ts")
         langs = batch.column("lang")
         parts = batch.column("part_id")
         lanes = batch.column("lane").to_pylist()
-        htmls = batch.column("html").to_pylist()
         texts = batch.column("text").to_pylist()
 
         def new_acc():
             return {
-                "idx": [], "extracted_text": [], "text_sha256": [], "spans": [],
+                "idx": [], "extracted_text": [], "spans": [],
                 "n_blocks_kept": [], "n_blocks_dropped": [], "parse_status": [],
-                "bytes_in": [], "bytes_out": [],
+                "bytes_in": [],
             }
 
         def flush(acc):
             idx = pa.array(acc["idx"], pa.int64())
+            # single-encode rule: the Arrow array build is the ONE UTF-8
+            # encode; sha256 + bytes_out come from the array's own buffer
+            text_arr, shas, bytes_out = text_column_with_digests(
+                acc["extracted_text"]
+            )
             return pa.Table.from_arrays(
                 [
-                    pa.array([urls[i] for i in acc["idx"]], pa.string()),
+                    urls.take(idx).cast(pa.string()),
                     warcs.take(idx),
                     langs.take(idx),
-                    pa.array(acc["extracted_text"], pa.large_string()),
-                    pa.array(acc["text_sha256"], pa.string()),
+                    text_arr,
+                    pa.array(shas, pa.string()),
                     pa.array(acc["spans"], pa.list_(SPAN_TYPE)),
                     pa.array(acc["n_blocks_kept"], pa.int32()),
                     pa.array(acc["n_blocks_dropped"], pa.int32()),
                     pa.array(acc["parse_status"], pa.string()),
                     pa.array(acc["bytes_in"], pa.int64()),
-                    pa.array(acc["bytes_out"], pa.int64()),
+                    bytes_out,
                     parts.take(idx),
                 ],
                 schema=_STAGE_SCHEMA,
@@ -172,11 +178,14 @@ class ExtractActor(PdfParseActor):
 
         acc = new_acc()
         consumed = 0
-        for i, (raw, fb, lane) in enumerate(zip(htmls, texts, lanes)):
-            raw = raw or b""
+        html_views = iter_binary_views(batch.column("html"))
+        for i, (raw, fb, lane) in enumerate(zip(html_views, texts, lanes)):
             acc["idx"].append(i)
             if lane == "pdf":
-                t, st, spans = self._parse_one(raw)
+                # the PDF codec's object scan does many bytes ops; one
+                # whole-payload copy here is fine — the lane is rare and
+                # the parse itself dominates
+                t, st, spans = self._parse_one(bytes(raw))
                 r = {"extracted_text": t, "spans": spans,
                      "n_blocks_kept": len(spans), "n_blocks_dropped": 0,
                      "parse_status": st}
@@ -190,12 +199,14 @@ class ExtractActor(PdfParseActor):
                 body = raw[:self.giant_parse_cap] if capped else raw
                 # structured-document lanes (already-parsed formats,
                 # handlers.py:526-673 analogue): cheap head checks here,
-                # full sniffing in stages/sniff.py
-                head = body[:2048]
+                # full sniffing in stages/sniff.py.  bytes(...) on the
+                # 2 KB head only — body stays a zero-copy view for the
+                # dominant html lane
+                head = bytes(body[:2048])
                 if head.lstrip()[:1] == b"{" and b'"schema_name"' in head:
-                    r = extract_doc_json(body)
+                    r = extract_doc_json(bytes(body))
                 elif b"<doclang" in head[:256].lower():
-                    r = extract_doclang(body)
+                    r = extract_doclang(bytes(body))
                 else:
                     r = extract_html_doc(body, fb)
                 if capped and r["parse_status"] == "ok":
@@ -207,15 +218,12 @@ class ExtractActor(PdfParseActor):
                                     "block_class": "text"}],
                          "n_blocks_kept": 1, "n_blocks_dropped": 0,
                          "parse_status": "fallback_text"}
-            t = r["extracted_text"]
-            acc["extracted_text"].append(t)
-            acc["text_sha256"].append(sha256_hex(t))
+            acc["extracted_text"].append(r["extracted_text"])
             acc["spans"].append(r["spans"])
             acc["n_blocks_kept"].append(r["n_blocks_kept"])
             acc["n_blocks_dropped"].append(r["n_blocks_dropped"])
             acc["parse_status"].append(r["parse_status"])
             acc["bytes_in"].append(len(raw))
-            acc["bytes_out"].append(len(t.encode("utf-8", "surrogatepass")))
             consumed += len(raw)
             if consumed >= _SUB_BATCH_BYTES or len(acc["idx"]) >= _SUB_BATCH_ROWS:
                 yield flush(acc)
