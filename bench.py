@@ -237,6 +237,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> None:
         tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         pages_parquet_dir(_SF_ROWS.get(tier, 300), profile="t1")
 
+        # UNTIMED actor/worker warm pilot — same rule as the scaling
+        # child: worker start + package import + actor-pool spawn is a
+        # fixed per-session cost (~5-10 s at 32 cpus) that is noise at
+        # the 100 TB design point; left inside the timed section it all
+        # lands on whichever query runs first (pages_flagship).
+        import shutil
+
+        from docling_graph_ray.fixtures.pages import pages_dataset
+        from docling_graph_ray.pipelines.extract import run_extract_pipeline
+
+        warm = "/tmp/graft_bench_warm"
+        shutil.rmtree(warm, ignore_errors=True)
+        run_extract_pipeline(
+            pages_dataset(256, profile="t1"), out_dir=warm, num_partitions=8
+        ).count()
+        shutil.rmtree(warm, ignore_errors=True)
+
         qs = e.queries()
         timings: dict[str, float] = {}
         for name in HEADLINE:
