@@ -315,8 +315,33 @@ def anti_join_customers(sf_dir: str, num_partitions: int = 8):
 def latest_event_per_user(sf_dir: str):
     """Per-user latest event — the per-group-first/latest pattern
     (reference analogue: duplicate absorption keyed latest-wins,
-    docling_graph/core/merge/merger.py:175-238)."""
+    docling_graph/core/merge/merger.py:175-238).
+
+    Combiner-before-shuffle: each input batch is first reduced to at most
+    one row per user (vectorized sort + group-boundary mask), so the wide
+    groupby moves O(batches x users) candidate rows instead of every
+    event — at web scale the shuffle payload is the user cardinality, not
+    the event volume."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial_top1(batch: pa.Table) -> pa.Table:
+        # sort user asc, (ts, event_id) desc; the first row of each user
+        # run is that user's batch-local latest
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "descending"),
+                ("event_id", "descending"),
+            ],
+        )
+        s = batch.take(idx)
+        uid = s.column("user_id").to_numpy(zero_copy_only=False)
+        first = np.empty(len(uid), dtype=bool)
+        if len(uid):
+            first[0] = True
+            first[1:] = uid[1:] != uid[:-1]
+        return s.filter(pa.array(first))
 
     def top1(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -332,7 +357,11 @@ def latest_event_per_user(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(top1, batch_format="pyarrow")
+    return (
+        ds.map_batches(partial_top1, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(top1, batch_format="pyarrow")
+    )
 
 
 def events_by_type(sf_dir: str):
