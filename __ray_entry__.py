@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": t.doc_langid,
         "doc_gopher_quality": t.doc_gopher_quality,
         "doc_segment_dedup": t.doc_segment_dedup,
+        "doc_source_rollup": t.doc_source_rollup,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
         "doc_minhash_dedup": t.doc_minhash_dedup,
@@ -613,6 +614,18 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (PARTITION BY seg_hash
                                        ORDER BY doc_id, seg_idx) = 1) AS keep
             FROM segs
+        """,
+        # per-source (per-domain) corpus rollup: doc/token/char volume and
+        # largest doc per crawl source; token rule matches doc_token_counts
+        "doc_source_rollup": """
+            SELECT source,
+                   CAST(SUM(CASE WHEN TRIM(text) = '' THEN 0
+                            ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                       END) AS BIGINT) AS n_tokens,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+                   MAX(LENGTH(text)) AS max_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source
         """,
         # backward as-of: latest order at-or-before each event's ts within
         # the user's key, max orderkey on orderdate ties (stages/asof.py

@@ -108,6 +108,47 @@ def doc_segment_dedup(sf_dir: str):
     return segment_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_source_rollup(sf_dir: str):
+    """Per-source corpus rollup — the per-domain statistics pass of a web
+    pipeline (docs / token volume / char volume / largest doc per crawl
+    source or domain).
+
+    Combiner-before-shuffle: each batch reduces to at most one row per
+    source (vectorized Arrow ``group_by`` inside ``map_batches``), so the
+    wide groupby moves O(batches x sources) partial rows — at web scale
+    the shuffle payload is the domain cardinality, never the corpus."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        t = pa.table({
+            "source": b.column("source"),
+            "n_tokens": pc.count_substring_regex(text, r"\S+").cast(pa.int64()),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("n_tokens", "sum"), ("n_chars", "sum"), ("n_chars", "max"),
+             ("n_tokens", "count")]
+        )
+        return g.rename_columns(
+            ["source", "n_tokens", "n_chars", "max_chars", "n_docs"]
+        )
+
+    partials = _docs(sf_dir, ["source", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Max, Sum
+
+    final = partials.groupby("source").aggregate(
+        Sum("n_tokens"), Sum("n_chars"), Max("max_chars"), Sum("n_docs")
+    )
+    return final.map_batches(
+        lambda t: t.rename_columns(
+            ["source", "n_tokens", "n_chars", "max_chars", "n_docs"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup dedup family (rows-only; semantics tested in unit tests)
 
