@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_quality": t.doc_gopher_quality,
         "doc_segment_dedup": t.doc_segment_dedup,
         "doc_source_rollup": t.doc_source_rollup,
+        "doc_normalize": t.doc_normalize,
+        "doc_top_tokens": t.doc_top_tokens,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
         "doc_minhash_dedup": t.doc_minhash_dedup,
@@ -614,6 +616,26 @@ def oracle_sql() -> dict[str, str]:
                    (ROW_NUMBER() OVER (PARTITION BY seg_hash
                                        ORDER BY doc_id, seg_idx) = 1) AS keep
             FROM segs
+        """,
+        # NFC + lowercase + whitespace-collapse canonicalization; DuckDB
+        # nfc_normalize and lower() are utf8proc-backed like Arrow's kernels
+        "doc_normalize": """
+            SELECT doc_id,
+                   TRIM(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        # corpus vocabulary head: global top-100 whitespace tokens; the
+        # (n DESC, token ASC) order is total, so the cutoff is stable
+        "doc_top_tokens": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+'))
+                       AS token
+                FROM documents WHERE TRIM(text) <> ''
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT 100
         """,
         # per-source (per-domain) corpus rollup: doc/token/char volume and
         # largest doc per crawl source; token rule matches doc_token_counts

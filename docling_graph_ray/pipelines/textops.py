@@ -108,6 +108,60 @@ def doc_segment_dedup(sf_dir: str):
     return segment_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_normalize(sf_dir: str):
+    """Unicode text normalization — the canonicalization pass a web corpus
+    runs before dedup/tokenization: NFC normalize, full-Unicode lowercase,
+    collapse whitespace runs to single spaces, trim.  Entirely Arrow
+    kernels (``utf8_normalize`` / ``utf8_lower`` / regex replace): no
+    Python touches a row, and the stage streams block-by-block."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(b.column("text"), form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b.column("doc_id"), "norm_text": t})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+def doc_top_tokens(sf_dir: str, k: int = 100):
+    """Corpus vocabulary head: global top-k whitespace tokens by count
+    (tie-broken by token asc — a total order, so the cutoff is stable).
+
+    Combiner-before-shuffle: each batch explodes to tokens and reduces
+    to LOCAL (token, n) counts via Arrow ``value_counts``, so the wide
+    groupby moves per-batch vocabulary partials, not one row per token
+    occurrence — at web scale the shuffle payload is bounded by
+    (batches x distinct-tokens-per-batch), a tiny fraction of corpus
+    token volume.  The final top-k sorts only the merged vocabulary."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b.column("text")), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat.combine_chunks())
+        return pa.table({
+            "token": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["token", "n"]),
+                     batch_format="pyarrow")
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def doc_source_rollup(sf_dir: str):
     """Per-source corpus rollup — the per-domain statistics pass of a web
     pipeline (docs / token volume / char volume / largest doc per crawl
