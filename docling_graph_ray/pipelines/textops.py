@@ -108,6 +108,47 @@ def doc_segment_dedup(sf_dir: str):
     return segment_exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_lm_score(sf_dir: str):
+    """CCNet-style LM quality scoring (two-pass, model-broadcast shape):
+
+    1. TRAIN: distributed byte-bigram counts — per-batch sparse combiners
+       (``bigram_count_partial``), a groupby-sum over at most 65,536 pair
+       keys (the model space, not the corpus), then a driver-side dense
+       (256,256) log-prob build.  Collecting the summed counts is
+       scale-safe because the row bound is the alphabet squared.
+    2. SCORE: the 256 KB model is ``ray.put`` ONCE; an actor-pool
+       ``map_batches`` resolves it per actor and scores every document's
+       bits-per-byte vectorized (numpy fancy-index over byte pairs).
+
+    Lower bits-per-byte = closer to the corpus distribution; CCNet's
+    head/middle/tail quality split thresholds on this statistic.
+    Non-SQL-expressible (iterative model fit + broadcast) → rows-only."""
+    from docling_graph_ray.stages.text_analysis import (
+        BigramScorer,
+        bigram_count_partial,
+        build_bigram_model,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    summed = (
+        docs.map_batches(bigram_count_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["pair", "n"]),
+                     batch_format="pyarrow")
+    )
+    model = build_bigram_model(pa.concat_tables(
+        ray.get(summed.to_arrow_refs())
+    ))
+    model_ref = ray.put(model)
+    return docs.map_batches(
+        BigramScorer,
+        fn_constructor_args=(model_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
 def doc_normalize(sf_dir: str):
     """Unicode text normalization — the canonicalization pass a web corpus
     runs before dedup/tokenization: NFC normalize, full-Unicode lowercase,

@@ -220,3 +220,76 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     texts = batch.column(text_col).to_pylist()
     fps = [format(rolling_fingerprint(t or ""), "016x") for t in texts]
     return pa.table({id_col: batch.column(id_col), "fingerprint": pa.array(fps, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# byte-bigram LM quality scoring (CCNet-style perplexity filter shape)
+
+
+def bigram_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch sparse byte-bigram counts ``(pair, n)`` — the combiner of
+    the distributed LM-training pass.  ``pair = prev_byte * 256 + byte``
+    over the UTF-8 encoding of each document (documents do not chain).
+    The shuffle payload is bounded by the alphabet (65,536 cells), never
+    by corpus size."""
+    import numpy as np
+
+    arrs = []
+    for t in batch.column(text_col).to_pylist():
+        b = np.frombuffer((t or "").encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        if b.size >= 2:
+            arrs.append(b[:-1].astype(np.int64) * 256 + b[1:])
+    if not arrs:
+        return pa.table({"pair": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    pairs = np.concatenate(arrs)
+    uniq, counts = np.unique(pairs, return_counts=True)
+    return pa.table({"pair": pa.array(uniq, pa.int64()),
+                     "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+
+def build_bigram_model(pair_counts) -> "object":
+    """(pair, n) rows → dense (256, 256) float32 log2-prob matrix with
+    add-one smoothing.  The input is ≤65,536 rows by construction (the
+    model space, not the corpus), so collecting it on the driver is
+    scale-safe; the returned matrix (256 KB) is meant to be ``ray.put``
+    once and read by every scoring task."""
+    import numpy as np
+
+    tbl = pair_counts if isinstance(pair_counts, pa.Table) else pair_counts.to_arrow()
+    counts = np.zeros((256, 256), dtype=np.float64)
+    pairs = tbl.column("pair").to_numpy(zero_copy_only=False)
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    counts[pairs // 256, pairs % 256] = ns
+    row_tot = counts.sum(axis=1, keepdims=True)
+    logp = np.log2((counts + 1.0) / (row_tot + 256.0))
+    return logp.astype(np.float32)
+
+
+class BigramScorer:
+    """Actor-pool UDF: score each document's bits-per-byte under the
+    broadcast byte-bigram LM (lower = more like the corpus; the CCNet
+    head/middle/tail split thresholds on exactly this statistic).  The
+    model ref is resolved ONCE per actor in ``__init__``."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        self._logp = ray.get(model_ref) if not hasattr(model_ref, "shape") else model_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out = []
+        for t in batch.column("text").to_pylist():
+            b = np.frombuffer(
+                (t or "").encode("utf-8", "surrogatepass"), dtype=np.uint8
+            )
+            if b.size < 2:
+                out.append(8.0)  # uniform-model cost for unscorable docs
+                continue
+            out.append(float(-self._logp[b[:-1], b[1:]].mean()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bits_per_byte": pa.array(np.round(out, 6), pa.float64()),
+        })

@@ -102,3 +102,50 @@ def test_gopher_quality_empty_and_null():
         assert r["n_words"] == 1      # '' splits to one empty word
         assert r["mean_word_len"] == 0.0
         assert not r["gopher_pass"]
+
+
+def test_bigram_lm_scores_corpus_like_text_lower(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.text_analysis import (
+        BigramScorer,
+        bigram_count_partial,
+        build_bigram_model,
+    )
+
+    corpus = ["the quick brown fox jumps over the lazy dog"] * 20
+    batch = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                      "text": pa.array(corpus)})
+    model = build_bigram_model(bigram_count_partial(batch))
+    assert model.shape == (256, 256) and model.dtype == np.float32
+
+    probe = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox",   # in-distribution
+            "zzzzqqqqxxxx@@@@####",  # alien bytes
+            "",                       # unscorable -> uniform cost 8.0
+        ]),
+    })
+    out = BigramScorer(ray.put(model))(probe)
+    bpb = out.column("bits_per_byte").to_pylist()
+    assert bpb[0] < bpb[1], bpb
+    assert bpb[2] == 8.0
+    # deterministic: same input -> same scores
+    again = BigramScorer(model)(probe)
+    assert again.column("bits_per_byte").to_pylist() == bpb
+
+
+def test_bigram_partial_bounded_by_alphabet(ray_session):
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.text_analysis import bigram_count_partial
+
+    batch = pa.table({"text": pa.array(["abcabcabc" * 500, "xyz" * 1000])})
+    part = bigram_count_partial(batch)
+    # combiner output is bounded by distinct pairs, not text length
+    assert part.num_rows <= 256 * 256
+    assert part.num_rows < 20
+    assert part.column("n").to_pylist()[0] > 1
