@@ -100,3 +100,29 @@ def test_giant_parse_cap_downgrades_to_salvaged():
     assert len(rows["giant"]["extracted_text"]) < len(
         rows["normal"]["extracted_text"])
     assert rows["giant"]["extracted_text"]  # but is not empty
+
+
+def test_shuffle_payload_codec_roundtrip():
+    import pyarrow as pa
+
+    from docling_graph_ray.pipelines.extract import (
+        compress_shuffle_payload,
+        decompress_shuffle_payload,
+    )
+
+    texts = ["", "plain ascii", "unicode — héllo wörld ✓", "x" * 100_000]
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(len(texts))]),
+        "extracted_text": pa.array(texts, pa.large_string()),
+    })
+    comp = compress_shuffle_payload(t)
+    assert pa.types.is_large_binary(comp.column("extracted_text").type)
+    # compression actually shrinks the repetitive payload
+    assert len(comp.column("extracted_text")[3].as_py()) < 1000
+    # idempotent both directions; byte-identical round-trip
+    comp2 = compress_shuffle_payload(comp)
+    back = decompress_shuffle_payload(comp2)
+    assert back.column("extracted_text").to_pylist() == texts
+    assert decompress_shuffle_payload(back).column("extracted_text").to_pylist() == texts
+    # schema position and names unchanged
+    assert back.schema.names == t.schema.names
