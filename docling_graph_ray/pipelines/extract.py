@@ -495,11 +495,18 @@ def run_extract_pipeline(
     )
 
 
-def dedup_extracted(extracted):
+def dedup_extracted(extracted, shuffle_codec: str | None = "zlib"):
     """Deduped extracted rows (latest-wins per url) via the same url-hash
-    groupby, without writing — used by queries/tests."""
+    groupby, without writing — used by queries/tests.  Applies the same
+    shuffle-payload compression as ``run_extract_pipeline`` (text is not
+    a sort key; only surviving rows pay the decompress)."""
+    if shuffle_codec == "zlib":
+        extracted = extracted.map_batches(
+            compress_shuffle_payload, batch_format="pyarrow"
+        )
+
     def dedup_group(group: pa.Table) -> pa.Table:
-        return _dedup_latest_wins(group)
+        return decompress_shuffle_payload(_dedup_latest_wins(group))
 
     return extracted.groupby("part_id").map_groups(
         dedup_group, batch_format="pyarrow"
