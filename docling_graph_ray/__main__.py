@@ -55,6 +55,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
     lineage = run_extract_pipeline(
         pages, out_dir=args.out, num_partitions=args.partitions,
         resume=not args.no_resume,
+        shuffle_codec=None if args.no_shuffle_codec else "zlib",
     )
     n = lineage.count()
     write_run_manifest(args.out, {
@@ -210,6 +211,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--out", required=True, help="run output dir")
     ex.add_argument("--partitions", type=int, default=64)
     ex.add_argument("--no-resume", action="store_true")
+    ex.add_argument("--no-shuffle-codec", action="store_true",
+                    dest="no_shuffle_codec",
+                    help="disable zlib compression of the text payload "
+                         "through the url-hash shuffle")
     ex.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     ex.set_defaults(fn=cmd_extract)
 
