@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contract_routing": t.doc_contract_routing,
         "events_props_salvage": t.events_props_salvage,
         "doc_geometry": t.doc_geometry,
+        "doc_decontaminate": t.doc_decontaminate,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -650,6 +651,31 @@ def oracle_sql() -> dict[str, str]:
                    MAX(LENGTH(text)) AS max_chars,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY source
+        """,
+        # benchmark decontamination: docs doc_id<25 are the held-out
+        # benchmark; every other doc scored by DISTINCT word-8-gram
+        # containment against the benchmark gram set (whitespace tokens,
+        # matching the doc_token_counts convention); docs with <8 tokens
+        # form no gram and emit no row
+        "doc_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(TRIM(text), '\\s+') AS t
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(t[i : i+7], ' ') AS g
+                FROM toks, LATERAL (SELECT unnest(range(1, len(t)-7+1)) AS i)
+                WHERE len(t) >= 8
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 25)
+            SELECT d.doc_id,
+                   COUNT(DISTINCT d.g) AS n_grams,
+                   COUNT(DISTINCT CASE WHEN b.g IS NOT NULL THEN d.g END)
+                       AS n_contaminated
+            FROM grams d LEFT JOIN bench b ON d.g = b.g
+            WHERE d.doc_id >= 25
+            GROUP BY d.doc_id
         """,
         # backward as-of: latest order at-or-before each event's ts within
         # the user's key, max orderkey on orderdate ties (stages/asof.py

@@ -642,3 +642,20 @@ def doc_contract_routing(sf_dir: str):
         )
 
     return docs.map_batches(route, batch_format="pyarrow")
+
+
+def doc_decontaminate(sf_dir: str, n: int = 8, bench_below: int = 25):
+    """Benchmark decontamination over the documents table: docs with
+    ``doc_id < bench_below`` act as the held-out benchmark; every other
+    doc is scored by distinct word 8-gram containment against the
+    benchmark's gram set (stages/decontaminate.py — broadcast-once
+    benchmark grams, streaming corpus scan, no shuffle)."""
+    from docling_graph_ray.stages.decontaminate import (
+        benchmark_ngram_set, decontaminate,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.filter(expr=f"doc_id < {bench_below}")
+    corpus = docs.filter(expr=f"doc_id >= {bench_below}")
+    grams = benchmark_ngram_set(bench, n=n)
+    return decontaminate(corpus, grams, n=n)

@@ -197,3 +197,56 @@ def test_segment_dedup_empty_text(ray_session):
     assert len(rows) == 2
     by = {r["doc_id"]: r for r in rows}
     assert by[1]["keep"] and not by[2]["keep"]
+
+
+# ---------------------------------------------------------------------------
+# decontamination (stages/decontaminate.py)
+
+
+def test_decontaminate_scores(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.decontaminate import (
+        benchmark_ngram_set, decontaminate,
+    )
+
+    bench_text = "alpha beta gamma delta " * 4          # 16 tokens
+    clean_text = "one two three four five six seven eight nine"
+    # contains an 8-gram of bench_text verbatim
+    leaky_text = "intro alpha beta gamma delta alpha beta gamma delta outro"
+    short_text = "too short"                            # < 8 tokens: no row
+
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": [0], "text": [bench_text]}))
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [10, 11, 12],
+        "text": [clean_text, leaky_text, short_text]}))
+
+    grams = benchmark_ngram_set(bench, n=8)
+    # 16 tokens -> 9 windows, but the repeating phrase collapses: windows
+    # are distinct rotations of the 4-token cycle -> 4 distinct grams
+    assert len(grams) == 4
+
+    rows = {r["doc_id"]: r for r in
+            decontaminate(corpus, grams, n=8).take_all()}
+    assert set(rows) == {10, 11}                        # short doc drops
+    assert rows[10]["n_contaminated"] == 0
+    assert rows[10]["n_grams"] == 2
+    assert rows[11]["n_contaminated"] >= 1
+    assert 0 < rows[11]["n_contaminated"] <= rows[11]["n_grams"]
+
+
+def test_decontaminate_clean_mode(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.decontaminate import decontaminate
+
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f g h leak", "p q r s t u v w x", "tiny"]}))
+    grams = {"a b c d e f g h", "b c d e f g h leak"}
+    kept = decontaminate(corpus, grams, n=8, emit="clean").take_all()
+    # doc 1 is contaminated and drops; doc 3 is too short to leak -> kept
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
