@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_salvage": t.events_props_salvage,
         "doc_geometry": t.doc_geometry,
         "doc_decontaminate": t.doc_decontaminate,
+        "graph_closed_catalog": g.graph_closed_catalog,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -676,6 +677,45 @@ def oracle_sql() -> dict[str, str]:
             FROM grams d LEFT JOIN bench b ON d.g = b.g
             WHERE d.doc_id >= 25
             GROUP BY d.doc_id
+        """,
+        # closed-catalog enforcement: part nodes classed by brand;
+        # CONTAINS edges marked when l_quantity <= 48; parts whose EVERY
+        # in-edge is marked lose all in-edges (per-brand wipe guard:
+        # skip brands where every part is a candidate); surviving edges
+        "graph_closed_catalog": """
+            WITH edges AS (
+                SELECT l_orderkey AS src, l_partkey AS dst,
+                       'CONTAINS' AS label,
+                       (l_quantity <= 48) AS marked
+                FROM lineitem
+            ),
+            stats AS (
+                SELECT dst, COUNT(*) AS n_in,
+                       SUM(CASE WHEN marked THEN 1 ELSE 0 END) AS n_marked
+                FROM edges GROUP BY dst
+            ),
+            cand AS (SELECT dst FROM stats WHERE n_in = n_marked),
+            cand_cls AS (
+                SELECT c.dst, p.p_brand
+                FROM cand c JOIN part p ON p.p_partkey = c.dst
+            ),
+            totals AS (
+                SELECT p_brand, COUNT(*) AS n_total FROM part GROUP BY p_brand
+            ),
+            cand_counts AS (
+                SELECT p_brand, COUNT(*) AS n_cand FROM cand_cls GROUP BY p_brand
+            ),
+            guarded AS (
+                SELECT t.p_brand FROM totals t
+                JOIN cand_counts c USING (p_brand)
+                WHERE c.n_cand >= t.n_total
+            ),
+            final_cand AS (
+                SELECT dst FROM cand_cls
+                WHERE p_brand NOT IN (SELECT p_brand FROM guarded)
+            )
+            SELECT src, dst, label FROM edges
+            WHERE dst NOT IN (SELECT dst FROM final_cand)
         """,
         # backward as-of: latest order at-or-before each event's ts within
         # the user's key, max orderkey on orderdate ties (stages/asof.py

@@ -474,3 +474,46 @@ def root_identity_repair(sf_dir: str):
         part.map_batches(build, batch_format="pyarrow")
         .map_batches(repair, batch_format="pyarrow")
     )
+
+
+def graph_closed_catalog(sf_dir: str):
+    """Closed-catalog enforcement over an order→part reference graph:
+    part nodes classed by brand; lineitem 'CONTAINS' edges marked
+    closed-catalog when l_quantity <= 48 (so a part is a drop candidate
+    iff EVERY mention is a small-quantity reference).  Emits the
+    surviving edge triples (stages.graph.enforce_closed_catalogs —
+    graph_converter.py:431-496 semantics, dataset-native joins)."""
+    from docling_graph_ray.stages.graph import enforce_closed_catalogs
+
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": b.column("p_partkey").cast(pa.int64()),
+            "class": b.column("p_brand").cast(pa.string()),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("l_orderkey").cast(pa.int64()),
+            "dst": b.column("l_partkey").cast(pa.int64()),
+            "label": pa.array(["CONTAINS"] * b.num_rows, pa.string()),
+            "closed_catalog": pc.less_equal(
+                b.column("l_quantity"), 48.0
+            ).cast(pa.bool_()),
+        })
+
+    nodes = parts.map_batches(to_nodes, batch_format="pyarrow")
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    _, edges_out, _ = enforce_closed_catalogs(nodes, edges)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("src").cast(pa.int64()),
+            "dst": b.column("dst").cast(pa.int64()),
+            "label": b.column("label").cast(pa.string()),
+        })
+
+    return edges_out.map_batches(project, batch_format="pyarrow")

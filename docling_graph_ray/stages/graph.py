@@ -553,3 +553,116 @@ def integrity_check(nodes, edges, *, key_col: str = "node_id",
     )
 
     return dup_nodes.union(loop_warns, dang_src, dang_dst, dup_edges)
+
+
+def enforce_closed_catalogs(nodes, edges, *,
+                            node_id_col: str = "node_id",
+                            class_col: str = "class",
+                            src_col: str = "src", dst_col: str = "dst",
+                            label_col: str = "label",
+                            marker_col: str = "closed_catalog"):
+    """Closed-catalog enforcement: drop reference edges to targets that
+    exist ONLY through closed-catalog reference fields.
+
+    A target node is a drop candidate iff it has in-edges and EVERY
+    in-edge carries the catalog marker; a target also reached through
+    any unmarked edge is independently anchored and keeps everything.
+    Per-class guard: when every node of a class is a candidate, the
+    canonical catalog was never extracted — dropping would wipe the
+    class, so the class is skipped (with an audit record).  Candidates
+    lose all their in-edges; candidates left with degree 0 are removed.
+
+    Reference: ``GraphConverter._enforce_closed_catalogs``
+    (docling_graph/core/converters/graph_converter.py:431-496); the
+    reference's label-scoped ``_closed_catalog`` marker exists only to
+    survive networkx attribute-merging of re-added (src, dst) pairs —
+    here edge rows are per-triple, so the marker is a plain bool column.
+
+    Ray shape: per-batch (dst, n_in, n_marked) combiners → one small
+    groupby; class totals and per-class candidate counts are collected
+    driver-side (bounded by the number of CLASSES, not nodes); the
+    candidate id set scales with the graph, so edge dropping and node
+    removal are dataset-native semi/anti joins — nothing graph-sized
+    touches the driver.
+
+    Returns ``(nodes_out, edges_out, audit)`` where ``audit`` is a small
+    driver-side dict: ``{"drops_by_label": {...}, "skipped_classes":
+    [...], "n_candidates": int}``."""
+    from docling_graph_ray.stages.joins import lookup_join, semi_join
+
+    in_schema = pa.schema([
+        ("_dst", pa.string()), ("n_in", pa.int64()), ("n_marked", pa.int64()),
+    ])
+
+    def in_stats(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or dst_col not in b.schema.names:
+            return in_schema.empty_table()
+        t = pa.table({
+            "_dst": b.column(dst_col).cast(pa.string()),
+            "n_in": pa.array([1] * b.num_rows, pa.int64()),
+            "n_marked": b.column(marker_col).cast(pa.int64()),
+        })
+        g = t.group_by("_dst").aggregate([("n_in", "sum"), ("n_marked", "sum")])
+        return g.rename_columns(["_dst", "n_in", "n_marked"]).cast(in_schema)
+
+    stats = (
+        edges.map_batches(in_stats, batch_format="pyarrow")
+        .groupby("_dst").sum(["n_in", "n_marked"])
+    )
+
+    cand_schema = pa.schema([("_dst", pa.string())])
+
+    def to_cands(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n_in)" not in t.schema.names:
+            return cand_schema.empty_table()
+        keep = pc.equal(t.column("sum(n_in)"), t.column("sum(n_marked)"))
+        return pa.table({"_dst": t.filter(keep).column("_dst")}).cast(cand_schema)
+
+    cands = stats.map_batches(to_cands, batch_format="pyarrow")
+    cand_cls = lookup_join(
+        cands, nodes, on="_dst", key_col=node_id_col, value_cols=[class_col],
+        out_schema=cand_schema,
+    )
+
+    # per-class counts: tiny (bounded by #classes), safe driver-side
+    totals = {r[class_col]: r["count()"]
+              for r in nodes.groupby(class_col).count().take_all()}
+    cand_counts: dict = {}
+    for r in cand_cls.groupby(class_col).count().take_all():
+        cand_counts[r[class_col]] = r["count()"]
+    skipped = sorted(
+        str(c) for c, n in cand_counts.items()
+        if c is not None and n >= totals.get(c, 0)
+    )
+
+    if skipped:
+        skip_set = set(skipped)
+        final_cands = cand_cls.filter(
+            lambda r: str(r[class_col]) not in skip_set
+        ).select_columns(["_dst"])
+    else:
+        final_cands = cand_cls.select_columns(["_dst"])
+
+    edges_out = semi_join(edges, final_cands, on=dst_col, key_col="_dst",
+                          anti=True)
+    dropped = semi_join(edges, final_cands, on=dst_col, key_col="_dst")
+    drops_by_label = {
+        r[label_col]: r["count()"]
+        for r in dropped.groupby(label_col).count().take_all()
+    }
+    n_candidates = int(final_cands.count())
+
+    # candidates with no surviving edge at all (in-edges are gone by
+    # construction; an out-edge in edges_out keeps the node)
+    survivors_src = edges_out.select_columns([src_col])
+    dead = semi_join(final_cands, survivors_src, on="_dst", key_col=src_col,
+                     anti=True)
+    nodes_out = semi_join(nodes, dead, on=node_id_col, key_col="_dst",
+                          anti=True)
+
+    audit = {
+        "drops_by_label": drops_by_label,
+        "skipped_classes": skipped,
+        "n_candidates": n_candidates,
+    }
+    return nodes_out, edges_out, audit

@@ -263,3 +263,41 @@ def test_span_geometry_slots(ray_session):
             assert sp["bbox"] is not None and len(list(sp["bbox"])) == 4
     assert all(sp["page_no"] is None and sp["bbox"] is None
                for s in html["spans"] for sp in list(s)[:2])
+
+
+# ---------------------------------------------------------------------------
+# closed-catalog enforcement (graph_converter.py:431-496 parity)
+
+
+def test_enforce_closed_catalogs(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.graph import enforce_closed_catalogs
+
+    nodes = ray.data.from_arrow(pa.table({
+        "node_id": ["a", "b", "cat1", "cat2", "cat3", "g1", "g2"],
+        "class": ["Doc", "Doc", "Cat", "Cat", "Cat", "Ghost", "Ghost"],
+    }))
+    # cat1: all in-edges marked -> candidate, drops (and node removed:
+    #   no out-edges). cat2: one unmarked in-edge -> anchored, kept.
+    # cat3: marked-only BUT has an out-edge -> edges dropped, node kept.
+    # Ghost class: every member candidate -> guard skips the class.
+    edges = ray.data.from_arrow(pa.table({
+        "src": ["a", "b", "a", "b", "a", "cat3", "a", "b"],
+        "dst": ["cat1", "cat1", "cat2", "cat2", "cat3", "b", "g1", "g2"],
+        "label": ["REF"] * 8,
+        "closed_catalog": [True, True, True, False, True, False, True, True],
+    }))
+
+    nodes_out, edges_out, audit = enforce_closed_catalogs(nodes, edges)
+    kept_edges = sorted((r["src"], r["dst"]) for r in edges_out.take_all())
+    assert kept_edges == sorted([
+        ("a", "cat2"), ("b", "cat2"), ("cat3", "b"),
+        ("a", "g1"), ("b", "g2"),
+    ])
+    kept_nodes = sorted(r["node_id"] for r in nodes_out.take_all())
+    assert kept_nodes == ["a", "b", "cat2", "cat3", "g1", "g2"]
+    assert audit["skipped_classes"] == ["Ghost"]
+    assert audit["drops_by_label"] == {"REF": 3}
+    assert audit["n_candidates"] == 2
