@@ -420,6 +420,15 @@ def lint_spec(spec: dict) -> list[dict]:
                     f"more than {MAX_IDENTITY_FIELDS} identity fields")
         if m.get("kind") == "component" and identity:
             finding("W01", where, "component carries identity fields")
+        mi = m.get("max_instances")
+        if mi is not None:
+            if not isinstance(mi, int) or isinstance(mi, bool) or mi < 1:
+                finding("E11", where,
+                        "max_instances must be a positive integer")
+            elif m.get("kind") == "component":
+                finding("W02", where,
+                        "max_instances on a component is ignored "
+                        "(cardinality bounds apply to entity classes)")
         for fname in identity:
             f = field_by_name.get(fname)
             if f is None:
@@ -438,6 +447,9 @@ def lint_spec(spec: dict) -> list[dict]:
                 finding("E06", fwhere, "edge field without edge_label")
             if f.get("role") != "edge" and f.get("edge_label"):
                 finding("E06", fwhere, "edge_label on a non-edge field")
+            if f.get("closed_catalog") and not f.get("reference"):
+                finding("E12", fwhere,
+                        "closed_catalog requires a reference edge field")
     return findings
 
 
@@ -568,12 +580,14 @@ def render_template(spec: dict) -> str:
     emit("")
     emit("")
     emit("def edge(label: str, default: Any = None, *, reference: bool = "
-         "False, **kwargs: Any) -> Any:")
+         "False, closed_catalog: bool = False, **kwargs: Any) -> Any:")
     emit('    """Mark a field as a graph edge (json_schema_extra markers '
          'read by the graph converter)."""')
     emit("    extra = {'edge_label': label}")
     emit("    if reference:")
     emit("        extra['graph_reference'] = True")
+    emit("    if closed_catalog:")
+    emit("        extra['reference_closed_catalog'] = True")
     emit("    if 'default_factory' in kwargs:")
     emit("        return Field(json_schema_extra=extra, **kwargs)")
     emit("    return Field(default, json_schema_extra=extra, **kwargs)")
@@ -600,6 +614,11 @@ def render_template(spec: dict) -> str:
         cfg = [f"is_entity={m.get('kind') != 'component'}"]
         if m.get("identity"):
             cfg.append(f"graph_id_fields={m['identity']!r}")
+        if m.get("max_instances"):
+            # per-class cardinality bound consumed by the grouped top-K
+            # demotion (reference marker graph_max_instances,
+            # graph_converter.py:360-429 / stages/graph.py:cardinality_bound)
+            cfg.append(f"graph_max_instances={int(m['max_instances'])}")
         emit(f"    model_config = ConfigDict({', '.join(cfg)})")
         emit("")
         for f in m.get("fields", []):
@@ -624,6 +643,8 @@ def render_template(spec: dict) -> str:
                     default = (f"edge({label}"
                                + (", reference=True" if f.get("reference")
                                   else "") + ")")
+                if f.get("closed_catalog"):
+                    default = default[:-1] + ", closed_catalog=True)"
             line = f"    {f['name']}: {ann}"
             if default is not None:
                 line += f" = {default}"

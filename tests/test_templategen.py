@@ -230,3 +230,68 @@ def test_end_to_end_induction(ray_session):
     assert lint_spec(fixed) == []
     classes = verify_template_source(render_template(fixed))
     assert "Doc" in classes
+
+
+def test_render_max_instances_and_closed_catalog():
+    from docling_graph_ray.templategen import (
+        lint_spec, render_template, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Root", "enums": [],
+        "models": [
+            {"name": "Root", "kind": "root", "identity": ["name"],
+             "docstring": "", "max_instances": 3, "fields": [
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "cats", "type": "str", "is_list": True,
+                  "optional": True, "role": "edge",
+                  "edge_label": "IN_CATALOG", "reference": True,
+                  "closed_catalog": True},
+                 {"name": "owner", "type": "str", "is_list": False,
+                  "optional": True, "role": "edge",
+                  "edge_label": "OWNED_BY", "reference": True,
+                  "closed_catalog": True}]},
+        ],
+    }
+    assert lint_spec(spec) == []
+    src = render_template(spec)
+    assert src == render_template(spec)
+    classes = verify_template_source(src)
+    root = classes["Root"]
+    assert root.model_config["graph_max_instances"] == 3
+    for fname in ("cats", "owner"):
+        extra = root.model_fields[fname].json_schema_extra
+        assert extra["reference_closed_catalog"] is True
+        assert extra["graph_reference"] is True
+    # list edge keeps its factory default alongside the catalog marker
+    assert root(name="x").cats == []
+
+
+def test_lint_marker_rules():
+    from docling_graph_ray.templategen import lint_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "A", "enums": [],
+        "models": [
+            {"name": "A", "kind": "root", "identity": ["name"],
+             "docstring": "", "max_instances": 0, "fields": [
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "bad", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False,
+                  "closed_catalog": True}]},
+            {"name": "B", "kind": "component", "identity": [],
+             "docstring": "", "max_instances": 2, "fields": [
+                 {"name": "x", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    codes = {f["code"] for f in lint_spec(spec)}
+    assert "E11" in codes   # max_instances=0
+    assert "E12" in codes   # closed_catalog without reference
+    assert "W02" in codes   # max_instances on a component
