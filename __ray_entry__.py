@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_geometry": t.doc_geometry,
         "doc_decontaminate": t.doc_decontaminate,
         "graph_closed_catalog": g.graph_closed_catalog,
+        "graph_records_convert": g.graph_records_convert,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -677,6 +678,18 @@ def oracle_sql() -> dict[str, str]:
             FROM grams d LEFT JOIN bench b ON d.g = b.g
             WHERE d.doc_id >= 25
             GROUP BY d.doc_id
+        """,
+        # records->graph conversion round-trip: every order rebuilt from
+        # the converted graph (folded Order node attrs + PLACED_BY edge
+        # target's Customer identity) must equal the source table
+        "graph_records_convert": """
+            SELECT o_orderkey AS order_id,
+                   o_orderpriority AS priority,
+                   o_orderstatus AS meta_status,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS meta_price_cents,
+                   o_custkey AS placed_by_cust
+            FROM orders
         """,
         # closed-catalog enforcement: part nodes classed by brand;
         # CONTAINS edges marked when l_quantity <= 48; parts whose EVERY

@@ -517,3 +517,151 @@ def graph_closed_catalog(sf_dir: str):
         })
 
     return edges_out.map_batches(project, batch_format="pyarrow")
+
+
+_CONVERT_SPEC = {
+    "name": "orders", "docstring": "", "root": "Order", "enums": [],
+    "models": [
+        {"name": "Order", "kind": "root", "identity": ["order_id"],
+         "docstring": "", "fields": [
+             {"name": "order_id", "type": "int", "is_list": False,
+              "optional": False, "role": "identity",
+              "edge_label": None, "reference": False},
+             {"name": "priority", "type": "str", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False},
+             {"name": "meta", "type": "Meta", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False},
+             {"name": "customer", "type": "Customer", "is_list": False,
+              "optional": True, "role": "edge",
+              "edge_label": "PLACED_BY", "reference": True}]},
+        {"name": "Meta", "kind": "component", "identity": [],
+         "docstring": "", "fields": [
+             {"name": "status", "type": "str", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False},
+             {"name": "price_cents", "type": "int", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False}]},
+        {"name": "Customer", "kind": "entity", "identity": ["cust_id"],
+         "docstring": "", "fields": [
+             {"name": "cust_id", "type": "int", "is_list": False,
+              "optional": False, "role": "identity",
+              "edge_label": None, "reference": False}]},
+    ],
+}
+
+
+def graph_records_convert(sf_dir: str):
+    """Marker-driven records→graph conversion round-trip: each order row
+    becomes a nested record (Meta component embedded, Customer entity
+    linked by a PLACED_BY reference edge), converted with
+    ``stages.convert.records_to_graph`` and re-assembled from the GRAPH
+    side — order attrs from the folded node rows, the customer key
+    recovered by joining the edge's dst back to the Customer node's
+    identity.  Output equality with the source table proves the walk,
+    the component embedding, the deterministic ids and the edge pass
+    (graph_converter.py:498-820 semantics)."""
+    import json
+
+    from docling_graph_ray.stages.convert import (
+        finalize_nodes, records_to_graph, split_graph,
+    )
+    from docling_graph_ray.stages.joins import lookup_join
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus",
+         "o_totalprice"],
+    )
+
+    def to_records(b: pa.Table) -> pa.Table:
+        cents = pc.round(
+            pc.multiply(b.column("o_totalprice"), 100.0),
+            ndigits=0, round_mode="half_towards_infinity",
+        ).cast(pa.int64()).to_pylist()
+        keys = b.column("o_orderkey").to_pylist()
+        prios = b.column("o_orderpriority").to_pylist()
+        stats = b.column("o_orderstatus").to_pylist()
+        custs = b.column("o_custkey").to_pylist()
+        recs = [
+            json.dumps({
+                "order_id": int(k), "priority": p,
+                "meta": {"status": s, "price_cents": int(c)},
+                "customer": {"cust_id": int(cu)},
+            })
+            for k, p, s, c, cu in zip(keys, prios, stats, cents, custs)
+        ]
+        return pa.table({
+            "doc_key": pa.array([str(k) for k in keys], pa.string()),
+            "record": pa.array(recs, pa.large_string()),
+        })
+
+    records = orders.map_batches(to_records, batch_format="pyarrow")
+    mentions, edges = split_graph(records_to_graph(records, _CONVERT_SPEC))
+    nodes = finalize_nodes(mentions)
+
+    order_schema = pa.schema([
+        ("node_id", pa.string()), ("order_id", pa.int64()),
+        ("priority", pa.string()), ("meta_status", pa.string()),
+        ("meta_price_cents", pa.int64()),
+    ])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "class" not in b.schema.names:
+            return order_schema.empty_table()
+        o = b.filter(pc.equal(b.column("class"), "Order"))
+        rows = []
+        for nid, a in zip(o.column("node_id").to_pylist(),
+                          o.column("attrs").to_pylist()):
+            attrs = json.loads(a)
+            rows.append({
+                "node_id": nid, "order_id": attrs["order_id"],
+                "priority": attrs["priority"],
+                "meta_status": attrs["meta"]["status"],
+                "meta_price_cents": attrs["meta"]["price_cents"],
+            })
+        return pa.Table.from_pylist(rows, schema=order_schema)
+
+    cust_schema = pa.schema([("node_id", pa.string()), ("cust_id", pa.int64())])
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "class" not in b.schema.names:
+            return cust_schema.empty_table()
+        c = b.filter(pc.equal(b.column("class"), "Customer"))
+        rows = [
+            {"node_id": nid, "cust_id": json.loads(a)["cust_id"]}
+            for nid, a in zip(c.column("node_id").to_pylist(),
+                              c.column("attrs").to_pylist())
+        ]
+        return pa.Table.from_pylist(rows, schema=cust_schema)
+
+    orders_side = nodes.map_batches(order_rows, batch_format="pyarrow")
+    custs_side = nodes.map_batches(cust_rows, batch_format="pyarrow")
+
+    edge_cust = lookup_join(
+        edges.map_batches(
+            lambda b: (pa.table({
+                "src": b.column("src"), "dst": b.column("dst"),
+            }) if b.num_rows and "src" in b.schema.names
+               else pa.schema([("src", pa.string()),
+                               ("dst", pa.string())]).empty_table()),
+            batch_format="pyarrow"),
+        custs_side, on="dst", key_col="node_id", value_cols=["cust_id"],
+    )
+    joined = lookup_join(
+        orders_side, edge_cust, on="node_id", key_col="src",
+        value_cols=["cust_id"],
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "order_id": b.column("order_id").cast(pa.int64()),
+            "priority": b.column("priority").cast(pa.string()),
+            "meta_status": b.column("meta_status").cast(pa.string()),
+            "meta_price_cents": b.column("meta_price_cents").cast(pa.int64()),
+            "placed_by_cust": b.column("cust_id").cast(pa.int64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
