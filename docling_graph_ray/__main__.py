@@ -8,6 +8,7 @@ Commands:
   extract   pages parquet → partitioned extraction run (resumable)
   report    completed run dir → report.md
   chunks    extraction run → chunk-table parquet
+  merge     N graph.json exports → merged graph.json + merge_report.json
 
 The CLI owns its Ray session (guarded init); library code never calls
 ray.init (driver contract)."""
@@ -202,6 +203,26 @@ def cmd_from_ontology(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    # pure driver-side composition (graph.json exports are small); no Ray
+    from docling_graph_ray.merge import merge_graph_files
+
+    try:
+        report = merge_graph_files(
+            args.inputs, args.out,
+            strict=not args.no_strict, rekey=not args.no_rekey,
+        )
+    except ValueError as e:
+        print(f"merge: refused — {e}", file=sys.stderr)
+        return 2
+    print(
+        f"merge: {report['inputs']} inputs → {report['n_nodes']} nodes, "
+        f"{report['n_edges']} edges; {len(report['splits'])} splits, "
+        f"{len(report['fold_conflicts'])} conflicts → {args.out}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -247,6 +268,17 @@ def main(argv: list[str] | None = None) -> int:
     onto.add_argument("--format", choices=("jsonschema", "linkml", "ttl"),
                       default=None, help="override format inference")
     onto.set_defaults(fn=cmd_from_ontology)
+
+    mg = sub.add_parser(
+        "merge", help="merge graph.json exports (gate + re-key + split)")
+    mg.add_argument("--inputs", required=True, nargs="+",
+                    help="graph.json paths, merged left to right")
+    mg.add_argument("--out", required=True, help="merged graph.json path")
+    mg.add_argument("--no-strict", action="store_true", dest="no_strict",
+                    help="warn instead of refusing on schema-hash mismatch")
+    mg.add_argument("--no-rekey", action="store_true", dest="no_rekey",
+                    help="keep input node ids (skip identity re-keying)")
+    mg.set_defaults(fn=cmd_merge)
 
     args = p.parse_args(argv)
     return args.fn(args)

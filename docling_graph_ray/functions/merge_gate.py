@@ -215,7 +215,15 @@ def rekey_edge_rows(edges: list[dict], mapping: dict[str, str], *,
 def conflicting_scalar_fields(a: dict, b: dict,
                               exclude: tuple = ()) -> list[str]:
     """Fields where both sides carry different non-empty scalars — the
-    rule-8 conflict test (fill-empty-compatible pairs return [])."""
+    rule-8 conflict test (fill-empty-compatible pairs return []).
+    Formatting noise is NOT a conflict: values equal under the canonical
+    identity normalizer fold silently, the same tolerance the re-key
+    fan-in fold applies (rekey_node_rows; reference
+    test_formatting_noise_folds_shared_entity semantics)."""
+    from docling_graph_ray.functions.normalize import (
+        canonicalize_identity_for_dedup,
+    )
+
     out = []
     for k in sorted(set(a) & set(b)):
         if k in _META_ATTRS or k in exclude:
@@ -223,7 +231,9 @@ def conflicting_scalar_fields(a: dict, b: dict,
         va, vb = a.get(k), b.get(k)
         if (not _is_empty(va) and not _is_empty(vb)
                 and not isinstance(va, (list, dict))
-                and not isinstance(vb, (list, dict)) and va != vb):
+                and not isinstance(vb, (list, dict)) and va != vb
+                and (canonicalize_identity_for_dedup(k, va)
+                     != canonicalize_identity_for_dedup(k, vb))):
             out.append(k)
     return out
 
@@ -273,7 +283,8 @@ def split_conflicting_collisions(
                     continue
             confs = conflicting_scalar_fields(
                 owner_row, r,
-                exclude=(root_col,) if root_col is not None else (),
+                exclude=((root_col, doc_col) if root_col is not None
+                         else (doc_col,)),
             )
             cls = str(r.get(class_col) or r.get("class") or "")
             collisions.append((r, owner_doc, owner_row, confs, cls))
