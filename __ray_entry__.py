@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_salvage": t.events_props_salvage,
         "doc_geometry": t.doc_geometry,
         "doc_decontaminate": t.doc_decontaminate,
+        "doc_tfidf_keywords": t.doc_tfidf_keywords,
         "graph_closed_catalog": g.graph_closed_catalog,
         "graph_records_convert": g.graph_records_convert,
         # rows-only (non-SQL-expressible)
@@ -678,6 +679,36 @@ def oracle_sql() -> dict[str, str]:
             FROM grams d LEFT JOIN bench b ON d.g = b.g
             WHERE d.doc_id >= 25
             GROUP BY d.doc_id
+        """,
+        # top-5 tf-idf keywords per doc; idf = ln(N/df) with N = docs
+        # holding >= 1 token; (score DESC, token ASC) is a total order
+        "doc_tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(TRIM(text), '\\s+'))
+                           AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            df AS (
+                SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM toks GROUP BY token
+            ),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+            ranked AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                                    DESC, tf.token ASC) AS rk
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, df, score
+            FROM ranked WHERE rk <= 5
         """,
         # records->graph conversion round-trip: every order rebuilt from
         # the converted graph (folded Order node attrs + PLACED_BY edge

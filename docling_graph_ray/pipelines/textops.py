@@ -659,3 +659,13 @@ def doc_decontaminate(sf_dir: str, n: int = 8, bench_below: int = 25):
     corpus = docs.filter(expr=f"doc_id >= {bench_below}")
     grams = benchmark_ngram_set(bench, n=n)
     return decontaminate(corpus, grams, n=n)
+
+
+def doc_tfidf_keywords(sf_dir: str, k: int = 5):
+    """Top-5 tf·idf keywords per document (idf = ln(N/df), ties broken
+    token-asc): vectorized token explode → combiner-first df groupby →
+    dataset-native tf⋈df token join → grouped top-k
+    (stages/text_analysis.py:tfidf_topk)."""
+    from docling_graph_ray.stages.text_analysis import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=k)

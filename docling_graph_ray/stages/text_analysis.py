@@ -293,3 +293,124 @@ class BigramScorer:
             "doc_id": batch.column("doc_id"),
             "bits_per_byte": pa.array(np.round(out, 6), pa.float64()),
         })
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (two-pass corpus operator)
+
+
+TF_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64()),
+])
+
+
+def term_freq_batch(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Explode whitespace tokens → per-(doc, token) counts, vectorized:
+    a document's text lives in ONE row, so the per-batch Arrow
+    ``group_by`` already yields COMPLETE term frequencies — no
+    cross-batch combine is needed for tf (df does need the corpus
+    groupby).  Tokenization matches the repo-wide oracle convention
+    (``regexp_split_to_array(TRIM(text), '\\s+')``)."""
+    import numpy as np
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch.column(text_col)), r"\s+"
+    )
+    flat = pc.list_flatten(toks)
+    ids = np.repeat(
+        np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False),
+                   dtype=np.int64),
+        np.asarray(pc.list_value_length(toks).fill_null(0)
+                   .to_numpy(zero_copy_only=False), dtype=np.int64),
+    )
+    flat = flat.combine_chunks()
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "token": flat,
+    }).filter(pc.not_equal(flat, ""))
+    g = t.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "token", "tf"]).cast(TF_SCHEMA)
+
+
+def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Top-k keywords per document by tf·idf (idf = ln(N/df)).
+
+    Scale shape: tf rows come from one vectorized explode pass; df is a
+    combiner-first groupby over per-batch vocabulary partials (the
+    shuffle moves (token, n) rows bounded by per-batch vocabulary, the
+    same bound as ``doc_top_tokens``); the tf⋈df attach is a
+    dataset-native hash join on token — the vocabulary is NEVER
+    broadcast or collected (it scales with the corpus); the final
+    per-doc top-k is a grouped sort-head.  The only driver-side scalar
+    is N (one number).  Ties break (score desc, token asc) — a total
+    order, so the cutoff is stable."""
+    import math
+
+    tf = docs.map_batches(
+        lambda b: term_freq_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+
+    # df partials: each (doc, token) row is unique, so a per-batch count
+    # of rows per token is a valid partial document frequency
+    def df_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "token" not in b.schema.names:
+            return pa.schema([("token", pa.string()),
+                              ("df", pa.int64())]).empty_table()
+        g = b.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token").sum("df")
+        .map_batches(lambda t: t.rename_columns(["token", "df"]),
+                     batch_format="pyarrow")
+    )
+
+    # N: documents contributing at least one token (a single scalar)
+    def n_partial(b: pa.Table) -> pa.Table:
+        nn = pc.count_distinct(b.column("doc_id")).as_py() if b.num_rows else 0
+        return pa.table({"n": pa.array([nn], pa.int64())})
+
+    n_docs = sum(
+        r["n"] for r in tf.map_batches(
+            n_partial, batch_format="pyarrow").take_all()
+    )
+
+    from docling_graph_ray.stages.joins import lookup_join
+
+    joined = lookup_join(tf, df, on="token", key_col="token",
+                         value_cols=["df"])
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("token", pa.string()),
+        ("tf", pa.int64()), ("df", pa.int64()), ("score", pa.float64()),
+    ])
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "df" not in b.schema.names:
+            return out_schema.empty_table()
+        tfv = b.column("tf").to_pylist()
+        dfv = b.column("df").to_pylist()
+        score = [t * math.log(n_docs / d) for t, d in zip(tfv, dfv)]
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "token": b.column("token").cast(pa.string()),
+            "tf": b.column("tf").cast(pa.int64()),
+            "df": b.column("df").cast(pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+    scored = joined.map_batches(score_batch, batch_format="pyarrow")
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "score" not in g.schema.names:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(g, sort_keys=[
+            ("score", "descending"), ("token", "ascending"),
+        ])
+        return g.take(idx[:k]).select(out_schema.names).cast(out_schema)
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")

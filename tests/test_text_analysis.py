@@ -149,3 +149,30 @@ def test_bigram_partial_bounded_by_alphabet(ray_session):
     assert part.num_rows <= 256 * 256
     assert part.num_rows < 20
     assert part.column("n").to_pylist()[0] > 1
+
+
+def test_tfidf_topk(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.text_analysis import tfidf_topk
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["apple banana apple", "banana cherry", "  "],
+    }))
+    rows = tfidf_topk(docs, k=2).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc                       # tokenless doc emits nothing
+    # N=2; apple: tf=2 df=1 -> 2*ln(2); banana: df=2 -> ln(1)=0
+    d1 = by_doc[1]
+    assert [r["token"] for r in d1] == ["apple", "banana"]
+    assert d1[0]["tf"] == 2 and d1[0]["df"] == 1
+    assert abs(d1[0]["score"] - 2 * math.log(2)) < 1e-12
+    assert d1[1]["score"] == 0.0
+    d2 = {r["token"]: r for r in by_doc[2]}
+    assert d2["cherry"]["df"] == 1 and d2["banana"]["df"] == 2
