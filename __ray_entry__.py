@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": t.doc_top_tokens,
         # LM quality scoring (rows-only: iterative model fit + broadcast)
         "doc_lm_score": t.doc_lm_score,
+        # distributed k-means (rows-only: iterative model fit + broadcast)
+        "emb_kmeans": t.emb_kmeans,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
         "doc_minhash_dedup": t.doc_minhash_dedup,

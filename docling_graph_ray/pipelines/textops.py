@@ -669,3 +669,16 @@ def doc_tfidf_keywords(sf_dir: str, k: int = 5):
     from docling_graph_ray.stages.text_analysis import tfidf_topk
 
     return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=k)
+
+
+def emb_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed k-means over the embeddings table (iterative
+    broadcast-centroid passes; per-iteration reduce payload is k×dim
+    partials, never the corpus) followed by a one-pass assignment —
+    rows (vec_id, cluster, sim).  Rows-only: iterative model fitting
+    has no SQL twin."""
+    from docling_graph_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    embs = _embs(sf_dir, ["vec_id", "embedding"])
+    cent = kmeans_fit(embs, k=k, iters=iters)
+    return kmeans_assign(embs, cent)

@@ -267,3 +267,84 @@ def ivf_topk(
         return group.take(idx[:k])
 
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (iterative corpus clustering)
+
+
+def kmeans_fit(ds, *, k: int = 8, emb_col: str = "embedding",
+               iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Fully distributed Lloyd's k-means (unit-sphere / cosine variant).
+
+    Each iteration is ONE streaming pass: every batch assigns its
+    vectors to the nearest broadcast centroid (numpy matmul) and emits
+    k partial rows ``(cluster, sum_vec, count)`` — so the per-iteration
+    reduce payload is ``k × dim × num_batches`` floats, independent of
+    corpus size; the corpus itself never moves.  The driver folds the
+    tiny partials and renormalizes the codebook.  Initialization is the
+    same deterministic bounded-sample seeding as
+    :func:`train_ivf_centroids` (first rows in block order + PCG64),
+    so runs are reproducible.
+
+    Empty clusters keep their previous centroid (the standard Lloyd
+    fallback, deterministic)."""
+    import ray
+
+    cent = train_ivf_centroids(ds, n_centroids=k, emb_col=emb_col,
+                               iters=0, seed=seed)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+        kk, dim = cent.shape
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _normalize(_as_matrix(batch.column(emb_col)))
+            assign = (m @ c.T).argmax(axis=1)
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(counts),
+            })
+
+        sums = np.zeros((kk, dim), dtype=np.float64)
+        counts = np.zeros(kk, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.float64)
+            nn = b.column("n").to_numpy(zero_copy_only=False)
+            np.add.at(sums, cl, vs)
+            np.add.at(counts, cl, nn)
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(cent)
+    return cent
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
+                  emb_col: str = "embedding"):
+    """Assign every vector to its nearest centroid (broadcast-once
+    codebook, one streaming pass): rows ``(id_col, cluster, sim)``."""
+    import ray
+
+    ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_as_matrix(batch.column(emb_col)))
+        sims = m @ c.T
+        assign = sims.argmax(axis=1)
+        best = sims[np.arange(len(m)), assign]
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(assign.astype(np.int64)),
+            "sim": pa.array(np.round(best, 6)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -79,3 +79,32 @@ def test_ivf_topk_recall_and_determinism(ray_session):
     key = ["query_id", "vec_id"]
     assert approx.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True))
+
+
+def test_kmeans_fit_assign(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    # two tight clusters on the unit sphere
+    rng = np.random.Generator(np.random.PCG64(7))
+    a = rng.normal([5, 0, 0, 0], 0.05, size=(40, 4))
+    b = rng.normal([0, 5, 0, 0], 0.05, size=(40, 4))
+    x = np.concatenate([a, b])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": list(range(80)),
+        "embedding": [row.tolist() for row in x],
+    }))
+    cent = kmeans_fit(ds, k=2, iters=5)
+    assert cent.shape == (2, 4)
+    rows = kmeans_assign(ds, cent).take_all()
+    by_id = {r["vec_id"]: r["cluster"] for r in rows}
+    first = {by_id[i] for i in range(40)}
+    second = {by_id[i] for i in range(40, 80)}
+    assert len(first) == 1 and len(second) == 1 and first != second
+    assert all(r["sim"] > 0.9 for r in rows)
+    # determinism: same input, same codebook
+    cent2 = kmeans_fit(ds, k=2, iters=5)
+    assert np.allclose(cent, cent2)
