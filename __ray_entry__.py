@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_geometry": t.doc_geometry,
         "doc_decontaminate": t.doc_decontaminate,
         "doc_tfidf_keywords": t.doc_tfidf_keywords,
+        "doc_length_quantiles": t.doc_length_quantiles,
         "graph_closed_catalog": g.graph_closed_catalog,
         "graph_records_convert": g.graph_records_convert,
         # rows-only (non-SQL-expressible)
@@ -681,6 +682,18 @@ def oracle_sql() -> dict[str, str]:
             FROM grams d LEFT JOIN bench b ON d.g = b.g
             WHERE d.doc_id >= 25
             GROUP BY d.doc_id
+        """,
+        # exact corpus length quantiles (quantile_disc rule:
+        # sorted[max(ceil(q*n)-1, 0)])
+        "doc_length_quantiles": """
+            WITH qv AS (
+                SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q,
+                       unnest(quantile_disc(n_chars,
+                           [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]))
+                           AS value
+                FROM documents
+            )
+            SELECT q, value FROM qv
         """,
         # top-5 tf-idf keywords per doc; idf = ln(N/df) with N = docs
         # holding >= 1 token; (score DESC, token ASC) is a total order

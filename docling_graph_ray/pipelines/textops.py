@@ -682,3 +682,16 @@ def emb_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     embs = _embs(sf_dir, ["vec_id", "embedding"])
     cent = kmeans_fit(embs, k=k, iters=iters)
     return kmeans_assign(embs, cent)
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact corpus quantiles of document length (n_chars) via the
+    bounded-cardinality value histogram (text_analysis.value_quantiles —
+    one tiny vocabulary-sized shuffle, no global sort); rule matches
+    DuckDB quantile_disc."""
+    from docling_graph_ray.stages.text_analysis import value_quantiles
+
+    return value_quantiles(
+        _docs(sf_dir, ["n_chars"]), "n_chars",
+        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+    )

@@ -414,3 +414,58 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
         return g.take(idx[:k]).select(out_schema.names).cast(out_schema)
 
     return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles over a bounded-cardinality numeric column
+
+
+def value_quantiles(ds, col: str, qs: list[float]):
+    """Exact discrete quantiles of ``col`` via a value histogram:
+    per-batch value-counts partials → one small ``groupby(value)``
+    shuffle (payload bounded by per-batch DISTINCT values, not rows) →
+    driver-side cumulative walk over the merged histogram.
+
+    Intended for bounded-cardinality numeric columns (lengths, counts,
+    scores at fixed precision) where the histogram is tiny next to the
+    corpus — the classic way to get EXACT corpus percentiles without a
+    global sort.  The quantile rule matches DuckDB ``quantile_disc``:
+    the element at index ``max(ceil(q*n)-1, 0)`` of the sorted values.
+
+    Returns a small pyarrow table ``(q, value)``."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or col not in b.schema.names:
+            return pa.schema([("v", pa.int64()),
+                              ("n", pa.int64())]).empty_table()
+        vc = pc.value_counts(b.column(col).cast(pa.int64()).combine_chunks())
+        return pa.table({
+            "v": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    hist = sorted(
+        (r["v"], r["n"]) for r in
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").sum("n")
+        .map_batches(lambda t: t.rename_columns(["v", "n"]),
+                     batch_format="pyarrow")
+        .take_all()
+        if r["v"] is not None
+    )
+    total = sum(n for _, n in hist)
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(math.ceil(q * total) - 1, 0) if total else 0
+        acc = 0
+        val = hist[-1][0] if hist else None
+        for v, n in hist:
+            acc += n
+            if acc > idx:
+                val = v
+                break
+        out_q.append(float(q))
+        out_v.append(val)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})

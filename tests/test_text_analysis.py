@@ -176,3 +176,17 @@ def test_tfidf_topk(ray_session):
     assert d1[1]["score"] == 0.0
     d2 = {r["token"]: r for r in by_doc[2]}
     assert d2["cherry"]["df"] == 1 and d2["banana"]["df"] == 2
+
+
+def test_value_quantiles(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.text_analysis import value_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "v": [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]}))
+    t = value_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.75, 0.9, 1.0])
+    got = dict(zip(t.column("q").to_pylist(), t.column("value").to_pylist()))
+    # quantile_disc rule: sorted[max(ceil(q*n)-1, 0)]
+    assert got == {0.0: 10, 0.25: 30, 0.5: 50, 0.75: 80, 0.9: 90, 1.0: 100}
