@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": t.doc_length_quantiles,
         "graph_closed_catalog": g.graph_closed_catalog,
         "graph_records_convert": g.graph_records_convert,
+        "graph_connected_components": g.graph_connected_components,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -724,6 +725,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, tf, df, score
             FROM ranked WHERE rk <= 5
+        """,
+        # connected components over per-customer order chains: the
+        # iterative min-label fixpoint equals the customer's min orderkey
+        "graph_connected_components": """
+            SELECT o.o_orderkey AS node,
+                   c.component AS component
+            FROM orders o
+            JOIN (SELECT o_custkey, MIN(o_orderkey) AS component
+                  FROM orders GROUP BY o_custkey) c
+              ON o.o_custkey = c.o_custkey
         """,
         # records->graph conversion round-trip: every order rebuilt from
         # the converted graph (folded Order node attrs + PLACED_BY edge

@@ -665,3 +665,35 @@ def graph_records_convert(sf_dir: str):
         })
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def graph_connected_components(sf_dir: str):
+    """Connected components over per-customer order chains: orders of
+    one customer link consecutively (sorted by orderkey; single-order
+    customers get a self-edge), so each component must converge to the
+    customer's minimum orderkey — an exactly verifiable fixpoint for
+    the iterative min-label + pointer-jump operator
+    (stages/graphalgo.py:connected_components)."""
+    from docling_graph_ray.stages.graphalgo import connected_components
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def chain(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "o_orderkey" not in g.schema.names:
+            return edge_schema.empty_table()
+        keys = sorted(g.column("o_orderkey").to_pylist())
+        if len(keys) == 1:
+            pairs = [(keys[0], keys[0])]
+        else:
+            pairs = list(zip(keys[:-1], keys[1:]))
+        return pa.table({
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        })
+
+    edges = orders.groupby("o_custkey").map_groups(
+        chain, batch_format="pyarrow"
+    )
+    return connected_components(edges, label_blocks=8)
