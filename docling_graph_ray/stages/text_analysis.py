@@ -369,13 +369,18 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
                      batch_format="pyarrow")
     )
 
-    # N: documents contributing at least one token (a single scalar)
+    # N: documents contributing at least one token — counted on the
+    # SOURCE rows (one doc = one row, so per-batch boolean sums are safe
+    # under any downstream block split; counting distinct doc_ids over
+    # tf batches would double-count a doc whose rows straddle a split)
     def n_partial(b: pa.Table) -> pa.Table:
-        nn = pc.count_distinct(b.column("doc_id")).as_py() if b.num_rows else 0
-        return pa.table({"n": pa.array([nn], pa.int64())})
+        t = pc.utf8_trim_whitespace(
+            pc.fill_null(b.column(text_col), ""))
+        nn = pc.sum(pc.not_equal(t, "").cast(pa.int64())).as_py() or 0
+        return pa.table({"n": pa.array([int(nn)], pa.int64())})
 
     n_docs = sum(
-        r["n"] for r in tf.map_batches(
+        r["n"] for r in docs.map_batches(
             n_partial, batch_format="pyarrow").take_all()
     )
 
