@@ -637,11 +637,25 @@ def enforce_closed_catalogs(nodes, edges, *,
 
     if skipped:
         skip_set = set(skipped)
-        final_cands = cand_cls.filter(
-            lambda r: str(r[class_col]) not in skip_set
-        ).select_columns(["_dst"])
+
+        def drop_guarded(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or class_col not in b.schema.names:
+                return cand_schema.empty_table()
+            keep = pc.invert(pc.is_in(
+                b.column(class_col).cast(pa.string()),
+                value_set=pa.array(sorted(skip_set), pa.string()),
+            ))
+            return pa.table(
+                {"_dst": b.filter(pc.fill_null(keep, True)).column("_dst")}
+            ).cast(cand_schema)
+
+        final_cands = cand_cls.map_batches(drop_guarded,
+                                           batch_format="pyarrow")
     else:
         final_cands = cand_cls.select_columns(["_dst"])
+    # one barrier: five consumers below (drop, audit, count, dead-node
+    # scan) would each re-execute the stats+lookup pipeline otherwise
+    final_cands = final_cands.materialize()
 
     edges_out = semi_join(edges, final_cands, on=dst_col, key_col="_dst",
                           anti=True)

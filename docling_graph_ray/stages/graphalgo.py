@@ -120,12 +120,15 @@ def connected_components(edges, *, src_col: str = "src",
                 "label": b.column("label").cast(pa.int64()),
             }).cast(_LBL_SCHEMA)
 
+        # barrier: the pointer jump consumes prop TWICE (left + lookup
+        # side of the self-join); without the materialize its 3-shuffle
+        # plan executes twice per round
         prop = _min_fold(
             labels.union(
                 with_a.map_batches(offers, batch_format="pyarrow"),
                 with_b.map_batches(offers_rev, batch_format="pyarrow"),
             )
-        )
+        ).repartition(label_blocks).materialize()
 
         # pointer jump: label <- label(label)
         jumped = lookup_join(
