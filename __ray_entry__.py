@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": t.doc_lm_score,
         # distributed k-means (rows-only: iterative model fit + broadcast)
         "emb_kmeans": t.emb_kmeans,
+        # PageRank (rows-only: fixed-iteration float power iteration)
+        "graph_pagerank": g.graph_pagerank,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
         "doc_minhash_dedup": t.doc_minhash_dedup,

@@ -697,3 +697,35 @@ def graph_connected_components(sf_dir: str):
         chain, batch_format="pyarrow"
     )
     return connected_components(edges, label_blocks=8)
+
+
+def graph_pagerank(sf_dir: str, iters: int = 5):
+    """PageRank over the supplier→nation→region hierarchy (suppliers
+    endorse their nation, nations their region; regions are dangling).
+    Rows-only: fixed-iteration float power iteration has no SQL twin —
+    pytest compares the operator against a dense numpy reference.
+    Node ids: suppkey | 10^6 + nationkey | 2*10^6 + regionkey."""
+    from docling_graph_ray.stages.graphalgo import pagerank
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+
+    def sup_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column("s_suppkey").cast(pa.int64()),
+            "dst": pc.add(b.column("s_nationkey").cast(pa.int64()),
+                          pa.scalar(1_000_000, pa.int64())),
+        })
+
+    def nat_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.add(b.column("n_nationkey").cast(pa.int64()),
+                          pa.scalar(1_000_000, pa.int64())),
+            "dst": pc.add(b.column("n_regionkey").cast(pa.int64()),
+                          pa.scalar(2_000_000, pa.int64())),
+        })
+
+    edges = sup.map_batches(sup_edges, batch_format="pyarrow").union(
+        nat.map_batches(nat_edges, batch_format="pyarrow")
+    )
+    return pagerank(edges, iters=iters)

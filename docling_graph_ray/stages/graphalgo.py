@@ -164,3 +164,148 @@ def connected_components(edges, *, src_col: str = "src",
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow",
     )
+
+
+def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, iters: int = 10,
+             label_blocks: int = 8, ndigits: int = 10):
+    """Distributed PageRank, fixed ``iters`` power iterations.
+
+    Per iteration: attach each edge's source rank/out-degree (one hash
+    join), send ``rank/out_degree`` along the edge, fold contributions
+    with a per-batch partial sum before the ``groupby(node)`` shuffle,
+    and apply the damping update.  Dangling mass (nodes with no
+    out-edges) is redistributed uniformly — computed as ``1 − Σ
+    outgoing mass`` with one tiny aggregate, so nothing graph-sized
+    lands on the driver.  The same repartition+materialize round
+    barrier as :func:`connected_components` (see module docstring).
+
+    Ranks are rounded to ``ndigits`` decimals at the END only, so
+    results are reproducible across block layouts up to float-sum
+    ordering (documented tolerance; tests compare against a dense
+    numpy power iteration at 1e-9)."""
+    import ray  # noqa: F401
+
+    rank_schema = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or src_col not in b.schema.names:
+            return _LBL_SCHEMA.empty_table()
+        s = b.column(src_col).cast(pa.int64())
+        d = b.column(dst_col).cast(pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([s.combine_chunks(),
+                                      d.combine_chunks()]),
+            "label": pa.concat_arrays([s.combine_chunks(),
+                                       d.combine_chunks()]),
+        }).cast(_LBL_SCHEMA)
+
+    nodes = _min_fold(
+        edges.map_batches(endpoints, batch_format="pyarrow")
+    ).map_batches(
+        lambda t: pa.table({"node": t.column("node")}),
+        batch_format="pyarrow",
+    ).repartition(label_blocks).materialize()
+    n_total = nodes.count()
+    if n_total == 0:
+        return ray.data.from_arrow(rank_schema.empty_table())
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or src_col not in b.schema.names:
+            return pa.schema([("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+        return pa.table({"a": b.column(src_col).cast(pa.int64()),
+                         "b": b.column(dst_col).cast(pa.int64())})
+
+    epairs = edges.map_batches(pairs, batch_format="pyarrow")
+
+    # out-degree per source (static across iterations)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "a" not in b.schema.names:
+            return pa.schema([("node", pa.int64()),
+                              ("deg", pa.int64())]).empty_table()
+        g = b.group_by("a").aggregate([([], "count_all")])
+        return g.rename_columns(["node", "deg"])
+
+    degrees = (
+        epairs.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node").sum("deg")
+        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                     batch_format="pyarrow")
+        .repartition(label_blocks).materialize()
+    )
+
+    from docling_graph_ray.stages.joins import lookup_join
+
+    init = 1.0 / n_total
+    ranks = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "rank": pa.array([init] * b.num_rows, pa.float64()),
+        }).cast(rank_schema),
+        batch_format="pyarrow",
+    ).repartition(label_blocks).materialize()
+
+    base = (1.0 - damping) / n_total
+    for _ in range(iters):
+        with_rank = lookup_join(
+            lookup_join(epairs, ranks, on="a", key_col="node",
+                        value_cols=["rank"]),
+            degrees, on="a", key_col="node", value_cols=["deg"],
+        )
+
+        contrib_schema = pa.schema([("node", pa.int64()),
+                                    ("m", pa.float64())])
+
+        def contribs(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "rank" not in b.schema.names:
+                return contrib_schema.empty_table()
+            m = pc.divide(b.column("rank").cast(pa.float64()),
+                          b.column("deg").cast(pa.float64()))
+            t = pa.table({"node": b.column("b").cast(pa.int64()), "m": m})
+            g = t.group_by("node").aggregate([("m", "sum")])
+            return g.rename_columns(["node", "m"]).cast(contrib_schema)
+
+        # barrier: inflow is consumed twice (dangling-mass aggregate +
+        # the rank update join)
+        inflow = (
+            with_rank.map_batches(contribs, batch_format="pyarrow")
+            .groupby("node").sum("m")
+            .map_batches(lambda t: t.rename_columns(["node", "m"]),
+                         batch_format="pyarrow")
+            .repartition(label_blocks).materialize()
+        )
+
+        # dangling mass = 1 - sum of mass sent along edges
+        def msum(b: pa.Table) -> pa.Table:
+            s = pc.sum(b.column("m")).as_py() if b.num_rows else 0.0
+            return pa.table({"s": pa.array([s or 0.0], pa.float64())})
+
+        sent = sum(r["s"] for r in inflow.map_batches(
+            msum, batch_format="pyarrow").take_all())
+        dangling = max(0.0, 1.0 - sent) / n_total
+
+        joined = lookup_join(nodes, inflow, on="node", key_col="node",
+                             value_cols=["m"])
+
+        def update(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "node" not in b.schema.names:
+                return rank_schema.empty_table()
+            m = pc.fill_null(b.column("m").cast(pa.float64()), 0.0)
+            r = pc.add(pc.multiply(pc.add(m, pa.scalar(dangling)),
+                                   pa.scalar(damping)),
+                       pa.scalar(base))
+            return pa.table({"node": b.column("node").cast(pa.int64()),
+                             "rank": r}).cast(rank_schema)
+
+        ranks = joined.map_batches(
+            update, batch_format="pyarrow"
+        ).repartition(label_blocks).materialize()
+
+    def final_round(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "rank": pc.round(b.column("rank"), ndigits=ndigits),
+        }).cast(rank_schema)
+
+    return ranks.map_batches(final_round, batch_format="pyarrow")
