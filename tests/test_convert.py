@@ -130,3 +130,57 @@ def test_closed_catalog_handoff(ray_session):
     assert audit["drops_by_label"] == {"PLACED_BY": 2}
     kept = sorted(r["label"] for r in edges_out.take_all())
     assert kept == ["APPROVED_BY"]
+
+
+def test_deep_nesting_and_entity_lists(ray_session):
+    """Entities nested three levels down (entity → component → entity
+    list) all surface as nodes; edges hang off the nearest entity."""
+    import pyarrow as pa
+    import ray
+
+    spec = {
+        "name": "t", "docstring": "", "root": "Org", "enums": [],
+        "models": [
+            {"name": "Org", "kind": "root", "identity": ["org_id"],
+             "docstring": "", "fields": [
+                 {"name": "org_id", "type": "int", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "hq", "type": "Address", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+            {"name": "Address", "kind": "component", "identity": [],
+             "docstring": "", "fields": [
+                 {"name": "city", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False},
+                 {"name": "tenants", "type": "Person", "is_list": True,
+                  "optional": True, "role": "edge",
+                  "edge_label": "HOUSES", "reference": False}]},
+            {"name": "Person", "kind": "entity", "identity": ["pid"],
+             "docstring": "", "fields": [
+                 {"name": "pid", "type": "int", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    import json as _json
+
+    from docling_graph_ray.stages.convert import (
+        records_to_graph, split_graph,
+    )
+
+    rec = {"org_id": 1, "hq": {"city": "Bern",
+                               "tenants": [{"pid": 7}, {"pid": 8}]}}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_key": ["d"], "record": [_json.dumps(rec)]}))
+    mentions, edges = split_graph(records_to_graph(ds, spec))
+    m = mentions.take_all()
+    e = edges.take_all()
+    assert sorted(r["class"] for r in m) == ["Org", "Person", "Person"]
+    org = next(r for r in m if r["class"] == "Org")
+    # component embeds with the entity list nulled out
+    assert _json.loads(org["attrs"])["hq"] == {"city": "Bern",
+                                               "tenants": None}
+    assert [r["label"] for r in e] == ["HOUSES", "HOUSES"]
+    assert all(r["src"] == org["node_id"] for r in e)

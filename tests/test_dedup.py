@@ -250,3 +250,25 @@ def test_decontaminate_clean_mode(ray_session):
     kept = decontaminate(corpus, grams, n=8, emit="clean").take_all()
     # doc 1 is contaminated and drops; doc 3 is too short to leak -> kept
     assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+
+def test_decontaminate_unicode_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.decontaminate import (
+        benchmark_ngram_set, decontaminate,
+    )
+
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": [0],
+        "text": ["médecin déjà vu alpha beta gamma delta epsilon zeta"]}))
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["x médecin déjà vu alpha beta gamma delta epsilon tail",
+                 None]}))
+    grams = benchmark_ngram_set(bench, n=8)
+    rows = {r["doc_id"]: r for r in
+            decontaminate(corpus, grams, n=8).take_all()}
+    assert rows[1]["n_contaminated"] >= 1      # unicode grams match
+    assert 2 not in rows                       # null text -> no grams
