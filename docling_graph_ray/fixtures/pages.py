@@ -358,11 +358,17 @@ def pages_parquet_dir(n: int, seed: int = 42, profile: str = "t2") -> str:
         return dest
     tmp = dest + ".building"
     shutil.rmtree(tmp, ignore_errors=True)
-    # consolidate files: one per ~250 rows (t1 ≈ a few MB, bench ≈ 65 MB)
-    # so the read side gets real per-file parallelism without a storm of
-    # tiny files
+    # consolidate files (no storm of tiny files) but BOUND the row-group
+    # size: a Parquet row group is the smallest unit a distributed read
+    # can split, so `n // 64` rows per file as ONE row group made the
+    # read granularity GROW with n — at 96k rows each row group was
+    # ~400 MB in memory, Ray could only admit 2-3 concurrent reads and
+    # the whole pipeline starved behind them (measured: 9x throughput
+    # cliff from 48k→96k).  128-row groups ≈ 33 MB in-memory for the
+    # bench profile keep reads splittable at every scale.
     pages_dataset(n, seed, profile).write_parquet(
-        tmp, num_rows_per_file=max(250, n // 64)
+        tmp, num_rows_per_file=max(250, min(512, n // 64)),
+        row_group_size=128,
     )
     try:
         os.replace(tmp, dest)

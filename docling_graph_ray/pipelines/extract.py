@@ -108,6 +108,16 @@ def make_classifier(num_partitions: int, giant_bytes: int = DEFAULT_GIANT_BYTES)
 
 # EXTRACT_SCHEMA + the partition id that drives the downstream groupby
 _STAGE_SCHEMA = EXTRACT_SCHEMA.append(pa.field("part_id", pa.int32()))
+# codec variant: extracted_text rides as zlib large_binary (see
+# compress_shuffle_payload) — produced when the actor compresses at flush
+_STAGE_SCHEMA_Z = pa.schema(
+    [
+        pa.field("extracted_text", pa.large_binary())
+        if f.name == "extracted_text"
+        else f
+        for f in _STAGE_SCHEMA
+    ]
+)
 
 # yield an output sub-batch once this much input html has been consumed —
 # bounds task-output block latency/memory even when single rows are huge
@@ -138,6 +148,23 @@ class ExtractActor(PdfParseActor):
 
     giant_parse_cap = GIANT_PARSE_CAP_BYTES
 
+    def __init__(self, shuffle_codec: str | None = None) -> None:
+        """``shuffle_codec="zlib"`` compresses ``extracted_text`` AT FLUSH,
+        inside the actor, so the uncompressed text never enters the object
+        store.  A separate compress ``map_batches`` stage downstream is NOT
+        equivalent at scale: once total uncompressed extract output exceeds
+        the object store, the executor's per-operator memory budgeting
+        wedges — the extract pool's output queue fills the store, the
+        compress stage that would drain it is denied submission by the same
+        exhausted budget, and the whole stream trickles (measured at 96k
+        bench rows / 32 cpus: 86-96 docs/s with every operator
+        backpressured and load ~1, vs ~860 docs/s at 48k where the
+        uncompressed output still fit)."""
+        super().__init__()
+        if shuffle_codec not in (None, "zlib"):
+            raise ValueError(f"unknown shuffle_codec: {shuffle_codec!r}")
+        self.shuffle_codec = shuffle_codec
+
     def __call__(self, batch: pa.Table):
         urls = batch.column("url")
         warcs = batch.column("warc_ts")
@@ -160,6 +187,19 @@ class ExtractActor(PdfParseActor):
             text_arr, shas, bytes_out = text_column_with_digests(
                 acc["extracted_text"]
             )
+            schema = _STAGE_SCHEMA
+            if self.shuffle_codec == "zlib":
+                # sha256/bytes_out above come from the uncompressed
+                # buffers, so the byte-identity invariant still rides
+                # alongside the compressed payload
+                text_arr = pa.array(
+                    [
+                        zlib.compress(s.as_buffer(), _SHUFFLE_ZLIB_LEVEL)
+                        for s in text_arr.cast(pa.large_binary())
+                    ],
+                    pa.large_binary(),
+                )
+                schema = _STAGE_SCHEMA_Z
             return pa.Table.from_arrays(
                 [
                     urls.take(idx).cast(pa.string()),
@@ -175,7 +215,7 @@ class ExtractActor(PdfParseActor):
                     bytes_out,
                     parts.take(idx),
                 ],
-                schema=_STAGE_SCHEMA,
+                schema=schema,
             )
 
         acc = new_acc()
@@ -297,7 +337,12 @@ _SHUFFLE_ZLIB_LEVEL = 1
 
 
 def compress_shuffle_payload(batch: pa.Table) -> pa.Table:
-    """extracted_text: large_string → zlib large_binary (idempotent)."""
+    """extracted_text: large_string → zlib large_binary (idempotent).
+
+    The flagship path compresses inside ``ExtractActor`` at flush (so the
+    object store never holds uncompressed text); this standalone form
+    remains for query-side groupbys over datasets built without a codec —
+    it is a no-op when the column is already binary."""
     col = batch.column("extracted_text")
     if pa.types.is_large_binary(col.type):
         return batch
@@ -381,7 +426,7 @@ def _auto_concurrency() -> tuple[int, int]:
     return (n, n)
 
 
-def _lanes(classified, pdf_concurrency):
+def _lanes(classified, pdf_concurrency, shuffle_codec: str | None = None):
     """The extraction stage: one warm-actor pool, one pass, one parse per
     row.  ``batch_size`` bounds per-call input (~64 rows × ~0.25 MB avg
     html ≈ 8 MB on the heavy profile); small batches keep the task tail
@@ -393,6 +438,7 @@ def _lanes(classified, pdf_concurrency):
         batch_format="pyarrow",
         batch_size=32,
         concurrency=pdf_concurrency,
+        fn_constructor_kwargs={"shuffle_codec": shuffle_codec},
     )
 
 
@@ -436,15 +482,18 @@ def extract_pages_dataset(
     num_partitions: int = 16,
     giant_bytes: int = DEFAULT_GIANT_BYTES,
     pdf_concurrency=None,
+    shuffle_codec: str | None = None,
 ):
     """pages Dataset → extracted Dataset (NOT deduped; no shuffle).
 
     The narrow part of the pipeline, for callers that want the extracted
-    rows themselves (queries, tests)."""
+    rows themselves (queries, tests).  Pass ``shuffle_codec="zlib"`` when
+    the result feeds a wide op (``dedup_extracted`` detects it and skips
+    its own compress pass)."""
     classified = pages.map_batches(
         make_classifier(num_partitions, giant_bytes), batch_format="pyarrow"
     )
-    return _lanes(classified, pdf_concurrency)
+    return _lanes(classified, pdf_concurrency, shuffle_codec)
 
 
 def run_extract_pipeline(
@@ -463,7 +512,8 @@ def run_extract_pipeline(
     atomically inside the groupby; on a re-run with ``resume=True``,
     already-committed partitions are filtered out BEFORE the parse.
     ``shuffle_codec="zlib"`` (default) compresses the extracted-text
-    payload through the wide op — see ``compress_shuffle_payload``."""
+    payload INSIDE the extract actor (see ``ExtractActor.__init__``), so
+    the object store and the wide op only ever hold compressed text."""
     classified = pages.map_batches(
         make_classifier(num_partitions, giant_bytes), batch_format="pyarrow"
     )
@@ -478,13 +528,9 @@ def run_extract_pipeline(
 
             classified = classified.map_batches(_skip_done, batch_format="pyarrow")
 
-    extracted = _lanes(classified, pdf_concurrency)
-    if shuffle_codec == "zlib":
-        extracted = extracted.map_batches(
-            compress_shuffle_payload, batch_format="pyarrow"
-        )
-    elif shuffle_codec is not None:
+    if shuffle_codec not in (None, "zlib"):
         raise ValueError(f"unknown shuffle_codec: {shuffle_codec!r}")
+    extracted = _lanes(classified, pdf_concurrency, shuffle_codec)
     finalizer = PartitionFinalizer(out_dir)
 
     def finalize_partition(group: pa.Table) -> pa.Table:
