@@ -79,6 +79,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_closed_catalog": g.graph_closed_catalog,
         "graph_records_convert": g.graph_records_convert,
         "graph_connected_components": g.graph_connected_components,
+        # deterministic sampling / scrubbing / incremental dedup (oracle-checked)
+        "doc_split_assign": t.doc_split_assign,
+        "doc_stratified_sample": t.doc_stratified_sample,
+        "doc_temperature_mix": t.doc_temperature_mix,
+        "doc_pii_redact": t.doc_pii_redact,
+        "doc_incremental_dedup": t.doc_incremental_dedup,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -886,5 +892,111 @@ def oracle_sql() -> dict[str, str]:
                    || '], "orderkey": ' || it.l_orderkey || '}' AS record
             FROM it JOIN n ON n.l_orderkey = it.l_orderkey
             GROUP BY it.l_orderkey
+        """,
+        # deterministic 80/10/10 split from the shared 32-bit integer
+        # finalizer (two multiply-xorshift rounds — stages/sampling.py
+        # mix32, bit-identical between numpy and DuckDB xor/>>/%)
+        "doc_split_assign": """
+            WITH m1 AS (
+                SELECT doc_id,
+                       xor(doc_id >> 16, doc_id) * 73244475 % 4294967296 AS x
+                FROM documents
+            ),
+            m2 AS (SELECT doc_id,
+                          xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            h AS (SELECT doc_id, xor(x >> 16, x) % 100 AS bucket FROM m2)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        # deterministic 40-per-language sample, ordered by mix32(doc_id)
+        # with doc_id tiebreak (a total order, so the cutoff is stable)
+        "doc_stratified_sample": """
+            WITH m1 AS (
+                SELECT doc_id, lang,
+                       xor(doc_id >> 16, doc_id) * 73244475 % 4294967296 AS x
+                FROM documents
+            ),
+            m2 AS (SELECT doc_id, lang,
+                          xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            h AS (SELECT doc_id, lang, xor(x >> 16, x) AS _h FROM m2)
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (PARTITION BY lang
+                                           ORDER BY _h, doc_id) AS BIGINT)
+                       AS rk
+            FROM h
+            QUALIFY rk <= 40
+        """,
+        # temperature mixing (alpha=0.5): keep iff mix32(doc_id) <
+        # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
+        # correctly-rounded doubles in both engines, so thresholds are
+        # bit-identical
+        "doc_temperature_mix": """
+            WITH c AS (SELECT lang, COUNT(*) AS n
+                       FROM documents GROUP BY lang),
+            m AS (SELECT MIN(n) AS n_min FROM c),
+            t AS (SELECT lang, n AS n_source,
+                         CAST(floor(pow(CAST(n_min AS DOUBLE)
+                                        / CAST(n AS DOUBLE), 0.5)
+                                    * 4294967296) AS BIGINT) AS thr
+                  FROM c, m),
+            m1 AS (
+                SELECT doc_id, lang,
+                       xor(doc_id >> 16, doc_id) * 73244475 % 4294967296 AS x
+                FROM documents
+            ),
+            m2 AS (SELECT doc_id, lang,
+                          xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            h AS (SELECT doc_id, lang, xor(x >> 16, x) AS _h FROM m2)
+            SELECT h.doc_id, h.lang, t.n_source, t.thr
+            FROM h JOIN t USING (lang)
+            WHERE h._h < t.thr
+        """,
+        # PII scrub over deterministically-salted text (unique email per
+        # row + an IP + a phone); both engines run RE2, so the patterns
+        # and replacement order (email, ip, phone) match exactly
+        "doc_pii_redact": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 192.168.0.1'
+                            || ' call 555-867-5309.' AS a
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(a,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(a,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(a,
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(a,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
+                       AS redacted
+            FROM aug
+        """,
+        # incremental dedup vs the sharded mutable index: pass 1 admits
+        # exactly the distinct texts (exact-mode shards are atomic and
+        # order-independent for COUNTS), pass 2 admits nothing
+        "doc_incremental_dedup": """
+            SELECT * FROM (
+                SELECT 1 AS pass,
+                       COUNT(DISTINCT text) AS n_new,
+                       COUNT(*) - COUNT(DISTINCT text) AS n_seen
+                FROM documents
+                UNION ALL
+                SELECT 2, 0, COUNT(*) FROM documents
+            ) ORDER BY pass
         """,
     }

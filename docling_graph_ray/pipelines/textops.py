@@ -695,3 +695,116 @@ def doc_length_quantiles(sf_dir: str):
         _docs(sf_dir, ["n_chars"]), "n_chars",
         [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / split / scrubbing / incremental dedup (round 2)
+
+
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment from mix32(doc_id) % 100
+    (80/10/10).  Pure per-row arithmetic, no shuffle; reproducible by
+    any system from the id alone (stages/sampling.py)."""
+    from docling_graph_ray.stages.sampling import split_assign_batch
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(
+        split_assign_batch("doc_id"), batch_format="pyarrow"
+    )
+
+
+def doc_stratified_sample(sf_dir: str, k: int = 40):
+    """Deterministic k-docs-per-language sample ordered by mix32(id):
+    per-block top-k partials (combiner) then a strata-sized groupby —
+    the shuffle moves O(k x blocks x strata) rows, never the corpus."""
+    from docling_graph_ray.stages.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), strat_col="lang", id_col="doc_id", k=k
+    )
+
+
+def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
+    """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
+    mixing — the corpus is language-skewed, en ~3x fr, so the filter
+    genuinely downsamples): per-language acceptance thresholds from a
+    combiner-first count aggregate broadcast once via ray.put; the keep
+    filter is an embarrassingly-parallel integer compare
+    (stages/sampling.py:temperature_mix)."""
+    from docling_graph_ray.stages.sampling import temperature_mix
+
+    return temperature_mix(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        source_col="lang", id_col="doc_id", alpha=alpha,
+    )
+
+
+def doc_pii_redact(sf_dir: str):
+    """PII scrub over deterministically PII-augmented text (the synthetic
+    corpus carries no organic PII, so each row is salted with a unique
+    email + an IP + a phone the oracle reconstructs identically): Arrow
+    RE2 kernels only, one C++ pass per pattern (stages/pii.py)."""
+    from docling_graph_ray.stages.pii import redact_batch
+
+    redact = redact_batch(text_col="aug", out_col="redacted")
+
+    def inject_and_redact(batch: pa.Table) -> pa.Table:
+        aug = pc.binary_join_element_wise(
+            batch.column("text"),
+            " contact user",
+            pc.cast(batch.column("doc_id"), pa.string()),
+            "@example.com from 192.168.0.1 call 555-867-5309.",
+            "",
+        )
+        out = redact(batch.append_column("aug", aug))
+        return out.drop_columns(["text", "aug"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        inject_and_redact, batch_format="pyarrow"
+    )
+
+
+def doc_incremental_dedup(sf_dir: str):
+    """Incremental (cross-run) dedup against the sharded mutable
+    content-hash index (stages/hash_index.py — raw actors: the one
+    semantics Dataset ops can't express).  Feeds the corpus through the
+    index twice; exact-mode shards make the per-pass new/seen counts
+    deterministic under parallelism (atomic per shard, first-wins), so
+    the result is oracle-checkable: pass 1 admits COUNT(DISTINCT text),
+    pass 2 admits nothing."""
+    from docling_graph_ray.stages.hash_index import IncrementalDedup, create_index
+
+    shards = create_index(4, mode="exact")
+    try:
+        rows = []
+        for pass_no in (1, 2):
+            marked = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+                IncrementalDedup,
+                fn_constructor_kwargs={"shards": shards},
+                batch_format="pyarrow",
+                batch_size=256,
+                concurrency=2,
+            )
+
+            def partial(b: pa.Table) -> pa.Table:
+                seen = b.column("seen").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "n_new": pa.array([int((~seen).sum())], pa.int64()),
+                        "n_seen": pa.array([int(seen.sum())], pa.int64()),
+                    }
+                )
+
+            agg = marked.map_batches(partial, batch_format="pyarrow").sum(
+                ["n_new", "n_seen"]
+            )
+            rows.append(
+                {
+                    "pass": pass_no,
+                    "n_new": int(agg["sum(n_new)"]),
+                    "n_seen": int(agg["sum(n_seen)"]),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+    finally:
+        for s in shards:
+            ray.kill(s)
