@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_temperature_mix": t.doc_temperature_mix,
         "doc_pii_redact": t.doc_pii_redact,
         "doc_incremental_dedup": t.doc_incremental_dedup,
+        "doc_curation_pipeline": t.doc_curation_pipeline,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -985,6 +986,81 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')
                        AS redacted
             FROM aug
+        """,
+        # end-to-end curation composite: Gopher gate -> exact dedup among
+        # passers (keeper = min doc_id per text) -> language temperature
+        # mix with thresholds over SURVIVOR counts -> 80/10/10 split;
+        # every rung reuses an already-oracled rule, chained
+        "doc_curation_pipeline": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ),
+            per_word AS (
+                SELECT doc_id, word, COUNT(*) AS cnt, length(word) AS wl
+                FROM w GROUP BY doc_id, word
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(cnt) AS BIGINT) AS n_words,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+                       CAST(SUM(cnt * wl) AS BIGINT) AS total_chars,
+                       CAST(MAX(cnt * wl) AS BIGINT) AS top_chars
+                FROM per_word GROUP BY doc_id
+            ),
+            gp AS (
+                SELECT d.doc_id,
+                       (a.n_words >= 30
+                        AND ROUND(a.total_chars * 1.0 / a.n_words, 6)
+                            BETWEEN 3.0 AND 10.0
+                        AND ROUND(1.0 - (a.n_distinct_words * 1.0
+                                         / a.n_words), 6) <= 0.5
+                        AND ROUND(a.top_chars * 1.0
+                                  / GREATEST(a.total_chars, 1), 6) <= 0.25
+                        AND CAST(length(regexp_extract_all(d.text,
+                             '\\b(?:the|a|and|of|to|in)\\b')) AS BIGINT) >= 1
+                       ) AS gopher_pass
+                FROM documents d JOIN agg a USING (doc_id)
+            ),
+            passers AS (
+                SELECT d.doc_id, d.lang, d.text
+                FROM documents d JOIN gp USING (doc_id)
+                WHERE gp.gopher_pass
+            ),
+            surv AS (
+                SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang,
+                           MIN(doc_id) OVER (PARTITION BY text) AS keeper
+                    FROM passers
+                ) WHERE doc_id = keeper
+            ),
+            c AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang),
+            m AS (SELECT MIN(n) AS n_min FROM c),
+            t AS (SELECT lang, n AS n_source,
+                         CAST(floor(pow(CAST(n_min AS DOUBLE)
+                                        / CAST(n AS DOUBLE), 0.5)
+                                    * 4294967296) AS BIGINT) AS thr
+                  FROM c, m),
+            m1 AS (
+                SELECT doc_id, lang,
+                       xor(doc_id >> 16, doc_id) * 73244475 % 4294967296 AS x
+                FROM surv
+            ),
+            m2 AS (SELECT doc_id, lang,
+                          xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            h AS (SELECT doc_id, lang, xor(x >> 16, x) AS _h FROM m2),
+            mixed AS (
+                SELECT h.doc_id, h.lang, t.n_source, t.thr, h._h
+                FROM h JOIN t USING (lang)
+                WHERE h._h < t.thr
+            )
+            SELECT doc_id, lang, n_source, thr,
+                   CAST(_h % 100 AS BIGINT) AS bucket,
+                   CASE WHEN _h % 100 < 80 THEN 'train'
+                        WHEN _h % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM mixed
         """,
         # incremental dedup vs the sharded mutable index: pass 1 admits
         # exactly the distinct texts (exact-mode shards are atomic and

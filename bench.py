@@ -51,6 +51,7 @@ HEADLINE = [
     "doc_minhash_dedup",
     "doc_token_counts",
     "emb_topk",
+    "doc_curation_pipeline",
 ]
 
 # flagship scaling input: synthetic pages at the bench skew profile

@@ -808,3 +808,54 @@ def doc_incremental_dedup(sf_dir: str):
     finally:
         for s in shards:
             ray.kill(s)
+
+
+def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
+    """End-to-end corpus curation — the composite a real training-data
+    team runs nightly: Gopher quality gate -> exact dedup (keeper = min
+    doc_id among quality passers sharing a text) -> language temperature
+    mix (alpha=0.5, thresholds computed over SURVIVORS) -> deterministic
+    train/val/test split.  One fused text pass computes the quality
+    metrics AND the 64-bit content hash, then text is dropped — the only
+    shuffle moves (doc_id, lang, text_hash, flag) rows; mixing and
+    splitting are broadcast-filter / pure-arithmetic stages.  Every rung
+    has an exact SQL twin, so the WHOLE composite is value-hash-checked."""
+    from docling_graph_ray.stages import text_analysis as ta
+    from docling_graph_ray.stages.dedup import add_text_hash
+    from docling_graph_ray.stages.sampling import split_assign_batch, temperature_mix
+
+    hash_fn = add_text_hash("text")
+
+    def quality_and_hash(batch: pa.Table) -> pa.Table:
+        g = ta.gopher_quality_batch(batch)  # row-aligned with the batch
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "text_hash": hash_fn(batch).column("text_hash"),
+            }
+        )
+        # quality gate fused here: failing rows never reach the shuffle
+        return out.filter(g.column("gopher_pass"))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        i = pc.min(group.column("doc_id")).as_py()
+        return group.filter(pc.equal(group.column("doc_id"), i)).select(
+            ["doc_id", "lang"]
+        )
+
+    survivors = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(quality_and_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pyarrow")
+        # consumed twice below (language-count pass + keep filter):
+        # without this barrier the quality pass and the hash shuffle
+        # execute twice.  The pinned intermediate is (doc_id, lang)
+        # only — ~16 B/doc, spill-friendly — vs re-reading the corpus.
+        .materialize()
+    )
+    mixed = temperature_mix(
+        survivors, source_col="lang", id_col="doc_id", alpha=alpha
+    )
+    return mixed.map_batches(split_assign_batch("doc_id"), batch_format="pyarrow")
