@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": t.doc_lm_score,
         # distributed k-means (rows-only: iterative model fit + broadcast)
         "emb_kmeans": t.emb_kmeans,
+        # distributed PCA (rows-only: eigendecomposition + broadcast)
+        "emb_pca": t.emb_pca,
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
         "doc_fingerprints": t.doc_fingerprints,

@@ -859,3 +859,15 @@ def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
         survivors, source_col="lang", id_col="doc_id", alpha=alpha
     )
     return mixed.map_batches(split_assign_batch("doc_id"), batch_format="pyarrow")
+
+
+def emb_pca(sf_dir: str, q: int = 8):
+    """Distributed PCA over the embeddings table: moment partials (one
+    d+d^2 row per block) -> driver-side d x d eigensolve -> broadcast
+    projection pass.  Rows (vec_id, proj).  Rows-only: eigendecomposition
+    has no SQL twin (stages/similarity.py:pca_fit/pca_project)."""
+    from docling_graph_ray.stages.similarity import pca_fit, pca_project
+
+    embs = _embs(sf_dir, ["vec_id", "embedding"])
+    comps, _evar, mean = pca_fit(embs, emb_col="embedding", q=q)
+    return pca_project(embs, comps, mean)

