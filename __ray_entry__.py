@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": t.doc_pii_redact,
         "doc_incremental_dedup": t.doc_incremental_dedup,
         "doc_curation_pipeline": t.doc_curation_pipeline,
+        "doc_intradoc_dedup": t.doc_intradoc_dedup,
         # rows-only (non-SQL-expressible)
         "doc_chunks": t.doc_chunks,
         "doc_anchor_scan": t.doc_anchor_scan,
@@ -1063,6 +1064,35 @@ def oracle_sql() -> dict[str, str]:
                         WHEN _h % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM mixed
+        """,
+        # within-document repetition removal (word-window proxy for the
+        # line unit): later exact repeats of a 2-word span inside one
+        # document drop; text reassembles in window order
+        "doc_intradoc_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(TRIM(text), '\\s+') AS w
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            wins AS (
+                SELECT doc_id, g.i AS widx,
+                       array_to_string(w[g.i * 2 + 1 : g.i * 2 + 2], ' ')
+                           AS seg
+                FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(w) / 2.0)
+                                                     AS BIGINT))) AS i) g
+            ),
+            kept AS (
+                SELECT doc_id, widx, seg,
+                       row_number() OVER (PARTITION BY doc_id, seg
+                                          ORDER BY widx) AS rn
+                FROM wins
+            )
+            SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY widx)
+                       FILTER (WHERE rn = 1) AS clean_text,
+                   CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT)
+                       AS n_dropped_windows
+            FROM kept GROUP BY doc_id
         """,
         # incremental dedup vs the sharded mutable index: pass 1 admits
         # exactly the distinct texts (exact-mode shards are atomic and

@@ -871,3 +871,15 @@ def emb_pca(sf_dir: str, q: int = 8):
     embs = _embs(sf_dir, ["vec_id", "embedding"])
     comps, _evar, mean = pca_fit(embs, emb_col="embedding", q=q)
     return pca_project(embs, comps, mean)
+
+
+def doc_intradoc_dedup(sf_dir: str, window: int = 2):
+    """Within-document repetition removal (RefinedWeb/C4 line-dedup rung,
+    word-window proxy for this newline-free corpus): later exact repeats
+    of a 2-word span inside the same document drop, text reassembles in
+    order.  Batch-local — no shuffle (stages/dedup.py)."""
+    from docling_graph_ray.stages.dedup import intradoc_window_dedup_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        intradoc_window_dedup_batch(window=window), batch_format="pyarrow"
+    )

@@ -598,3 +598,70 @@ def embedding_near_dedup(
         ),
         batch_format="pyarrow",
     )
+
+
+def intradoc_window_dedup_batch(*, text_col: str = "text",
+                                id_col: str = "doc_id", window: int = 2):
+    """map_batches UDF factory: WITHIN-document repetition removal —
+    the RefinedWeb/C4 "drop duplicated lines inside a page" rung.  The
+    dedup unit is a non-overlapping ``window``-word span (the synthetic
+    corpus has no newlines; on real pages pass the line split instead):
+    later spans whose exact content appeared earlier in the SAME
+    document are removed, and the cleaned text is reassembled in
+    original order.
+
+    Batch-local by construction (a document's spans never leave its
+    row), so the stage is embarrassingly parallel — no shuffle at any
+    scale.  The heavy steps (explode, window grouping, first-seen scan)
+    run on Arrow/pandas C paths; only the span-string joins are
+    Python-level, bounded by tokens/window.
+
+    Emits ``(id_col, clean_text, n_dropped_windows)``; documents that
+    are empty after trim emit no row (mirrors the SQL oracle).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(
+            pc.fill_null(batch.column(text_col), "")
+        )
+        nonempty = pc.not_equal(text, "")
+        batch = batch.filter(nonempty)
+        text = text.filter(nonempty)
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "clean_text": pa.array([], pa.string()),
+                "n_dropped_windows": pa.array([], pa.int64()),
+            })
+        words = pc.split_pattern_regex(text, r"\s+")
+        counts = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(words).to_pandas()
+        doc_ix = np.repeat(np.arange(len(counts)), counts)
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        pos = np.arange(len(flat)) - starts[doc_ix]
+        widx = pos // window
+
+        df = pd.DataFrame({"d": doc_ix, "wx": widx, "w": flat})
+        segs = df.groupby(["d", "wx"], sort=True)["w"].agg(" ".join)
+        sdf = segs.reset_index()
+        dup = sdf.duplicated(subset=["d", "w"])  # first occurrence wins
+        kept = sdf[~dup]
+        clean = kept.groupby("d", sort=True)["w"].agg(" ".join)
+        dropped = dup.groupby(sdf["d"]).sum()
+
+        full = pd.RangeIndex(len(counts))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "clean_text": pa.array(
+                clean.reindex(full, fill_value="").tolist(), pa.string()
+            ),
+            "n_dropped_windows": pa.array(
+                dropped.reindex(full, fill_value=0).astype(np.int64).to_numpy()
+            ),
+        })
+
+    return fn

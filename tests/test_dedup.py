@@ -272,3 +272,39 @@ def test_decontaminate_unicode_and_nulls(ray_session):
             decontaminate(corpus, grams, n=8).take_all()}
     assert rows[1]["n_contaminated"] >= 1      # unicode grams match
     assert 2 not in rows                       # null text -> no grams
+
+
+def test_intradoc_window_dedup_removes_repeats():
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.dedup import intradoc_window_dedup_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d a b",          # window 'a b' repeats -> dropped
+            "x y x z",              # 'x y' != 'x z': nothing drops
+            "   ",                  # empty after trim: no output row
+            "p q p q p q p",        # 'p q' x3 + tail 'p': keep first + tail
+        ]),
+    })
+    out = intradoc_window_dedup_batch(window=2)(t)
+    assert out.column("doc_id").to_pylist() == [1, 2, 4]
+    assert out.column("clean_text").to_pylist() == [
+        "a b c d", "x y x z", "p q p",
+    ]
+    assert out.column("n_dropped_windows").to_pylist() == [1, 0, 2]
+
+
+def test_intradoc_window_dedup_empty_batch():
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.dedup import intradoc_window_dedup_batch
+
+    t = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    out = intradoc_window_dedup_batch(window=2)(t)
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "clean_text", "n_dropped_windows"]
