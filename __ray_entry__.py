@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kmeans": t.emb_kmeans,
         # distributed PCA (rows-only: eigendecomposition + broadcast)
         "emb_pca": t.emb_pca,
+        # distributed BPE vocab induction (rows-only: iterative argmax)
+        "doc_bpe_vocab": t.doc_bpe_vocab,
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
         "doc_fingerprints": t.doc_fingerprints,

@@ -883,3 +883,20 @@ def doc_intradoc_dedup(sf_dir: str, window: int = 2):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         intradoc_window_dedup_batch(window=window), batch_format="pyarrow"
     )
+
+
+def doc_bpe_vocab(sf_dir: str, merges: int = 20):
+    """Distributed BPE vocabulary induction over the documents table:
+    merge table (rank, left, right, count) learned by the streaming
+    pair-count loop (stages/text_analysis.py:bpe_train).  Rows-only:
+    iterative argmax training has no SQL twin; pytest checks equality
+    with a sequential reference implementation."""
+    from docling_graph_ray.stages.text_analysis import bpe_train
+
+    rows = bpe_train(_docs(sf_dir, ["text"]), merges=merges)
+    return pa.table({
+        "rank": pa.array([r for r, _, _, _ in rows], pa.int64()),
+        "left": pa.array([l for _, l, _, _ in rows], pa.string()),
+        "right": pa.array([r for _, _, r, _ in rows], pa.string()),
+        "count": pa.array([c for _, _, _, c in rows], pa.int64()),
+    })

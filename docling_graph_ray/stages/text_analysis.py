@@ -474,3 +474,132 @@ def value_quantiles(ds, col: str, qs: list[float]):
         out_v.append(val)
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE vocabulary induction
+
+
+def word_freq_dataset(ds, *, text_col: str = "text"):
+    """Corpus word-frequency table as a Dataset ``(word, n)``.
+
+    Combiner-before-shuffle (same shape as the top-tokens query): each
+    batch reduces to local ``value_counts`` rows, so the groupby moves
+    per-batch vocabulary partials, never one row per token occurrence.
+    The result is VOCABULARY-sized — the working set every subsequent
+    BPE round streams over, independent of corpus size.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(b.column(text_col), "")),
+            r"\s+",
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat.combine_chunks())
+        return pa.table({
+            "word": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                     batch_format="pyarrow")
+    )
+
+
+def _merge_pair_in_seq(seq: list, left: str, right: str) -> list:
+    """Standard BPE merge: non-overlapping, left-to-right."""
+    out, i, n = [], 0, len(seq)
+    while i < n:
+        if i + 1 < n and seq[i] == left and seq[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+    return out
+
+
+def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
+    """Distributed byte-pair-encoding vocabulary induction.
+
+    The classic tokenizer-training loop (Sennrich et al. 2016) in the
+    kmeans_fit shape: the corpus collapses ONCE to the word-frequency
+    table (vocabulary-sized); each merge round is one streaming pass
+    over it — every batch emits frequency-weighted adjacent-pair count
+    partials (local dict combiner, so the reduce moves per-batch
+    distinct pairs), the driver folds the tiny aggregate and picks the
+    best pair (count DESC, then (left, right) ASC — a total order, so
+    training is deterministic), and the merge is applied in a broadcast
+    ``map_batches`` pass.  The working set is re-materialized each round
+    (unions/iterations otherwise re-execute the whole lineage — see the
+    connected-components note in SURVEY).
+
+    Words are character sequences with a ``</w>`` end-of-word marker.
+    Returns a list of ``(rank, left, right, count)`` tuples.
+    """
+    words = word_freq_dataset(ds, text_col=text_col).map_batches(
+        lambda b: b.append_column(
+            "syms",
+            pa.array(
+                [list(w) + ["</w>"] for w in b.column("word").to_pylist()],
+                pa.list_(pa.string()),
+            ),
+        ),
+        batch_format="pyarrow",
+    ).select_columns(["syms", "n"]).materialize()
+
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(merges):
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            counts: dict[tuple[str, str], int] = {}
+            ns = b.column("n").to_numpy(zero_copy_only=False)
+            for seq, n in zip(b.column("syms").to_pylist(), ns):
+                for i in range(len(seq) - 1):
+                    k = (seq[i], seq[i + 1])
+                    counts[k] = counts.get(k, 0) + int(n)
+            items = sorted(counts.items())
+            return pa.table({
+                "left": pa.array([k[0] for k, _ in items], pa.string()),
+                "right": pa.array([k[1] for k, _ in items], pa.string()),
+                "c": pa.array([c for _, c in items], pa.int64()),
+            })
+
+        agg = (
+            words.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .sum("c")
+            .to_pandas()  # distinct adjacent pairs: vocabulary-sized
+        )
+        if agg.empty:
+            break
+        agg = agg.sort_values(
+            ["sum(c)", "left", "right"], ascending=[False, True, True]
+        )
+        best = agg.iloc[0]
+        left, right, cnt = str(best["left"]), str(best["right"]), int(best["sum(c)"])
+        if cnt < 2:
+            break
+        out.append((rank, left, right, cnt))
+
+        def apply_merge(b: pa.Table, left=left, right=right) -> pa.Table:
+            merged = [
+                _merge_pair_in_seq(s, left, right)
+                for s in b.column("syms").to_pylist()
+            ]
+            return pa.table({
+                "syms": pa.array(merged, pa.list_(pa.string())),
+                "n": b.column("n"),
+            })
+
+        words = words.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return out

@@ -308,3 +308,63 @@ def test_intradoc_window_dedup_empty_batch():
     out = intradoc_window_dedup_batch(window=2)(t)
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "clean_text", "n_dropped_windows"]
+
+
+def _bpe_reference(texts, merges):
+    """Sequential reference BPE (Sennrich-style) over word frequencies."""
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for w in (t or "").split():
+            freq[w] += 1
+    words = {w: list(w) + ["</w>"] for w in freq}
+    out = []
+    for rank in range(merges):
+        pairs = Counter()
+        for w, seq in words.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += freq[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        if c < 2:
+            break
+        out.append((rank, l, r, c))
+        from docling_graph_ray.stages.text_analysis import _merge_pair_in_seq
+        words = {w: _merge_pair_in_seq(s, l, r) for w, s in words.items()}
+    return out
+
+
+def test_bpe_train_matches_sequential_reference(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from docling_graph_ray.stages.text_analysis import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a mat and a hat",
+        "hats and mats and cats",
+        "the the the hat hat",
+    ] * 3  # repetition scales counts but must not change merge ORDER
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts)})
+    ).repartition(4)
+    got = bpe_train(ds, merges=12)
+    want = _bpe_reference(texts, 12)
+    assert got == want
+    # merges are real: multi-char tokens appear
+    assert any(len(l + r) > 2 for _, l, r, _ in got)
+
+
+def test_merge_pair_nonoverlapping_left_to_right():
+    from docling_graph_ray.stages.text_analysis import _merge_pair_in_seq
+
+    # 'aaa' with merge (a,a): greedy left-to-right -> ['aa', 'a']
+    assert _merge_pair_in_seq(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge_pair_in_seq(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _merge_pair_in_seq(["x"], "a", "a") == ["x"]
+    assert _merge_pair_in_seq([], "a", "a") == []
