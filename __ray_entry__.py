@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pca": t.emb_pca,
         # distributed BPE vocab induction (rows-only: iterative argmax)
         "doc_bpe_vocab": t.doc_bpe_vocab,
+        # BPE train+tokenize composite (rows-only: stateful actor cache)
+        "doc_bpe_apply": t.doc_bpe_apply,
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
         "doc_fingerprints": t.doc_fingerprints,

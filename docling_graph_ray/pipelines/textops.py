@@ -900,3 +900,20 @@ def doc_bpe_vocab(sf_dir: str, merges: int = 20):
         "right": pa.array([r for _, _, r, _ in rows], pa.string()),
         "count": pa.array([c for _, _, _, c in rows], pa.int64()),
     })
+
+
+def doc_bpe_apply(sf_dir: str, merges: int = 20):
+    """Train-then-tokenize composite: learn the BPE merge list over the
+    corpus (bpe_train), then tokenize every document with the stateful
+    BPETokenizer actor pool (merges broadcast once via constructor
+    kwargs; per-actor word cache).  Rows (doc_id, n_bpe_tokens);
+    rows-only — pytest checks equality with a sequential reference."""
+    from docling_graph_ray.stages.text_analysis import BPETokenizer, bpe_train
+
+    learned = bpe_train(_docs(sf_dir, ["text"]), merges=merges)
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BPETokenizer,
+        fn_constructor_kwargs={"merges": learned},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )

@@ -603,3 +603,67 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
         ).materialize()
 
     return out
+
+
+class BPETokenizer:
+    """Actor-pool tokenizer applying a learned BPE merge list.
+
+    The canonical stateful-stage shape (reference: the warm tokenizer
+    state of `docling_graph/core/extractors/backends`, SURVEY §2.3):
+    the merge list arrives once through ``fn_constructor_kwargs`` and a
+    word → tokens cache accumulates PER ACTOR across every batch it
+    sees — web text is Zipfian, so after the first few batches almost
+    every word is a cache hit and the per-batch cost is one pandas
+    factorize + a groupby-sum.  Encoding applies merges in rank order
+    (equivalent to lowest-rank-adjacent-pair iteration).
+
+    Emits ``(id_col, n_bpe_tokens)``.
+    """
+
+    def __init__(self, merges: list, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.merges = [(l, r) for _, l, r, *_ in merges] if (
+            merges and len(merges[0]) >= 4
+        ) else list(merges)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, int] = {}  # word -> token count
+
+    def _encode_len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            seq = list(w) + ["</w>"]
+            for l, r in self.merges:
+                if len(seq) < 2:
+                    break
+                seq = _merge_pair_in_seq(seq, l, r)
+            n = len(seq)
+            self.cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch.column(self.text_col), "")),
+            r"\s+",
+        )
+        counts = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks).to_pandas()
+        doc_ix = np.repeat(np.arange(len(counts)), counts)
+        codes, uniques = pd.factorize(flat)
+        # python work is O(unseen unique words), amortized to ~0 by the
+        # per-actor cache; everything else is C-path
+        per_unique = np.fromiter(
+            (self._encode_len(w) if w else 0 for w in uniques),
+            np.int64, len(uniques),
+        )
+        tok_per_word = per_unique[codes] if len(codes) else np.zeros(0, np.int64)
+        sums = np.zeros(len(counts), np.int64)
+        np.add.at(sums, doc_ix, tok_per_word)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_bpe_tokens": pa.array(sums),
+        })

@@ -368,3 +368,49 @@ def test_merge_pair_nonoverlapping_left_to_right():
     assert _merge_pair_in_seq(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
     assert _merge_pair_in_seq(["x"], "a", "a") == ["x"]
     assert _merge_pair_in_seq([], "a", "a") == []
+
+
+def test_bpe_tokenizer_matches_reference(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from docling_graph_ray.stages.text_analysis import (
+        BPETokenizer,
+        _merge_pair_in_seq,
+        bpe_train,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a mat and a hat",
+        "hats and mats and cats",
+        "",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(3)
+    learned = bpe_train(ds, merges=10)
+
+    got = (
+        ds.map_batches(
+            BPETokenizer,
+            fn_constructor_kwargs={"merges": learned},
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas().sort_values("doc_id")["n_bpe_tokens"].tolist()
+    )
+
+    def ref_count(t):
+        n = 0
+        for w in t.split():
+            seq = list(w) + ["</w>"]
+            for _, l, r, _ in learned:
+                seq = _merge_pair_in_seq(seq, l, r)
+            n += len(seq)
+        return n
+
+    assert got == [ref_count(t) for t in texts]
+    assert got[-1] == 0  # empty doc -> zero tokens
