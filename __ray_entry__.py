@@ -1058,16 +1058,27 @@ def oracle_sql() -> dict[str, str]:
                    FROM m1),
             h AS (SELECT doc_id, lang, xor(x >> 16, x) AS _h FROM m2),
             mixed AS (
-                SELECT h.doc_id, h.lang, t.n_source, t.thr, h._h
+                SELECT h.doc_id, h.lang, t.n_source, t.thr
                 FROM h JOIN t USING (lang)
                 WHERE h._h < t.thr
-            )
+            ),
+            -- salted second hash domain for the split: survivors were
+            -- selected by mix32(id) < thr, so the bucket re-mixes
+            -- xor(id, 668265261) to decorrelate from the keep test
+            s0 AS (SELECT *, xor(doc_id, 668265261) AS s FROM mixed),
+            s1 AS (SELECT *, xor(s >> 16, s) * 73244475 % 4294967296 AS y
+                   FROM s0),
+            s2 AS (SELECT * EXCLUDE (y),
+                          xor(y >> 16, y) * 73244475 % 4294967296 AS y
+                   FROM s1),
+            sb AS (SELECT * EXCLUDE (s, y),
+                          xor(y >> 16, y) % 100 AS bucket FROM s2)
             SELECT doc_id, lang, n_source, thr,
-                   CAST(_h % 100 AS BIGINT) AS bucket,
-                   CASE WHEN _h % 100 < 80 THEN 'train'
-                        WHEN _h % 100 < 90 THEN 'val'
+                   CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
                         ELSE 'test' END AS split
-            FROM mixed
+            FROM sb
         """,
         # within-document repetition removal (word-window proxy for the
         # line unit): later exact repeats of a 2-word span inside one

@@ -828,15 +828,16 @@ def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
 
     def quality_and_hash(batch: pa.Table) -> pa.Table:
         g = ta.gopher_quality_batch(batch)  # row-aligned with the batch
-        out = pa.table(
+        # gate FIRST: the per-row content hash is Python-loop work, so
+        # rejected rows (most of a raw crawl) must never pay for it
+        passed = batch.filter(g.column("gopher_pass"))
+        return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "lang": batch.column("lang"),
-                "text_hash": hash_fn(batch).column("text_hash"),
+                "doc_id": passed.column("doc_id"),
+                "lang": passed.column("lang"),
+                "text_hash": hash_fn(passed).column("text_hash"),
             }
         )
-        # quality gate fused here: failing rows never reach the shuffle
-        return out.filter(g.column("gopher_pass"))
 
     def keep_first(group: pa.Table) -> pa.Table:
         i = pc.min(group.column("doc_id")).as_py()
@@ -858,7 +859,12 @@ def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
     mixed = temperature_mix(
         survivors, source_col="lang", id_col="doc_id", alpha=alpha
     )
-    return mixed.map_batches(split_assign_batch("doc_id"), batch_format="pyarrow")
+    # salted split: mix survivors passed `mix32(id) < thr`, so the split
+    # bucket must come from an independent hash domain (see
+    # split_assign_batch docstring); 668265261 is mirrored in the oracle
+    return mixed.map_batches(
+        split_assign_batch("doc_id", salt=668265261), batch_format="pyarrow"
+    )
 
 
 def emb_pca(sf_dir: str, q: int = 8):

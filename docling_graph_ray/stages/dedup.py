@@ -636,11 +636,10 @@ def intradoc_window_dedup_batch(*, text_col: str = "text",
                 "clean_text": pa.array([], pa.string()),
                 "n_dropped_windows": pa.array([], pa.int64()),
             })
-        words = pc.split_pattern_regex(text, r"\s+")
-        counts = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(words).to_pandas()
-        doc_ix = np.repeat(np.arange(len(counts)), counts)
+        from docling_graph_ray.stages.text_analysis import explode_tokens
+
+        flat, doc_ix, counts = explode_tokens(text)
+        flat = flat.to_pandas()
         starts = np.r_[0, np.cumsum(counts)[:-1]]
         pos = np.arange(len(flat)) - starts[doc_ix]
         widx = pos // window

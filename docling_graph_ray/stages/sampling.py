@@ -69,19 +69,27 @@ def split_assign_batch(
     id_col: str = "doc_id",
     train_pct: int = 80,
     val_pct: int = 10,
+    salt: int = 0,
 ):
-    """Batch fn: assign each row a split from ``mix32(id) % 100``.
+    """Batch fn: assign each row a split from ``mix32(id ^ salt) % 100``.
 
     ``[0, train)`` -> train, ``[train, train+val)`` -> val, rest test.
     Pure per-row arithmetic — no shuffle, resumable, and any later run
     (or any other system) can recompute membership from the id alone.
+
+    Pass a non-zero ``salt`` whenever the rows were PRE-FILTERED by
+    another ``mix32(id)`` test (e.g. downstream of
+    :func:`temperature_mix`): survivors of ``mix32(id) < thr`` have a
+    truncated hash range, so an unsalted bucket would be conditioned on
+    the keep test (bias O(100/thr) for heavily downsampled strata); the
+    xor re-mixes into an independent domain.
     """
     if not (0 < train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
         raise ValueError("invalid split percentages")
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        bucket = mix32(ids) % 100
+        bucket = mix32(np.bitwise_xor(ids, salt)) % 100
         split = np.where(
             bucket < train_pct,
             "train",

@@ -365,29 +365,45 @@ def pca_fit(ds, *, emb_col: str = "embedding", q: int = 8):
 
     Returns ``(components (q, d), explained_variance (q,), mean (d,))``.
     """
-    import pyarrow.compute as pc  # noqa: F401  (parity with module style)
+    import ray
+
+    # pilot shift: one tiny read.  Moments accumulate around the first
+    # vector, so E[xx^T] - mean mean^T never subtracts two large nearly
+    # equal matrices when the embedding cloud has a big common offset
+    # (the classic one-pass-covariance catastrophic cancellation).
+    pilot_rows = ds.limit(1).take_all()
+    if not pilot_rows:
+        raise ValueError("pca_fit: empty dataset")
+    pilot = np.asarray(pilot_rows[0][emb_col], dtype=np.float64)
+    d = len(pilot)
+    pilot_ref = ray.put(pilot)
 
     def partial(batch: pa.Table) -> pa.Table:
         m = _as_matrix(batch.column(emb_col), dtype=np.float64)
+        if m.size == 0:
+            # zero-row blocks must emit list-typed columns of width d,
+            # or the block schemas refuse to unify
+            m = np.zeros((0, d))
+        m = m - ray.get(pilot_ref)
         return pa.table({
-            "k": pa.array([0], pa.int64()),
             "n": pa.array([len(m)], pa.int64()),
-            "sum_x": pa.array([m.sum(axis=0).tolist()]),
-            "sum_xxt": pa.array([(m.T @ m).ravel().tolist()]),
+            "sum_x": pa.array([m.sum(axis=0).tolist()],
+                              pa.list_(pa.float64())),
+            "sum_xxt": pa.array([(m.T @ m).ravel().tolist()],
+                                pa.list_(pa.float64())),
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     n = int(parts["n"].sum())
-    d = len(parts["sum_x"].iloc[0])
-    # deterministic reduce order: partials sorted by content-independent
-    # index after collection (tiny: one row per input block)
+    # driver fold over one tiny row per input block, in block order
     sum_x = np.zeros(d)
     sum_xxt = np.zeros((d, d))
     for _, row in parts.iterrows():
         sum_x += np.asarray(row["sum_x"])
         sum_xxt += np.asarray(row["sum_xxt"]).reshape(d, d)
-    mean = sum_x / n
-    cov = sum_xxt / n - np.outer(mean, mean)
+    mean_s = sum_x / n  # mean of the SHIFTED cloud (small by design)
+    cov = sum_xxt / n - np.outer(mean_s, mean_s)
+    mean = pilot + mean_s
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:q]
     comps = evecs[:, order].T

@@ -102,6 +102,30 @@ GOPHER_MAX_TOP_WORD_CHAR_FRAC = 0.25
 GOPHER_MIN_STOPWORD_HITS = 1
 
 
+def explode_tokens(text, *, whitespace_regex: bool = True):
+    """Shared word-explode scaffold: split each row of ``text`` into
+    words and return ``(flat_words, doc_ix, counts)`` — the flat Arrow
+    word array, each word's source-row index, and words per row.
+
+    ``whitespace_regex=True`` splits on ``\\s+`` (DuckDB
+    ``regexp_split_to_array(text, '\\s+')``); ``False`` splits on a
+    single space (DuckDB ``string_split(text, ' ')``).  Callers own
+    trim/fill-null policy — pass exactly the column the oracle splits.
+    """
+    import numpy as np
+
+    words = (
+        pc.split_pattern_regex(text, r"\s+")
+        if whitespace_regex
+        else pc.split_pattern(text, " ")
+    )
+    counts = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    doc_ix = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return flat, doc_ix, counts
+
+
 def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
                          id_col: str = "doc_id") -> pa.Table:
     """Per-document Gopher repetition/quality metrics, vectorized: Arrow
@@ -113,10 +137,7 @@ def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
 
     n_docs = len(batch)
     text = pc.fill_null(batch.column(text_col), "")
-    words_list = pc.split_pattern(text, " ")
-    counts = pc.list_value_length(words_list).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = pc.list_flatten(words_list)
-    doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    flat, doc_ix, counts = explode_tokens(text, whitespace_regex=False)
     wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
 
     df = pd.DataFrame({"i": doc_ix, "w": flat.to_pandas(), "wl": wl})
@@ -554,23 +575,22 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
         batch_format="pyarrow",
     ).select_columns(["syms", "n"]).materialize()
 
+    def pair_partial(b: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        ns = b.column("n").to_numpy(zero_copy_only=False)
+        for seq, n in zip(b.column("syms").to_pylist(), ns):
+            for i in range(len(seq) - 1):
+                k = (seq[i], seq[i + 1])
+                counts[k] = counts.get(k, 0) + int(n)
+        items = sorted(counts.items())
+        return pa.table({
+            "left": pa.array([k[0] for k, _ in items], pa.string()),
+            "right": pa.array([k[1] for k, _ in items], pa.string()),
+            "c": pa.array([c for _, c in items], pa.int64()),
+        })
+
     out: list[tuple[int, str, str, int]] = []
     for rank in range(merges):
-
-        def pair_partial(b: pa.Table) -> pa.Table:
-            counts: dict[tuple[str, str], int] = {}
-            ns = b.column("n").to_numpy(zero_copy_only=False)
-            for seq, n in zip(b.column("syms").to_pylist(), ns):
-                for i in range(len(seq) - 1):
-                    k = (seq[i], seq[i + 1])
-                    counts[k] = counts.get(k, 0) + int(n)
-            items = sorted(counts.items())
-            return pa.table({
-                "left": pa.array([k[0] for k, _ in items], pa.string()),
-                "right": pa.array([k[1] for k, _ in items], pa.string()),
-                "c": pa.array([c for _, c in items], pa.int64()),
-            })
-
         agg = (
             words.map_batches(pair_partial, batch_format="pyarrow")
             .groupby(["left", "right"])
@@ -579,11 +599,12 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
         )
         if agg.empty:
             break
-        agg = agg.sort_values(
-            ["sum(c)", "left", "right"], ascending=[False, True, True]
+        # single O(V) scan for the deterministic argmax
+        best = min(
+            agg.itertuples(index=False),
+            key=lambda r: (-int(r[2]), str(r[0]), str(r[1])),
         )
-        best = agg.iloc[0]
-        left, right, cnt = str(best["left"]), str(best["right"]), int(best["sum(c)"])
+        left, right, cnt = str(best[0]), str(best[1]), int(best[2])
         if cnt < 2:
             break
         out.append((rank, left, right, cnt))
@@ -645,15 +666,12 @@ class BPETokenizer:
         import numpy as np
         import pandas as pd
 
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.fill_null(batch.column(self.text_col), "")),
-            r"\s+",
+        flat, doc_ix, counts = explode_tokens(
+            pc.utf8_trim_whitespace(
+                pc.fill_null(batch.column(self.text_col), "")
+            )
         )
-        counts = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks).to_pandas()
-        doc_ix = np.repeat(np.arange(len(counts)), counts)
-        codes, uniques = pd.factorize(flat)
+        codes, uniques = pd.factorize(flat.to_pandas())
         # python work is O(unseen unique words), amortized to ~0 by the
         # per-actor cache; everything else is C-path
         per_unique = np.fromiter(

@@ -150,3 +150,33 @@ def test_pca_matches_dense_numpy(ray_session):
     assert np.allclose(P, np.round((X - mu) @ ref.T, 9), atol=1e-8)
     # explained variance ordering
     assert (np.diff(evar) <= 1e-12).all()
+
+
+def test_pca_survives_empty_blocks_and_large_offset(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from docling_graph_ray.stages.similarity import pca_fit
+
+    rng = np.random.default_rng(3)
+    # tiny variance on a huge common offset: the one-pass formula
+    # cancels catastrophically, the pilot-shifted moments must not
+    X = rng.normal(scale=1e-3, size=(100, 6)) + 1e3
+    t = pa.table({
+        "vec_id": pa.array(np.arange(100), pa.int64()),
+        "embedding": pa.array(X.tolist()),
+    })
+    # repartition far beyond the row count forces zero-row blocks
+    ds = ray.data.from_arrow(t).repartition(64)
+    comps, evar, mean = pca_fit(ds, emb_col="embedding", q=3)
+    assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+    assert (evar > 0).all() and (evar < 1e-4).all()
+    mu = X.mean(axis=0)
+    ref_evals = np.linalg.eigvalsh((X - mu).T @ (X - mu) / len(X))[::-1][:3]
+    assert np.allclose(evar, ref_evals, rtol=1e-6)
+
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(empty, emb_col="embedding", q=2)
