@@ -223,6 +223,22 @@ def cmd_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_curate(args: argparse.Namespace) -> int:
+    owns = _ray_init(args.num_cpus)
+    import ray
+    import ray.data
+
+    from docling_graph_ray.pipelines.textops import curate_documents
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text", "lang"])
+    out = curate_documents(docs, alpha=args.alpha)
+    out.write_parquet(args.out)
+    print(f"curate: wrote split assignments → {args.out}")
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -279,6 +295,20 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("--no-rekey", action="store_true", dest="no_rekey",
                     help="keep input node ids (skip identity re-keying)")
     mg.set_defaults(fn=cmd_merge)
+
+    cu = sub.add_parser(
+        "curate",
+        help="documents parquet → curated split assignments "
+             "(quality gate + dedup + temperature mix + split)",
+    )
+    cu.add_argument("--input", required=True,
+                    help="documents parquet dir/file "
+                         "(doc_id, text, lang columns)")
+    cu.add_argument("--out", required=True, help="output parquet dir")
+    cu.add_argument("--alpha", type=float, default=0.5,
+                    help="temperature (1 keeps all, 0 equalizes languages)")
+    cu.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -810,16 +810,16 @@ def doc_incremental_dedup(sf_dir: str):
             ray.kill(s)
 
 
-def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
-    """End-to-end corpus curation — the composite a real training-data
-    team runs nightly: Gopher quality gate -> exact dedup (keeper = min
-    doc_id among quality passers sharing a text) -> language temperature
-    mix (alpha=0.5, thresholds computed over SURVIVORS) -> deterministic
-    train/val/test split.  One fused text pass computes the quality
-    metrics AND the 64-bit content hash, then text is dropped — the only
-    shuffle moves (doc_id, lang, text_hash, flag) rows; mixing and
-    splitting are broadcast-filter / pure-arithmetic stages.  Every rung
-    has an exact SQL twin, so the WHOLE composite is value-hash-checked."""
+def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261):
+    """End-to-end corpus curation over a documents Dataset — the
+    composite a real training-data team runs nightly: Gopher quality
+    gate -> exact dedup (keeper = min doc_id among quality passers
+    sharing a text) -> language temperature mix (thresholds computed
+    over SURVIVORS) -> deterministic train/val/test split.  One fused
+    text pass computes the quality metrics AND the 64-bit content hash,
+    then text is dropped — the only shuffle moves
+    (doc_id, lang, text_hash) rows; mixing and splitting are
+    broadcast-filter / pure-arithmetic stages."""
     from docling_graph_ray.stages import text_analysis as ta
     from docling_graph_ray.stages.dedup import add_text_hash
     from docling_graph_ray.stages.sampling import split_assign_batch, temperature_mix
@@ -846,8 +846,7 @@ def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
         )
 
     survivors = (
-        _docs(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(quality_and_hash, batch_format="pyarrow")
+        ds.map_batches(quality_and_hash, batch_format="pyarrow")
         .groupby("text_hash")
         .map_groups(keep_first, batch_format="pyarrow")
         # consumed twice below (language-count pass + keep filter):
@@ -861,9 +860,19 @@ def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
     )
     # salted split: mix survivors passed `mix32(id) < thr`, so the split
     # bucket must come from an independent hash domain (see
-    # split_assign_batch docstring); 668265261 is mirrored in the oracle
+    # split_assign_batch docstring)
     return mixed.map_batches(
-        split_assign_batch("doc_id", salt=668265261), batch_format="pyarrow"
+        split_assign_batch("doc_id", salt=split_salt), batch_format="pyarrow"
+    )
+
+
+def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
+    """Driver-contract wrapper for :func:`curate_documents` over the sf
+    documents table.  Every rung has an exact SQL twin (salt 668265261
+    mirrored in the oracle), so the WHOLE composite is
+    value-hash-checked."""
+    return curate_documents(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), alpha=alpha
     )
 
 
