@@ -108,3 +108,26 @@ def test_curation_pipeline_semantics(ray_session, corpus_dir):
     # split labels are well-formed
     assert set(out["split"]) <= {"train", "val", "test"}
     assert (out["n_source"].isin([57, 10])).all()
+
+
+def test_curate_cli_writes_split_parquet(ray_session, corpus_dir, tmp_path):
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.__main__ import main
+
+    out = tmp_path / "curated"
+    rc = main([
+        "curate", "--input", f"{corpus_dir}/documents.parquet",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    t = pq.read_table(str(out))
+    assert set(t.schema.names) == {
+        "doc_id", "lang", "n_source", "thr", "bucket", "split",
+    }
+    # matches the library path exactly
+    from docling_graph_ray.pipelines.textops import doc_curation_pipeline
+
+    lib = doc_curation_pipeline(corpus_dir).to_pandas().sort_values("doc_id")
+    cli = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert cli.equals(lib[cli.columns].reset_index(drop=True))
