@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_vocab": t.doc_bpe_vocab,
         # BPE train+tokenize composite (rows-only: stateful actor cache)
         "doc_bpe_apply": t.doc_bpe_apply,
+        # HyperLogLog distinct estimate (rows-only: approximate sketch)
+        "doc_distinct_estimate": t.doc_distinct_estimate,
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
         "doc_fingerprints": t.doc_fingerprints,

@@ -932,3 +932,23 @@ def doc_bpe_apply(sf_dir: str, merges: int = 20):
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+def doc_distinct_estimate(sf_dir: str, p: int = 12):
+    """Approximate distinct-text count via the HyperLogLog sketch
+    (stages/sketch.py): every block reduces to a 4 KB register row,
+    the driver max-merges.  The estimate is fully deterministic and
+    partitioning-invariant (register merge is an elementwise max of
+    deterministic hashes).  Rows-only: DuckDB's approx_count_distinct
+    uses a different hash family, so the twin check is the pytest
+    accuracy/associativity suite."""
+    from docling_graph_ray.stages.sketch import distinct_estimate
+
+    est, n_blocks = distinct_estimate(
+        _docs(sf_dir, ["text"]), col="text", p=p
+    )
+    return pa.table({
+        "estimate": pa.array([round(est, 4)], pa.float64()),
+        "p": pa.array([p], pa.int64()),
+        "n_blocks": pa.array([n_blocks], pa.int64()),
+    })
