@@ -810,27 +810,36 @@ def doc_incremental_dedup(sf_dir: str):
             ray.kill(s)
 
 
-def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261):
+def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261,
+                     quality_mask=None):
     """End-to-end corpus curation over a documents Dataset — the
-    composite a real training-data team runs nightly: Gopher quality
-    gate -> exact dedup (keeper = min doc_id among quality passers
-    sharing a text) -> language temperature mix (thresholds computed
-    over SURVIVORS) -> deterministic train/val/test split.  One fused
-    text pass computes the quality metrics AND the 64-bit content hash,
-    then text is dropped — the only shuffle moves
-    (doc_id, lang, text_hash) rows; mixing and splitting are
-    broadcast-filter / pure-arithmetic stages."""
+    composite a real training-data team runs nightly: quality gate ->
+    exact dedup (keeper = min doc_id among quality passers sharing a
+    text) -> language temperature mix (thresholds computed over
+    SURVIVORS) -> deterministic train/val/test split.  One fused text
+    pass computes the quality metrics AND the 64-bit content hash, then
+    text is dropped — the only shuffle moves (doc_id, lang, text_hash)
+    rows; mixing and splitting are broadcast-filter / pure-arithmetic
+    stages.
+
+    ``quality_mask(batch) -> BooleanArray`` selects the gate (row
+    aligned); the default is the Gopher ``gopher_pass`` flag — an
+    ENGLISH-web rule set whose dup-word/stopword rungs are corpus
+    config, not universal truths (multilingual or synthetic corpora
+    need their own mask)."""
     from docling_graph_ray.stages import text_analysis as ta
     from docling_graph_ray.stages.dedup import add_text_hash
     from docling_graph_ray.stages.sampling import split_assign_batch, temperature_mix
 
     hash_fn = add_text_hash("text")
+    if quality_mask is None:
+        def quality_mask(batch):  # noqa: F811 - default gate
+            return ta.gopher_quality_batch(batch).column("gopher_pass")
 
     def quality_and_hash(batch: pa.Table) -> pa.Table:
-        g = ta.gopher_quality_batch(batch)  # row-aligned with the batch
         # gate FIRST: the per-row content hash is Python-loop work, so
         # rejected rows (most of a raw crawl) must never pay for it
-        passed = batch.filter(g.column("gopher_pass"))
+        passed = batch.filter(quality_mask(batch))
         return pa.table(
             {
                 "doc_id": passed.column("doc_id"),
@@ -952,3 +961,56 @@ def doc_distinct_estimate(sf_dir: str, p: int = 12):
         "p": pa.array([p], pa.int64()),
         "n_blocks": pa.array([n_blocks], pa.int64()),
     })
+
+
+def pages_curation(sf_dir: str):
+    """Full web-to-training-set composite: synthetic crawl pages →
+    flagship HTML/PDF extraction (warm-actor pool) → language-ID →
+    corpus curation (Gopher gate → exact dedup → language temperature
+    mix → split).  The end-to-end pipeline a user of this engine runs
+    to turn a crawl into a training corpus; every stage streams, the
+    only wide ops are the curation hash shuffle and the extraction
+    lane's own plumbing.  Rows-only (synthetic pages have no DuckDB
+    view); each stage is oracle- or golden-checked individually."""
+    import hashlib
+
+    from docling_graph_ray.fixtures.pages import pages_parquet_dir
+    from docling_graph_ray.pipelines.extract import (
+        extract_pages_dataset,
+        read_pages_parquet,
+    )
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    src = pages_parquet_dir(n, profile="t1")
+    extracted = extract_pages_dataset(read_pages_parquet(src), num_partitions=8)
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        ids = [
+            int.from_bytes(
+                hashlib.blake2b(u.encode(), digest_size=8).digest(), "big"
+            ) >> 1  # 63-bit: keep int64 positive
+            for u in urls
+        ]
+        docs = pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": b.column("extracted_text").cast(pa.string()),
+        })
+        lang = ta.langid_batch(docs)  # row-aligned
+        return docs.append_column("lang", lang.column("pred_lang"))
+
+    def min_words_mask(batch: pa.Table):
+        # the synthetic corpus is multilingual word-soup: Gopher's
+        # English-stopword and dup-word rungs reject it wholesale by
+        # construction, so the composite gates on substance (>= 30
+        # words) — the quality_mask hook is exactly for this
+        n = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"))
+        return pc.and_(
+            pc.greater_equal(n, 30),
+            pc.not_equal(pc.utf8_trim_whitespace(batch.column("text")), ""),
+        )
+
+    docs = extracted.map_batches(to_docs, batch_format="pyarrow")
+    return curate_documents(docs, quality_mask=min_words_mask)

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data
 
 _K = np.uint64(0x45D9F3B)
 _MASK32 = np.uint64(0xFFFFFFFF)
@@ -212,6 +213,15 @@ def temperature_mix(
         .sum("n")
         .to_pandas()  # one row per source: a dim, safe on the driver
     )
+    if counts_tbl.empty:
+        # empty input: the aggregate frame has no columns at all;
+        # return a schema-stable empty result instead of KeyError
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            source_col: pa.array([], pa.string()),
+            "n_source": pa.array([], pa.int64()),
+            "thr": pa.array([], pa.int64()),
+        }))
     counts = dict(zip(counts_tbl[source_col], counts_tbl["sum(n)"]))
     thr_ref = ray.put(temperature_thresholds(counts, alpha))
     counts_ref = ray.put({k: int(v) for k, v in counts.items()})

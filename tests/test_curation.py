@@ -131,3 +131,22 @@ def test_curate_cli_writes_split_parquet(ray_session, corpus_dir, tmp_path):
     lib = doc_curation_pipeline(corpus_dir).to_pandas().sort_values("doc_id")
     cli = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert cli.equals(lib[cli.columns].reset_index(drop=True))
+
+
+def test_pages_curation_composite(ray_session):
+    """Full crawl -> extract -> langid -> curate composite over the
+    in-repo synthetic pages fixture (sf tier name only selects row
+    count; no external data)."""
+    from docling_graph_ray.pipelines.textops import pages_curation
+
+    a = pages_curation("/nonexistent/sf0.001").to_pandas()
+    assert len(a) > 0
+    assert set(a.columns) == {
+        "doc_id", "lang", "n_source", "thr", "bucket", "split",
+    }
+    assert set(a["lang"]) <= {"en", "es", "de", "fr", "und"}
+    # deterministic end to end
+    b = pages_curation("/nonexistent/sf0.001").to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
