@@ -848,20 +848,31 @@ def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261,
             }
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        i = pc.min(group.column("doc_id")).as_py()
-        return group.filter(pc.equal(group.column("doc_id"), i)).select(
-            ["doc_id", "lang"]
+    qh = ds.map_batches(quality_and_hash, batch_format="pyarrow").materialize()
+    # keeper = min doc_id per text group, fully VECTORIZED: a C-path
+    # min-aggregate then a native hash join on the unique doc_id.  The
+    # per-group map_groups alternative costs one Python call per
+    # distinct text — measured 324 s remote wall at 1.6M rows vs ~20 s
+    # for the sort itself; this shape replaces it with two narrow
+    # vectorized shuffles.  qh is materialized: both the aggregate and
+    # the join consume it.
+    keepers = (
+        qh.groupby("text_hash")
+        .min("doc_id")
+        .map_batches(
+            lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
+            batch_format="pyarrow",
         )
-
+    )
+    n_join_parts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) // 2))
     survivors = (
-        ds.map_batches(quality_and_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pyarrow")
+        qh.select_columns(["doc_id", "lang"])
+        .join(keepers, join_type="inner", num_partitions=n_join_parts,
+              on=("doc_id",))
         # consumed twice below (language-count pass + keep filter):
-        # without this barrier the quality pass and the hash shuffle
-        # execute twice.  The pinned intermediate is (doc_id, lang)
-        # only — ~16 B/doc, spill-friendly — vs re-reading the corpus.
+        # without this barrier the shuffles above execute twice.  The
+        # pinned intermediate is (doc_id, lang) only — ~16 B/doc,
+        # spill-friendly — vs re-reading the corpus.
         .materialize()
     )
     mixed = temperature_mix(
