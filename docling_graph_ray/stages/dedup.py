@@ -115,22 +115,56 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
     shuffle of tiny signature rows; groups are occurrence lists of a
     single segment hash (small — bounded by that segment's corpus
     frequency), marked with a vectorized sort + first-flag."""
+    import ray
+    from ray.data.aggregate import Min
+
     segs = docs.map_batches(
         segment_rows_udf(text_col=text_col, id_col=id_col, window=window),
         batch_format="pyarrow",
     )
 
-    def mark_first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group,
-            sort_keys=[(id_col, "ascending"), ("seg_idx", "ascending")],
-        )
-        g = group.take(idx)
-        keep = np.zeros(len(g), dtype=bool)
-        keep[0] = True
-        return g.append_column("keep", pa.array(keep))
+    # Vectorized first-occurrence marking.  A per-group map_groups
+    # (sort + flag-first) costs one Python call per DISTINCT segment —
+    # measured 224.6 s remote wall at 100k docs (~1.07M segments) vs
+    # 7 s for the sort itself.  Instead: pack the (doc_id, seg_idx)
+    # occurrence order into one int64, take the C-path min per
+    # seg_hash, and hash-join the tiny (seg_hash, min) table back —
+    # keep = "my packed order equals my segment's min".
+    _SEG_BITS = 20  # seg_idx < 2^20 (20M words/doc at window=20)
 
-    return segs.groupby("seg_hash").map_groups(mark_first, batch_format="pyarrow")
+    def pack(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = b.column("seg_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.max() >= (1 << (63 - _SEG_BITS)) or
+                         seg.max() >= (1 << _SEG_BITS)):
+            raise ValueError("segment pack overflow: doc_id/seg_idx out of range")
+        return b.append_column(
+            "_packed", pa.array((ids << _SEG_BITS) | seg, pa.int64())
+        )
+
+    packed = segs.map_batches(pack, batch_format="pyarrow")
+    mins = packed.groupby("seg_hash").aggregate(Min("_packed")).map_batches(
+        lambda t: pa.table({
+            "seg_hash": t.column("seg_hash"),
+            "_min_packed": t.column("min(_packed)"),
+        }),
+        batch_format="pyarrow",
+    )
+    n_parts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = packed.join(
+        mins, join_type="inner", num_partitions=n_parts, on=("seg_hash",)
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("_packed"), b.column("_min_packed"))
+        return pa.table({
+            id_col: b.column(id_col),
+            "seg_idx": b.column("seg_idx"),
+            "seg_hash": b.column("seg_hash"),
+            "keep": keep,
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
