@@ -58,37 +58,63 @@ def dedup_nodes(nodes, *, key_col: str, order_col: str, attr_cols: list[str]):
     Reference: graph_converter.py:540-545 (id-level dedup) + :656-689
     (duplicate-instance enrichment)."""
 
-    def first_nonempty(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-        """First non-null (and non-empty-string) value in sorted order —
-        the vectorized first-non-empty-wins fold (replaces the round-1
-        per-group to_pylist→from_pylist Python loop)."""
-        valid = pc.is_valid(col)
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            valid = pc.and_(valid, pc.not_equal(pc.fill_null(col, ""), ""))
-        nz = np.flatnonzero(
-            valid.combine_chunks().to_numpy(zero_copy_only=False)
-            if isinstance(valid, pa.ChunkedArray)
-            else valid.to_numpy(zero_copy_only=False)
-        )
-        if len(nz):
-            return pa.array([col[int(nz[0])].as_py()], col.type)
-        return pa.nulls(1, col.type)
+    # Partition-bucket shape: ONE map_groups call per id-hash bucket
+    # (P=64), never one per node — per-group Python at corpus-scale
+    # group counts is the dominant cost (measured 324 s/1.6M groups in
+    # the curation composite before its rewrite).  Inside a bucket the
+    # whole fold is run-boundary numpy over the (key, order)-sorted
+    # rows: ``np.minimum.reduceat`` finds every group's first valid
+    # attr index in one C call.
+    _P = 64
 
-    def enrich(group: pa.Table) -> pa.Table:
-        g = group.take(_sort_indices(group, order_col))
+    def bucket(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
+        part = (pd.util.hash_array(keys) % _P).astype(np.int64)
+        return b.append_column("_part", pa.array(part))
+
+    def enrich_partition(g: pa.Table) -> pa.Table:
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (order_col, "ascending")]
+        )
+        g = g.take(idx).combine_chunks()
+        keys = g.column(key_col).to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        lens = np.diff(np.r_[starts, len(keys)])
+        first = pa.array(starts, pa.int64())
         arrays = [
-            pa.array([g.column(key_col)[0].as_py()], g.column(key_col).type),
-            pa.array([g.column(order_col)[0].as_py()], g.column(order_col).type),
+            g.column(key_col).take(first),
+            g.column(order_col).take(first),
         ]
         names = [key_col, order_col]
+        big = len(keys)
+        pos = np.arange(big)
         for c in attr_cols:
-            arrays.append(first_nonempty(g.column(c)))
+            col = g.column(c)
+            valid = pc.is_valid(col)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                valid = pc.and_(valid, pc.not_equal(pc.fill_null(col, ""), ""))
+            vmask = valid.to_numpy(zero_copy_only=False)
+            cand = np.where(vmask, pos, big)
+            fv = np.minimum.reduceat(cand, starts) if big else cand[:0]
+            has = fv < big
+            taken = col.take(pa.array(np.where(has, fv, 0), pa.int64()))
+            arrays.append(
+                pc.if_else(pa.array(has), taken, pa.nulls(len(has), col.type))
+            )
             names.append(c)
-        arrays.append(pa.array([g.num_rows], pa.int64()))
+        arrays.append(pa.array(lens, pa.int64()))
         names.append("n_mentions")
         return pa.Table.from_arrays(arrays, names=names)
 
-    return nodes.groupby(key_col).map_groups(enrich, batch_format="pyarrow")
+    return (
+        nodes.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(enrich_partition, batch_format="pyarrow")
+    )
 
 
 def clean_edges(edges, node_ids_ref, *, src_col: str = "src", dst_col: str = "dst",

@@ -431,15 +431,41 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
 
     scored = joined.map_batches(score_batch, batch_format="pyarrow")
 
-    def topk(g: pa.Table) -> pa.Table:
+    # grouped top-k WITHOUT one-Python-call-per-doc: bucket docs by
+    # id-hash into P partition groups, so map_groups runs P times and
+    # each call ranks a whole partition of docs on pandas C paths
+    # (sort + cumcount).  Rows of one doc always share a bucket, so the
+    # per-doc cutoff is exact.
+    _P = 64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "score" not in b.schema.names:
+            return out_schema.empty_table().append_column(
+                "_part", pa.array([], pa.int64()))
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_part", pa.array((ids % _P).astype(np.int64)))
+
+    def topk_partition(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "score" not in g.schema.names:
             return out_schema.empty_table()
-        idx = pc.sort_indices(g, sort_keys=[
-            ("score", "descending"), ("token", "ascending"),
-        ])
-        return g.take(idx[:k]).select(out_schema.names).cast(out_schema)
+        pdf = g.to_pandas().sort_values(
+            ["doc_id", "score", "token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        pdf = pdf[pdf.groupby("doc_id").cumcount() < k]
+        return pa.Table.from_pandas(
+            pdf[list(out_schema.names)], preserve_index=False
+        ).cast(out_schema)
 
-    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+    return (
+        scored.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(topk_partition, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
