@@ -853,6 +853,19 @@ def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261,
         )
 
     qh = ds.map_batches(quality_and_hash, batch_format="pyarrow").materialize()
+    if qh.count() == 0:
+        # gate rejected everything (e.g. the default English-web Gopher
+        # rules on a corpus they don't fit): Ray's hash join crashes on
+        # schema-less empty partitions, so short-circuit with an empty
+        # schema-stable result
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n_source": pa.array([], pa.int64()),
+            "thr": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "split": pa.array([], pa.string()),
+        }))
     # keeper = min doc_id per text group, fully VECTORIZED: a C-path
     # min-aggregate then a native hash join on the unique doc_id.  The
     # per-group map_groups alternative costs one Python call per
@@ -868,10 +881,11 @@ def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261,
             batch_format="pyarrow",
         )
     )
-    n_join_parts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    from docling_graph_ray.stages.joins import join_partitions
+
     survivors = (
         qh.select_columns(["doc_id", "lang"])
-        .join(keepers, join_type="inner", num_partitions=n_join_parts,
+        .join(keepers, join_type="inner", num_partitions=join_partitions(),
               on=("doc_id",))
         # consumed twice below (language-count pass + keep filter):
         # without this barrier the shuffles above execute twice.  The

@@ -115,8 +115,9 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
     shuffle of tiny signature rows; groups are occurrence lists of a
     single segment hash (small — bounded by that segment's corpus
     frequency), marked with a vectorized sort + first-flag."""
-    import ray
     from ray.data.aggregate import Min
+
+    from docling_graph_ray.stages.joins import join_partitions
 
     segs = docs.map_batches(
         segment_rows_udf(text_col=text_col, id_col=id_col, window=window),
@@ -133,16 +134,36 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
     _SEG_BITS = 20  # seg_idx < 2^20 (20M words/doc at window=20)
 
     def pack(b: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(b.schema.field(id_col).type):
+            raise TypeError(
+                "segment_exact_dedup requires an integer id column "
+                f"(got {b.schema.field(id_col).type} for {id_col!r}); "
+                "hash string ids to int64 first"
+            )
         ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         seg = b.column("seg_idx").to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(ids) and (ids.max() >= (1 << (63 - _SEG_BITS)) or
-                         seg.max() >= (1 << _SEG_BITS)):
+        if len(ids) and (ids.max() >= (1 << (63 - _SEG_BITS)) or ids.min() < 0
+                         or seg.max() >= (1 << _SEG_BITS)):
             raise ValueError("segment pack overflow: doc_id/seg_idx out of range")
         return b.append_column(
             "_packed", pa.array((ids << _SEG_BITS) | seg, pa.int64())
         )
 
-    packed = segs.map_batches(pack, batch_format="pyarrow")
+    # consumed twice (aggregate + join): materialize, and guard the
+    # empty corpus (Ray's hash join crashes on schema-less empty parts)
+    packed = segs.map_batches(pack, batch_format="pyarrow").materialize()
+    if packed.count() == 0:
+        # a fully empty dataset has NO schema at all (schema() is None),
+        # so the empty result uses the contract types directly (ids are
+        # integer by the pack() gate; seg_hash is the md5 hex string)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "seg_idx": pa.array([], pa.int64()),
+            "seg_hash": pa.array([], pa.string()),
+            "keep": pa.array([], pa.bool_()),
+        }))
     mins = packed.groupby("seg_hash").aggregate(Min("_packed")).map_batches(
         lambda t: pa.table({
             "seg_hash": t.column("seg_hash"),
@@ -150,9 +171,9 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
         }),
         batch_format="pyarrow",
     )
-    n_parts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) // 2))
     joined = packed.join(
-        mins, join_type="inner", num_partitions=n_parts, on=("seg_hash",)
+        mins, join_type="inner", num_partitions=join_partitions(),
+        on=("seg_hash",),
     )
 
     def flag(b: pa.Table) -> pa.Table:
@@ -288,9 +309,22 @@ def _empty_doc_reps(ds, *, id_col: str, text_col: str):
 
 
 def _finalize_reps(reps, empty_reps, id_col: str):
-    """Union banded + wordless rep assignments; add ``is_dup``."""
-    if empty_reps is not None:
+    """Union banded + wordless rep assignments; add ``is_dup``.
+
+    Either side may be None (all-wordless corpus → no banded reps;
+    no wordless docs → no empty reps; fully empty corpus → both)."""
+    if reps is None:
+        reps = empty_reps
+    elif empty_reps is not None:
         reps = reps.union(empty_reps)
+    if reps is None:  # fully empty corpus
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "rep_id": pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+        }))
     return reps.map_batches(
         lambda t: t.append_column(
             "is_dup", pc.not_equal(t.column(id_col), t.column("rep_id"))
@@ -308,8 +342,19 @@ def _resolve_reps(candidates, id_col: str):
     ``map_groups`` costs one Python call per DISTINCT bucket — the
     corpus-scale-group-count disease measured at 224 s/1M groups in
     segment dedup — while bucket count here is O(docs x bands).)"""
-    import ray
     from ray.data.aggregate import Min
+
+    from docling_graph_ray.stages.joins import join_partitions
+
+    # consumed twice (aggregate + join): materialize or the banding
+    # UDF executes twice; also the guard below needs the count anyway
+    candidates = candidates.materialize()
+    if candidates.count() == 0:
+        # all-wordless corpus: every doc routed around the bands —
+        # Ray's hash join crashes on schema-less empty partitions;
+        # signal "no banded assignments" and let _finalize_reps fall
+        # back to the wordless-doc representatives alone
+        return None
 
     mins = candidates.groupby(["band_idx", "band_key"]).aggregate(
         Min(id_col)
@@ -323,9 +368,8 @@ def _resolve_reps(candidates, id_col: str):
         }),
         batch_format="pyarrow",
     )
-    n_parts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8)) // 2))
     pairs = candidates.join(
-        mins, join_type="inner", num_partitions=n_parts,
+        mins, join_type="inner", num_partitions=join_partitions(),
         on=("band_idx", "band_key"),
     )
     return pairs.groupby(id_col).min("rep_id").map_batches(

@@ -44,10 +44,6 @@ import ray
 from docling_graph_ray.functions.hashing import blake2b_hex
 
 
-def _sort_indices(table: pa.Table, order_col: str) -> pa.Array:
-    return pc.sort_indices(
-        table, sort_keys=[(order_col, "ascending")]
-    )
 
 
 def dedup_nodes(nodes, *, key_col: str, order_col: str, attr_cols: list[str]):
@@ -70,9 +66,15 @@ def dedup_nodes(nodes, *, key_col: str, order_col: str, attr_cols: list[str]):
     def bucket(b: pa.Table) -> pa.Table:
         import pandas as pd
 
-        keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
-        part = (pd.util.hash_array(keys) % _P).astype(np.int64)
-        return b.append_column("_part", pa.array(part))
+        if pa.types.is_integer(b.schema.field(key_col).type):
+            # vectorized uint64 hash path — dtype=object would push
+            # every int through the per-element str-fallback hash
+            keys = b.column(key_col).to_numpy(zero_copy_only=False)
+            part = (pd.util.hash_array(keys.astype(np.int64)) % _P)
+        else:
+            keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
+            part = pd.util.hash_array(keys) % _P
+        return b.append_column("_part", pa.array(part.astype(np.int64)))
 
     def enrich_partition(g: pa.Table) -> pa.Table:
         if "_part" in g.schema.names:

@@ -168,3 +168,12 @@ def lookup_join(left, lookup, *, on: str, key_col: str | None = None,
         return pa.table(cols).cast(full_schema)
 
     return tagged.groupby("_key").map_groups(regroup, batch_format="pyarrow")
+
+
+def join_partitions(cap: int = 32) -> int:
+    """Partition count for native ``Dataset.join``: half the cluster's
+    CPUs, capped — small sessions must still be able to schedule the
+    hash-join aggregator actors (a 4-cpu test session deadlocks at 32)."""
+    import ray
+
+    return max(2, min(cap, int(ray.cluster_resources().get("CPU", 8)) // 2))

@@ -355,7 +355,7 @@ def term_freq_batch(batch: pa.Table, text_col: str = "text",
 
 
 def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
-               id_col: str = "doc_id"):
+               id_col: str = "doc_id", n_buckets: int = 64):
     """Top-k keywords per document by tf·idf (idf = ln(N/df)).
 
     Scale shape: tf rows come from one vectorized explode pass; df is a
@@ -432,11 +432,12 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
     scored = joined.map_batches(score_batch, batch_format="pyarrow")
 
     # grouped top-k WITHOUT one-Python-call-per-doc: bucket docs by
-    # id-hash into P partition groups, so map_groups runs P times and
-    # each call ranks a whole partition of docs on pandas C paths
-    # (sort + cumcount).  Rows of one doc always share a bucket, so the
-    # per-doc cutoff is exact.
-    _P = 64
+    # id-hash into ``n_buckets`` partition groups, so map_groups runs
+    # n_buckets times and each call ranks a whole partition vectorized
+    # (one Arrow sort + run-boundary numpy rank).  Rows of one doc
+    # always share a bucket, so the per-doc cutoff is exact.  Size
+    # n_buckets so corpus_rows/n_buckets fits a worker — the per-task
+    # working set is one bucket, not one doc.
 
     def bucket(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "score" not in b.schema.names:
@@ -446,20 +447,26 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
 
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         return b.append_column(
-            "_part", pa.array((ids % _P).astype(np.int64)))
+            "_part", pa.array((ids % n_buckets).astype(np.int64)))
 
     def topk_partition(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "score" not in g.schema.names:
             return out_schema.empty_table()
-        pdf = g.to_pandas().sort_values(
-            ["doc_id", "score", "token"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        pdf = pdf[pdf.groupby("doc_id").cumcount() < k]
-        return pa.Table.from_pandas(
-            pdf[list(out_schema.names)], preserve_index=False
-        ).cast(out_schema)
+        import numpy as np
+
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("doc_id", "ascending"), ("score", "descending"),
+            ("token", "ascending"),
+        ])
+        g = g.take(idx).combine_chunks()
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(ids[1:] != ids[:-1]) + 1]
+        rank = np.arange(len(ids)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ids)]))
+        return g.filter(pa.array(rank < k)).select(
+            list(out_schema.names)).cast(out_schema)
 
     return (
         scored.map_batches(bucket, batch_format="pyarrow")

@@ -150,3 +150,25 @@ def test_pages_curation_composite(ray_session):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_curation_all_rejected_returns_empty(ray_session, tmp_path):
+    """The default English-web Gopher gate can reject an entire corpus;
+    the composite must return a schema-stable empty result, not crash
+    in the hash join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from docling_graph_ray.pipelines.textops import curate_documents
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["short text", "tiny"]),
+        "lang": pa.array(["en", "fr"]),
+    })
+    out = curate_documents(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {
+        "doc_id", "lang", "n_source", "thr", "bucket", "split",
+    }

@@ -414,3 +414,49 @@ def test_bpe_tokenizer_matches_reference(ray_session):
 
     assert got == [ref_count(t) for t in texts]
     assert got[-1] == 0  # empty doc -> zero tokens
+
+
+def test_minhash_all_wordless_corpus(ray_session):
+    """All docs wordless: the banded path is empty (Ray's hash join
+    crashes on schema-less empty partitions if reached) and every doc
+    must still get a representative via the wordless fallback."""
+    import pyarrow as pa
+
+    import ray.data
+    from docling_graph_ray.stages.dedup import minhash_lsh_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "   ", None]),
+    })
+    out = minhash_lsh_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    assert (out["rep_id"] == 1).all()
+    assert sorted(out["is_dup"]) == [False, True, True]
+
+
+def test_segment_dedup_empty_corpus(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from docling_graph_ray.stages.dedup import segment_exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    })
+    out = segment_exact_dedup(ray.data.from_arrow(t))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "seg_idx", "seg_hash", "keep"}
+
+
+def test_segment_dedup_rejects_string_ids(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from docling_graph_ray.stages.dedup import segment_exact_dedup
+
+    t = pa.table({"doc_id": pa.array(["a"]), "text": pa.array(["x y z"])})
+    with pytest.raises(Exception, match="integer id"):
+        segment_exact_dedup(ray.data.from_arrow(t)).materialize()
