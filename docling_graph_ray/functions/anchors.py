@@ -149,46 +149,66 @@ def bind_node_provenance(nodes, chunks, *,
         chunks.map_batches(chunk_side, batch_format="pyarrow")
     )
 
-    def bind(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0 or "_is_chunk" not in group.schema.names:
+    # Partition-bucketed (stages/bucketing.py): map_groups runs once per
+    # hash(url) % P bucket, never once per url (SURVEY §7.4) — the per-
+    # value substring scan is inherent Python, but the per-group task/
+    # slice/table overhead is gone; one sorted pass walks the url runs.
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    def bind_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_is_chunk" not in g.schema.names:
             return NODE_PROVENANCE_SCHEMA.empty_table()
-        url = group.column("_key")[0].as_py()
-        is_chunk = group.column("_is_chunk")
-        ch = group.filter(is_chunk)
-        nd = group.filter(pa.compute.invert(is_chunk))
-        chunk_rows = sorted(
-            zip(ch.column("chunk_id").to_pylist(),
-                ch.column("text").to_pylist()),
-            key=lambda x: x[0],
-        )
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        order = pa.compute.sort_indices(
+            g, sort_keys=[("_key", "ascending")])
+        g = g.take(order).combine_chunks()
+        starts, lens = run_starts(g, ["_key"])
+        keys = g.column("_key").to_pylist()
+        is_chunk_l = g.column("_is_chunk").to_pylist()
+        node_ids = g.column("node_id").to_pylist()
+        values = g.column("value").to_pylist()
+        chunk_ids = g.column("chunk_id").to_pylist()
+        texts = g.column("text").to_pylist()
         rows = []
-        for nid, val in sorted(zip(nd.column("node_id").to_pylist(),
-                                   nd.column("value").to_pylist())):
-            if not val:
-                continue
-            hit = False
-            lowered_val = None
-            for cid, text in chunk_rows:
-                text = text or ""
-                pos = text.find(val)
-                kind = "verbatim"
-                if pos < 0:
-                    if lowered_val is None:
-                        lowered_val = val.casefold()
-                    pos = text.casefold().find(lowered_val)
-                    kind = "verbatim_ci"
-                if pos >= 0:
-                    hit = True
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            url = keys[s]
+            idxs = range(s, s + ln)
+            chunk_rows = sorted(
+                (chunk_ids[i], texts[i]) for i in idxs if is_chunk_l[i])
+            for nid, val in sorted(
+                    (node_ids[i], values[i]) for i in idxs
+                    if not is_chunk_l[i]):
+                if not val:
+                    continue
+                hit = False
+                lowered_val = None
+                for cid, text in chunk_rows:
+                    text = text or ""
+                    pos = text.find(val)
+                    kind = "verbatim"
+                    if pos < 0:
+                        if lowered_val is None:
+                            lowered_val = val.casefold()
+                        pos = text.casefold().find(lowered_val)
+                        kind = "verbatim_ci"
+                    if pos >= 0:
+                        hit = True
+                        rows.append({"node_id": nid, "url": url,
+                                     "value": val, "chunk_id": int(cid),
+                                     "kind": kind, "start": pos,
+                                     "end": pos + len(val)})
+                if not hit:
                     rows.append({"node_id": nid, "url": url, "value": val,
-                                 "chunk_id": int(cid), "kind": kind,
-                                 "start": pos, "end": pos + len(val)})
-            if not hit:
-                rows.append({"node_id": nid, "url": url, "value": val,
-                             "chunk_id": -1, "kind": "derived",
-                             "start": -1, "end": -1})
+                                 "chunk_id": -1, "kind": "derived",
+                                 "start": -1, "end": -1})
         return pa.Table.from_pylist(rows, schema=NODE_PROVENANCE_SCHEMA)
 
-    return tagged.groupby("_key").map_groups(bind, batch_format="pyarrow")
+    return (
+        tagged.map_batches(add_part(["_key"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(bind_partition, batch_format="pyarrow")
+    )
 
 
 def derive_unanchored(anchors: list[dict],

@@ -286,35 +286,62 @@ def merge_partial_records(
     description_merge_fields: set[str] | None = None,
 ):
     """Dataset operator: N partial JSON records per document → one
-    merged nested record per document, via ``groupby(doc_col)
-    .map_groups`` with an in-group sort on ``order_col`` first — the
-    per-document reduce of merge_pydantic_models (SURVEY.md §2.5), with
-    the deterministic-order discipline built in.  Partitioning
-    assumption: one document's partials fit in one group."""
+    merged nested record per document — the per-document reduce of
+    merge_pydantic_models (SURVEY.md §2.5), with the deterministic-order
+    discipline built in.
 
-    def merge_group(group: pa.Table) -> pa.Table:
+    Partition-bucketed (stages/bucketing.py): ``map_groups`` runs once
+    per ``hash(doc_col) % P`` bucket, never once per document (SURVEY
+    §7.4) — the deep merge is inherent per-record Python, but the per-
+    group task/slice/table overhead is gone; one sorted pass walks the
+    doc runs.  Partitioning assumption: one document's partials always
+    share a bucket."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    from docling_graph_ray.stages.joins import as_arrow_schema
+
+    doc_type = as_arrow_schema(ds.schema()).field(doc_col).type
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (doc_col, doc_type), ("n_partials", pa.int64()),
+            ("record", pa.string()),
+        ])
+        if g.num_rows == 0 or doc_col not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
         # json_col as tiebreak: order_col alone is not a total order when
         # two partials share a page (observed: duplicate l_linenumber per
         # order), and without one the keep-first winner depends on shuffle
         # arrival order.
-        group = group.sort_by(
-            [(order_col, "ascending"), (json_col, "ascending")]
-        )
-        records = [json.loads(s) if s else {} for s in
-                   group.column(json_col).to_pylist()]
-        merged = consolidate_records(
-            records,
-            identity_fields_map=identity_fields_map,
-            merge_similarity_fallback=merge_similarity_fallback,
-            description_merge_fields=description_merge_fields,
-        )
+        g = g.take(pa.compute.sort_indices(g, sort_keys=[
+            (doc_col, "ascending"), (order_col, "ascending"),
+            (json_col, "ascending"),
+        ])).combine_chunks()
+        starts, lens = run_starts(g, [doc_col])
+        doc_ids = g.column(doc_col).to_pylist()
+        payloads = g.column(json_col).to_pylist()
+        out_doc, out_n, out_rec = [], [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            merged = consolidate_records(
+                [json.loads(p) if p else {} for p in payloads[s:s + ln]],
+                identity_fields_map=identity_fields_map,
+                merge_similarity_fallback=merge_similarity_fallback,
+                description_merge_fields=description_merge_fields,
+            )
+            out_doc.append(doc_ids[s])
+            out_n.append(ln)
+            out_rec.append(
+                json.dumps(merged, sort_keys=True, ensure_ascii=False))
         return pa.table({
-            doc_col: group.column(doc_col).slice(0, 1),
-            "n_partials": pa.array([group.num_rows], pa.int64()),
-            "record": pa.array(
-                [json.dumps(merged, sort_keys=True, ensure_ascii=False)],
-                pa.string(),
-            ),
+            doc_col: pa.array(out_doc, doc_type),
+            "n_partials": pa.array(out_n, pa.int64()),
+            "record": pa.array(out_rec, pa.string()),
         })
 
-    return ds.groupby(doc_col).map_groups(merge_group, batch_format="pyarrow")
+    return (
+        ds.map_batches(add_part([doc_col], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(merge_partition, batch_format="pyarrow")
+    )

@@ -343,24 +343,40 @@ def latest_event_per_user(sf_dir: str):
             first[1:] = uid[1:] != uid[:-1]
         return s.filter(pa.array(first))
 
-    def top1(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "descending"), ("event_id", "descending")]
-        )
-        g = group.take(idx[:1])
-        return pa.table(
-            {
-                "user_id": g.column("user_id"),
-                "last_ts": g.column("ts"),
-                "last_event_type": g.column("event_type"),
-                "last_value": g.column("value"),
-            }
-        )
+    # final fold, partition-bucketed (stages/bucketing.py): one
+    # vectorized map_groups call per hash bucket, never one per user —
+    # the first row of each user run under (ts, event_id) desc is that
+    # user's global latest
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    def top1_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.timestamp("us")),
+                "last_event_type": pa.array([], pa.string()),
+                "last_value": pa.array([], pa.float64()),
+            })
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"),
+            ("ts", "descending"),
+            ("event_id", "descending"),
+        ])
+        g = g.take(idx).combine_chunks()
+        starts, _ = run_starts(g, ["user_id"])
+        g = g.take(pa.array(starts, pa.int64()))
+        return pa.table({
+            "user_id": g.column("user_id"),
+            "last_ts": g.column("ts"),
+            "last_event_type": g.column("event_type"),
+            "last_value": g.column("value"),
+        })
 
     return (
         ds.map_batches(partial_top1, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(top1, batch_format="pyarrow")
+        .map_batches(add_part(["user_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(top1_partition, batch_format="pyarrow")
     )
 
 
@@ -414,24 +430,50 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Gap-based session windows per user: a new session starts when the
     gap since the previous event exceeds ``gap_minutes``.  Classic
     training-data sessionization as a grouped, vectorized transform —
-    ``groupby(user).map_groups`` with a numpy diff/cumsum, no Python loop
-    over events.  The shuffle key (user_id) is the session key, so all of
-    one user's events land in one group (the windowed-aggregate
-    partitioning assumption, SURVEY.md custom-operator rule (a))."""
+    a single numpy diff/cumsum pass, no Python loop over events.
+
+    Partition-bucketed (stages/bucketing.py): the co-group key is
+    ``hash(user_id) % P`` so ``map_groups`` runs exactly P times (never
+    once per user — SURVEY.md §7.4); inside each call, rows sort
+    (user_id, ts, event_id) and a session starts at every user boundary
+    OR gap > threshold — one vectorized pass over the whole partition,
+    with the within-user session counter recovered by subtracting the
+    cumsum value at each user's run start.  All of one user's events
+    land in one partition (the windowed-aggregate partitioning
+    assumption, SURVEY.md custom-operator rule (a))."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(idx)
-        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        ts_i = ts.astype(np.int64)
-        new_sess = np.ones(len(ts_i), dtype=np.int64)
-        if len(ts_i) > 1:
+    def sessionize_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "value_cents": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            })
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx).combine_chunks()
+        n = g.num_rows
+        ts_i = (g.column("ts").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+        starts, lens = run_starts(g, ["user_id"])
+        new_sess = np.ones(n, dtype=np.int64)
+        if n > 1:
             new_sess[1:] = (np.diff(ts_i) > gap_us).astype(np.int64)
-        sess = np.cumsum(new_sess)
+        new_sess[starts] = 1  # user boundary always opens a session
+        csum = np.cumsum(new_sess)
+        # within-user session id: subtract the count already consumed
+        # before this user's run (csum at run start is 1-based inclusive)
+        sess = csum - np.repeat(csum[starts] - 1, lens)
         cents = pc.round(
             pc.multiply(g.column("value"), 100.0),
             ndigits=0, round_mode="half_towards_infinity",
@@ -450,7 +492,11 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
              "value_cents", "n_events"]
         )
 
-    return ev.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    return (
+        ev.map_batches(add_part(["user_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(sessionize_partition, batch_format="pyarrow")
+    )
 
 
 def events_sliding_window(sf_dir: str, window_days: int = 7):
@@ -481,18 +527,47 @@ def events_sliding_window(sf_dir: str, window_days: int = 7):
         )
     )
 
-    win_us = np.int64(window_days) * 86_400_000_000
+    # Partition-bucketed final window (stages/bucketing.py): one
+    # vectorized map_groups call per hash bucket, never one per user.
+    # The per-user searchsorted window is made partition-global by
+    # remapping each row to ``user_run_index * OFFSET + (day - min_day)``
+    # with OFFSET > day span + window: the combined key is monotone over
+    # the (user, day)-sorted partition and ``key - win`` can never reach
+    # back into the previous user's block, so ONE searchsorted serves
+    # every user at once.
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
 
-    def trailing(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("day", "ascending")])
-        g = group.take(idx)
+    def trailing_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.timestamp("us")),
+                "value_cents": pa.array([], pa.int64()),
+                "trailing_7d_cents": pa.array([], pa.int64()),
+            })
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("day", "ascending")])
+        g = g.take(idx).combine_chunks()
+        n = g.num_rows
         days = g.column("day").to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
         vals = g.column("value_cents").to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["user_id"])
+        # whole-day numbers (floor_temporal upstream guarantees this) keep
+        # the combined key tiny: run_idx * offset stays < 2^63 even at
+        # billions of runs x a century of days
+        day_num = days // np.int64(86_400_000_000)
+        day_rel = day_num - day_num.min()
+        offset = np.int64(day_rel.max()) + np.int64(window_days) + np.int64(1)
+        run_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        combined = run_idx * offset + day_rel
         csum = np.concatenate([[0], np.cumsum(vals)])
         # trailing window (day - 7d, day]: left index via searchsorted
-        left = np.searchsorted(days, days - win_us, side="right")
-        trail = csum[np.arange(1, len(vals) + 1)] - csum[left]
+        left = np.searchsorted(combined, combined - np.int64(window_days),
+                               side="right")
+        trail = csum[np.arange(1, n + 1)] - csum[left]
         return pa.table({
             "user_id": g.column("user_id"),
             "day": g.column("day"),
@@ -500,7 +575,11 @@ def events_sliding_window(sf_dir: str, window_days: int = 7):
             "trailing_7d_cents": pa.array(trail, pa.int64()),
         })
 
-    return daily.groupby("user_id").map_groups(trailing, batch_format="pyarrow")
+    return (
+        daily.map_batches(add_part(["user_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(trailing_partition, batch_format="pyarrow")
+    )
 
 
 def orders_deep_merge(sf_dir: str):

@@ -9,16 +9,18 @@ Architecture (the scale-safe union-shuffle shape):
 
 1. both sides are projected to a COMMON schema and unioned — left
    payload columns ride with nulls on right rows and vice versa;
-2. ONE hash shuffle co-locates each key's rows
-   (``groupby(key).map_groups``) — there is no per-row lookup table, no
-   driver-side index, and the right side is never broadcast (it scales
-   with the input);
-3. inside each group the match is fully vectorized: sort once, split
-   sides, one ``np.searchsorted`` of left times into right times.
+2. ONE hash shuffle co-locates rows by ``hash(key) % P`` PARTITION
+   BUCKET (``groupby("_part").map_groups``) — map_groups runs exactly P
+   times, never once per key (SURVEY §7.4); there is no per-row lookup
+   table, no driver-side index, and the right side is never broadcast
+   (it scales with the input);
+3. inside each partition the match is ONE vectorized pass over all keys
+   at once: sort (key, time, tiebreak), then a cumulative max over
+   right-row positions clamped at key-run starts.
 
 Partitioning assumption (documented per the north rule): one key's rows
-fit in one group.  Keys here are users/customers — bounded fan-in.  For
-a pathological hot key, pre-split by time range and stitch the boundary
+always share a bucket (~1/P of the rows per bucket).  For a
+pathological hot key, pre-split by time range and stitch the boundary
 (the last right row of range N seeds range N+1).
 
 Determinism: ties among right rows with equal time are broken by the
@@ -98,35 +100,58 @@ def asof_join(
         right.map_batches(prep_right, batch_format="pyarrow")
     )
 
-    def match_group(g: pa.Table) -> pa.Table:
-        sort_keys = [("_time", "ascending")]
+    # Partition-bucketed (stages/bucketing.py): map_groups runs once per
+    # hash(key) % P bucket, never once per key (SURVEY §7.4).  Inside a
+    # partition the match is ONE vectorized pass over ALL keys at once:
+    # rows sort (key, time, tiebreak) — a left row's match is then simply
+    # the LAST right row at-or-before it within its key run (left rows
+    # carry a null tiebreak, which sorts after equal-time right rows, so
+    # "at-or-before" is exactly time<= with max-tiebreak ties) — found by
+    # a cumulative max over right-row positions, validated against the
+    # run start so matches never leak across keys.
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    out_schema = pa.schema(
+        [pa.field(c, _left_types[c]) for c in left_cols]
+        + [pa.field(c, _right_types[c]) for c in right_cols]
+    )
+
+    def match_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_side" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        sort_keys = [("_key", "ascending"), ("_time", "ascending")]
         if right_tiebreak is not None:
             sort_keys.append((right_tiebreak, "ascending"))
-        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys)).combine_chunks()
+        n = g.num_rows
         side = g.column("_side").to_numpy(zero_copy_only=False)
-        times = g.column("_time").to_numpy(zero_copy_only=False)
         is_left = side == _SIDE_LEFT
-        lt = times[is_left]
-        rt = times[~is_left]
+        starts, lens = run_starts(g, ["_key"])
+        run_start_row = np.repeat(starts, lens)
+        # last right row at-or-before each row, clamped to the key run
+        rp = np.where(~is_left, np.arange(n, dtype=np.int64), np.int64(-1))
+        last_right = np.maximum.accumulate(rp)
+        matched_all = last_right >= run_start_row
         lefts = g.filter(pa.array(is_left))
-        rights = g.filter(pa.array(~is_left))
-        # greatest right time <= left time; among equal right times the
-        # sort put the max tiebreak LAST, which searchsorted('right')
-        # lands on
-        idx = np.searchsorted(rt, lt, side="right") - 1
-        matched = idx >= 0
-        take_idx = pa.array(np.where(matched, idx, 0), pa.int64())
+        matched = matched_all[is_left]
+        take_idx = pa.array(
+            np.where(matched, last_right[is_left], 0), pa.int64())
         cols: dict[str, pa.Array] = {}
         for c in left_cols:
             cols[c] = lefts.column(c)
         null_mask = pa.array(~matched)
         for c in right_cols:
-            taken = rights.column(c).take(take_idx) if rights.num_rows else \
-                pa.nulls(lefts.num_rows, _right_types[c])
+            taken = g.column(c).combine_chunks().take(take_idx)
             cols[c] = pc.if_else(null_mask, pa.nulls(1, taken.type)[0], taken)
         out = pa.table(cols)
         if inner:
             out = out.filter(pa.array(matched))
-        return out
+        return out.cast(out_schema)
 
-    return unioned.groupby("_key").map_groups(match_group, batch_format="pyarrow")
+    return (
+        unioned.map_batches(add_part(["_key"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(match_partition, batch_format="pyarrow")
+    )

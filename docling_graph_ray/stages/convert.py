@@ -311,26 +311,47 @@ def split_graph(tagged):
     )
 
 
-def finalize_nodes(mentions):
+def finalize_nodes(mentions, *, num_partitions: int = 64):
     """Mention rows → final node rows: per node id, sort mentions by
     ``(doc_key, seq)`` and fold attrs first-non-empty-wins
-    (graph_converter.py:657-689 as a distributed groupby fold)."""
+    (graph_converter.py:657-689 as a distributed groupby fold).
 
-    def fold(g: pa.Table) -> pa.Table:
+    Partition-bucketed (stages/bucketing.py): ``map_groups`` runs once
+    per ``hash(node_id) % P`` bucket, never once per node — the per-
+    mention ``json.loads`` work is inherent to the JSON attr payloads,
+    but the per-group task/slice/table overhead (the SURVEY §7.4 cost
+    that dominates above ~400k groups) is gone; one sorted pass over the
+    partition walks the node runs in plain Python."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    def fold_partition(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "attrs" not in g.schema.names:
             return NODE_SCHEMA.empty_table()
-        order = pa.compute.sort_indices(
-            g, sort_keys=[("doc_key", "ascending"), ("seq", "ascending")]
-        )
-        g = g.take(order)
-        folded = enrich_first_wins(
-            [json.loads(a) for a in g.column("attrs").to_pylist()]
-        )
-        return pa.Table.from_pylist([{
-            "node_id": g.column("node_id")[0].as_py(),
-            "class": g.column("class")[0].as_py(),
-            "attrs": dumps_canonical(folded),
-            "n_mentions": g.num_rows,
-        }], schema=NODE_SCHEMA)
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        order = pa.compute.sort_indices(g, sort_keys=[
+            ("node_id", "ascending"), ("doc_key", "ascending"),
+            ("seq", "ascending")])
+        g = g.take(order).combine_chunks()
+        starts, lens = run_starts(g, ["node_id"])
+        node_ids = g.column("node_id").to_pylist()
+        classes = g.column("class").to_pylist()
+        attrs = g.column("attrs").to_pylist()
+        rows = []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            folded = enrich_first_wins(
+                [json.loads(a) for a in attrs[s:s + ln]])
+            rows.append({
+                "node_id": node_ids[s],
+                "class": classes[s],
+                "attrs": dumps_canonical(folded),
+                "n_mentions": ln,
+            })
+        return pa.Table.from_pylist(rows, schema=NODE_SCHEMA)
 
-    return mentions.groupby("node_id").map_groups(fold, batch_format="pyarrow")
+    return (
+        mentions.map_batches(add_part(["node_id"], num_partitions),
+                             batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )

@@ -43,13 +43,13 @@ _MAX_HASH = np.uint64((1 << 32) - 1)
 def exact_dedup(ds, key_cols: list[str], order_col: str):
     """Keep the first row (min ``order_col``) per exact key. Returns the
     deduped dataset.  Key columns shuffle as-is; callers with long text
-    keys should pre-hash (see ``exact_text_dedup``)."""
+    keys should pre-hash (see ``exact_text_dedup``).
 
-    def first_per_group(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
-        return group.take(idx[:1])
+    Partition-bucketed (stages/bucketing.py): one vectorized map_groups
+    call per hash bucket, never one per distinct key."""
+    from docling_graph_ray.stages.bucketing import bucketed_first
 
-    return ds.groupby(key_cols).map_groups(first_per_group, batch_format="pyarrow")
+    return bucketed_first(ds, key_cols, [(order_col, "ascending")])
 
 
 def add_text_hash(text_col: str, out_col: str = "text_hash"):
@@ -333,44 +333,59 @@ def _finalize_reps(reps, empty_reps, id_col: str):
     )
 
 
-def _resolve_reps(candidates, id_col: str):
+def _resolve_reps(candidates, id_col: str, *, num_partitions: int = 64):
     """(band_idx, band_key, id) candidate rows → (id, rep_id) assignment.
 
-    Fully vectorized: a C-path min per bucket, a hash join of the tiny
-    (band, key, bucket-min) table back onto the candidates, then the
-    per-id min-reduce picks the final representative.  (A per-bucket
-    ``map_groups`` costs one Python call per DISTINCT bucket — the
-    corpus-scale-group-count disease measured at 224 s/1M groups in
-    segment dedup — while bucket count here is O(docs x bands).)"""
-    from ray.data.aggregate import Min
+    ONE partition-bucket shuffle: candidates bucket by ``hash(band) % P``;
+    inside each of the P vectorized calls, a C-path ``group_by(min)``
+    finds every bucket's representative and ``index_in`` + ``take``
+    attaches it back to the members — no per-bucket Python, and no
+    native ``Dataset.join`` (whose hash-join aggregator pool costs ~2 s
+    spin-up per join at small scale — the round-2 sf0.1 regression —
+    and crashes on schema-less empty partitions).  The per-id min-reduce
+    then picks the final representative across bands."""
+    from docling_graph_ray.stages.bucketing import hash_partition_cols
 
-    from docling_graph_ray.stages.joins import join_partitions
-
-    # consumed twice (aggregate + join): materialize or the banding
-    # UDF executes twice; also the guard below needs the count anyway
+    # the guard below needs a count, and candidate rows are tiny
+    # (16 bytes/row): materialize once
     candidates = candidates.materialize()
     if candidates.count() == 0:
         # all-wordless corpus: every doc routed around the bands —
-        # Ray's hash join crashes on schema-less empty partitions;
         # signal "no banded assignments" and let _finalize_reps fall
         # back to the wordless-doc representatives alone
         return None
 
-    mins = candidates.groupby(["band_idx", "band_key"]).aggregate(
-        Min(id_col)
-    ).map_batches(
-        lambda t: pa.table({
-            # keys must match the candidate row types exactly or the
-            # acero hash join refuses (aggregate promotes int32->int64)
-            "band_idx": t.column("band_idx").cast(pa.int32()),
-            "band_key": t.column("band_key").cast(pa.int64()),
-            "rep_id": t.column(f"min({id_col})"),
-        }),
-        batch_format="pyarrow",
-    )
-    pairs = candidates.join(
-        mins, join_type="inner", num_partitions=join_partitions(),
-        on=("band_idx", "band_key"),
+    band_cols = ["band_idx", "band_key"]
+
+    def bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_part", hash_partition_cols(b, band_cols, num_partitions))
+
+    def attach_rep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64())})
+        sub = g.select(band_cols + [id_col]).combine_chunks()
+        mins = sub.group_by(band_cols).aggregate([(id_col, "min")])
+
+        # composite key → EXACT flat key so index_in works on one int64
+        # column: band keys here are 32-bit digests (crc32 band chunks)
+        # and band_idx is tiny, so (idx << 32) | key is collision-free
+        def packed(t: pa.Table) -> pa.Array:
+            bi = t.column("band_idx").to_numpy(zero_copy_only=False).astype(np.uint64)
+            bk = t.column("band_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(bk) and (bk.max() >> np.uint64(32) or bi.max() >> np.uint64(31)):
+                raise ValueError("band key exceeds 32 bits: widen the pack")
+            return pa.array(((bi << np.uint64(32)) | bk).view(np.int64))
+
+        pos = pc.index_in(packed(sub), value_set=packed(mins))
+        rep = mins.column(id_col + "_min").combine_chunks().take(pos)
+        return pa.table({id_col: sub.column(id_col), "rep_id": rep})
+
+    pairs = (
+        candidates.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(attach_rep, batch_format="pyarrow")
     )
     return pairs.groupby(id_col).min("rep_id").map_batches(
         lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
@@ -429,9 +444,19 @@ def simhash_dedup(
     text_col: str = "text",
     hamming_threshold: int = 3,
     bands: int = 4,
+    num_partitions: int = 64,
 ):
     """SimHash near-dup: 64-bit signature, 16-bit band buckets, exact
-    hamming verification against the bucket representative."""
+    hamming verification against the bucket representative.
+
+    Verification is partition-bucketed (``hash(band) % P`` co-group,
+    stages/bucketing.py): one vectorized call per partition, with the
+    per-bucket representative found via sorted run boundaries and the
+    hamming check one numpy xor+popcount over the whole partition — a
+    hot bucket (e.g. one boilerplate page repeated 1e8 times) costs O(1)
+    per member and never materializes as its own Python group, so no
+    verify cap is needed here (contrast ``embedding_near_dedup`` where
+    per-member verify is O(dim) and a cap applies)."""
     width = 64 // bands
 
     def emit(batch: pa.Table):
@@ -456,20 +481,35 @@ def simhash_dedup(
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sigs = [s & ((1 << 64) - 1) for s in group.column("sig").to_pylist()]
-        rep_pos = min(range(len(ids)), key=lambda k: ids[k])
-        rep, rep_sig = ids[rep_pos], sigs[rep_pos]
-        out_id, out_rep = [], []
-        for i, s in zip(ids, sigs):
-            out_id.append(i)
-            out_rep.append(rep if hamming64(s, rep_sig) <= hamming_threshold else i)
-        return pa.table({id_col: pa.array(out_id), "rep_id": pa.array(out_rep)})
+    from docling_graph_ray.stages.bucketing import (
+        add_part, popcount64, run_starts)
+
+    def verify_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64())})
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("band_idx", "ascending"), ("band_key", "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        sigs = g.column("sig").to_numpy(zero_copy_only=False).view(np.uint64)
+        starts, lens = run_starts(g, ["band_idx", "band_key"])
+        rep_row = np.repeat(ids[starts], lens)
+        rep_sig = np.repeat(sigs[starts], lens)
+        ok = popcount64(sigs ^ rep_sig) <= hamming_threshold
+        return pa.table({id_col: g.column(id_col),
+                         "rep_id": pa.array(np.where(ok, rep_row, ids))})
 
     candidates = ds.map_batches(emit, batch_format="pyarrow")
-    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
-        bucket_verify, batch_format="pyarrow"
+    pairs = (
+        candidates.map_batches(
+            add_part(["band_idx", "band_key"], num_partitions),
+            batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
     reps = pairs.groupby(id_col).min("rep_id").map_batches(
         lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
@@ -555,35 +595,46 @@ def ngram_jaccard_dedup(
         batch_format="pyarrow",
     )
 
-    # bucket → candidate (member, bucket-min) pairs, self-pairs excluded
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col)
-        rep = pc.min(ids).as_py()
-        members = group.filter(pc.not_equal(ids, pa.scalar(rep, ids.type)))
-        return pa.table({
-            id_col: members.column(id_col),
-            "rep_id": pa.array([rep] * members.num_rows, ids.type),
+    # bucket → candidate (member, bucket-min) pairs, self-pairs excluded.
+    # Partition-bucketed (one vectorized call per hash bucket, never one
+    # per band bucket): rep per run via sorted run boundaries, pairs
+    # pre-deduped inside the partition with a C-path group_by.
+    from docling_graph_ray.stages.bucketing import (
+        add_part, bucketed_first, run_starts)
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64())})
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("band_idx", "ascending"), ("band_key", "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["band_idx", "band_key"])
+        rep_idx_row = np.repeat(starts, lens)
+        members = np.flatnonzero(np.arange(len(ids)) - rep_idx_row > 0)
+        t = pa.table({
+            id_col: pa.array(ids[members]),
+            "rep_id": pa.array(ids[rep_idx_row[members]]),
         })
-
-    candidates = ds.map_batches(emit, batch_format="pyarrow")
-    raw_pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-
-    # distinct pairs (the same pair arises from several bands)
-    def pair_predistinct(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or id_col not in t.schema.names:
-            return t
         return t.group_by([id_col, "rep_id"]).aggregate([])
 
-    def first_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    pairs = (
-        raw_pairs.map_batches(pair_predistinct, batch_format="pyarrow")
-        .groupby([id_col, "rep_id"])
-        .map_groups(first_pair, batch_format="pyarrow")
+    candidates = ds.map_batches(emit, batch_format="pyarrow")
+    raw_pairs = (
+        candidates.map_batches(
+            add_part(["band_idx", "band_key"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pairs_partition, batch_format="pyarrow")
     )
+
+    # distinct pairs (the same pair arises from several bands) — a
+    # partition-bucketed distinct, one vectorized call per hash bucket
+    pair_schema = pa.schema([(id_col, pa.int64()), ("rep_id", pa.int64())])
+    pairs = bucketed_first(raw_pairs, [id_col, "rep_id"],
+                           out_schema=pair_schema)
 
     # attach both shingle sets, verify exactly
     pairs = lookup_join(pairs, shingles_ds, on=id_col, value_cols=["shingles"])
@@ -634,9 +685,26 @@ def embedding_near_dedup(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    num_partitions: int = 64,
+    max_bucket_verify: int = 65536,
 ):
     """Random-hyperplane LSH over an embedding column + exact cosine
-    verification against the bucket representative."""
+    verification against the bucket representative.
+
+    Verification is partition-bucketed (``hash(band) % P`` co-group,
+    stages/bucketing.py): one vectorized call per partition, the
+    per-bucket representative found via sorted run boundaries and the
+    cosine check one numpy row-wise dot over the whole partition.
+
+    Hot-bucket cap: per-member verify is O(dim), so a bucket hotter
+    than ``max_bucket_verify`` members (a near-identical page repeated
+    1e8 times lands its band rows in ONE bucket) bounds full verify to
+    the first ``max_bucket_verify`` members by id order; overflow
+    members dedup only on the EXACT-equality fast path (unit vector
+    bit-identical to the representative's — which is what full verify
+    concludes for true identical repeats) and otherwise conservatively
+    stay their own representative.  Deterministic; audit by comparing
+    ``is_dup`` counts at two cap values."""
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
     width = n_planes // bands
@@ -666,21 +734,43 @@ def embedding_near_dedup(
             }
         )
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        embs = np.array(group.column("emb").to_pylist(), dtype=np.float32)
-        rep_pos = min(range(len(ids)), key=lambda k: ids[k])
-        rep = ids[rep_pos]
-        cos = embs @ embs[rep_pos]
-        out_rep = [
-            rep if (i == rep or c >= cosine_threshold) else i
-            for i, c in zip(ids, cos)
-        ]
-        return pa.table({id_col: pa.array(ids), "rep_id": pa.array(out_rep)})
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    def verify_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64())})
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("band_idx", "ascending"), ("band_key", "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        n = g.num_rows
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        embs = (g.column("emb").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(n, -1))
+        starts, lens = run_starts(g, ["band_idx", "band_key"])
+        rep_idx_row = np.repeat(starts, lens)
+        rep_row = ids[rep_idx_row]
+        pos_in_run = np.arange(n) - rep_idx_row
+        ok = np.zeros(n, dtype=bool)
+        w = np.flatnonzero(pos_in_run < max_bucket_verify)
+        ok[w] = (np.einsum("ij,ij->i", embs[w], embs[rep_idx_row[w]])
+                 >= cosine_threshold)
+        o = np.flatnonzero(pos_in_run >= max_bucket_verify)
+        if o.size:  # overflow: exact-equality fast path only (docstring)
+            ok[o] = np.all(embs[o] == embs[rep_idx_row[o]], axis=1)
+        return pa.table({id_col: g.column(id_col),
+                         "rep_id": pa.array(np.where(ok, rep_row, ids))})
 
     candidates = ds.map_batches(emit, batch_format="pyarrow")
-    pairs = candidates.groupby(["band_idx", "band_key"]).map_groups(
-        bucket_verify, batch_format="pyarrow"
+    pairs = (
+        candidates.map_batches(
+            add_part(["band_idx", "band_key"], num_partitions),
+            batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(verify_partition, batch_format="pyarrow")
     )
     reps = pairs.groupby(id_col).min("rep_id").map_batches(
         lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"

@@ -507,12 +507,36 @@ def evaluate_graphs(tagged, *, structural: str = "auto",
     ``structural``: "auto" (detect synthetic-id classes from the source
     text), "on" (align every class), "off".  Partitioning assumption:
     one document's graph fits in one group — the same per-document
-    locality the whole engine relies on (SURVEY.md §2.12)."""
+    locality the whole engine relies on (SURVEY.md §2.12).
 
-    def eval_group(group: pa.Table) -> pa.Table:
-        return _eval_one_doc(group, structural, root_cls)
+    Partition-bucketed (stages/bucketing.py): ``map_groups`` runs once
+    per ``hash(doc_id) % P`` bucket, never once per document (SURVEY
+    §7.4) — the matching ladder is inherent per-doc Python, but the
+    per-group task/slice/table overhead is gone; one sorted pass walks
+    the doc runs as zero-copy slices."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
 
-    return tagged.groupby("doc_id").map_groups(eval_group, batch_format="pyarrow")
+    def eval_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.schema.names:
+            return COUNT_SCHEMA.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pa.compute.sort_indices(
+            g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(idx).combine_chunks()
+        starts, lens = run_starts(g, ["doc_id"])
+        outs = [
+            _eval_one_doc(g.slice(s, ln), structural, root_cls)
+            for s, ln in zip(starts.tolist(), lens.tolist())
+        ]
+        return (pa.concat_tables(outs) if outs
+                else COUNT_SCHEMA.empty_table())
+
+    return (
+        tagged.map_batches(add_part(["doc_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(eval_partition, batch_format="pyarrow")
+    )
 
 
 def micro_summary(counts):

@@ -143,12 +143,11 @@ def clean_edges(edges, node_ids_ref, *, src_col: str = "src", dst_col: str = "ds
 
     deduped = edges.map_batches(pass1, batch_format="pyarrow")
 
-    def first_triple(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # global distinct, partition-bucketed (stages/bucketing.py): one
+    # vectorized map_groups call per hash bucket, never one per triple
+    from docling_graph_ray.stages.bucketing import bucketed_first
 
-    return deduped.groupby([src_col, dst_col, label_col]).map_groups(
-        first_triple, batch_format="pyarrow"
-    )
+    return bucketed_first(deduped, [src_col, dst_col, label_col])
 
 
 def phantom_filter(nodes, attr_cols: list[str]):
@@ -194,19 +193,25 @@ def _as_arrow_schema(schema) -> pa.Schema:
 def _redirect_join(edges, redirects, col: str, num_partitions: int,
                    out_schema: pa.Schema):
     """Rewrite endpoint ``col`` to its canonical id — a left-outer hash
-    join expressed as a hash-shuffle co-group: edge rows and (dup → canon)
-    redirect rows are unioned on one schema keyed by the endpoint value;
-    groups containing a redirect row rewrite their edge rows, all other
-    groups pass through.  Shuffle payload = edges + redirects, identical
-    to ``Dataset.join`` — but groupby/map_groups tolerates the
-    zero-column empty blocks that chained ``Dataset.join`` calls emit for
-    empty partitions (Ray 2.49's join aggregator builds a schema-less
-    left table and pa.Table.join raises 'No match … for FieldRef'; the
-    round-1 graph_content_dedup failure was the same block pathology).
+    join expressed as a PARTITION-BUCKETED co-group: edge rows and
+    (dup → canon) redirect rows are unioned on one schema keyed by
+    ``hash(endpoint) % num_partitions``, so ``map_groups`` runs exactly
+    ``num_partitions`` times (never once per distinct endpoint — the
+    per-group-Python disease, SURVEY.md §7.4) and each call resolves its
+    whole bucket with Arrow C++ kernels (``group_by(min)`` folds the
+    redirect side, ``index_in`` + ``take`` + ``coalesce`` attach it).
+    Shuffle payload = edges + redirects + one int64 column, same as
+    ``Dataset.join`` — but the co-group tolerates the zero-column empty
+    blocks chained ``Dataset.join`` calls emit for empty partitions
+    (Ray 2.49's join aggregator builds a schema-less left table and
+    pa.Table.join raises 'No match … for FieldRef'; the round-1
+    graph_content_dedup failure was the same block pathology).
 
-    Partitioning assumption: one group per distinct endpoint value — a
-    pathologically hot node (millions of edges) makes a giant group, the
-    same skew a hash join would see on that key."""
+    Skew: a bucket holds ~1/P of the edges; a pathologically hot node
+    concentrates its edges in one bucket, the same skew a hash join
+    would see — but the per-member cost stays O(1) vectorized."""
+    from docling_graph_ray.stages.joins import hash_partition
+
     names = list(out_schema.names)
 
     def edge_side(b: pa.Table) -> pa.Table:
@@ -215,13 +220,14 @@ def _redirect_join(edges, redirects, col: str, num_partitions: int,
             key = pa.array([], pa.string())
         else:
             n = b.num_rows
-            key = b.column(col).cast(pa.string())
+            key = b.column(col).cast(pa.string()).combine_chunks()
         cols = {"_key": key}
         for nm in names:
             cols[nm] = (b.column(nm) if n else
                         pa.nulls(0, out_schema.field(nm).type))
         cols["_canon"] = pa.nulls(n, pa.string())
-        cols["_is_red"] = pa.array([False] * n, pa.bool_())
+        cols["_is_red"] = pa.array(np.zeros(n, dtype=bool))
+        cols["_part"] = hash_partition(key, num_partitions)
         return pa.table(cols)
 
     def red_side(b: pa.Table) -> pa.Table:
@@ -231,13 +237,14 @@ def _redirect_join(edges, redirects, col: str, num_partitions: int,
             canon = pa.array([], pa.string())
         else:
             n = b.num_rows
-            key = b.column("_dup").cast(pa.string())
+            key = b.column("_dup").cast(pa.string()).combine_chunks()
             canon = b.column("_canon").cast(pa.string())
         cols = {"_key": key}
         for nm in names:
             cols[nm] = pa.nulls(n, out_schema.field(nm).type)
         cols["_canon"] = canon
-        cols["_is_red"] = pa.array([True] * n, pa.bool_())
+        cols["_is_red"] = pa.array(np.ones(n, dtype=bool))
+        cols["_part"] = hash_partition(key, num_partitions)
         return pa.table(cols)
 
     tagged = edges.map_batches(edge_side, batch_format="pyarrow").union(
@@ -254,14 +261,18 @@ def _redirect_join(edges, redirects, col: str, num_partitions: int,
         t = pa.table({nm: e.column(nm) for nm in names})
         red = g.filter(is_red)
         if red.num_rows > 0:
-            canon = pc.min(red.column("_canon")).as_py()
+            fold = (red.select(["_key", "_canon"]).combine_chunks()
+                    .group_by("_key").aggregate([("_canon", "min")]))
+            pos = pc.index_in(e.column("_key").combine_chunks(),
+                              value_set=fold.column("_key").combine_chunks())
+            canon = fold.column("_canon_min").combine_chunks().take(pos)
             t = t.set_column(
                 t.schema.get_field_index(col), col,
-                pa.array([canon] * t.num_rows, pa.string()),
+                pc.coalesce(canon, t.column(col).cast(pa.string())),
             )
         return t.cast(out_schema)
 
-    return tagged.groupby("_key").map_groups(regroup, batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(regroup, batch_format="pyarrow")
 
 
 def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
@@ -286,17 +297,45 @@ def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
 
     hashed = nodes.map_batches(add_hash, batch_format="pyarrow")
 
-    def tag_canon(group: pa.Table) -> pa.Table:
-        g = group.take(pc.sort_indices(group, sort_keys=[(key_col, "ascending")]))
-        n = g.num_rows
-        canon = g.column(key_col)[0].as_py()
-        keep = pa.array([True] + [False] * (n - 1), pa.bool_())
-        return g.append_column("_keep", keep).append_column(
-            "_canon", pa.array([canon] * n, pa.string())
-        )
+    # canonical-per-content-hash, partition-bucketed: one vectorized
+    # map_groups call per hash bucket (never one per distinct content
+    # hash — SURVEY.md §7.4); inside, sorted run boundaries mark the
+    # canonical (min key) row of every hash run
+    from docling_graph_ray.stages.bucketing import (
+        add_part, run_starts)
 
-    merged = hashed.groupby("_content_hash").map_groups(
-        tag_canon, batch_format="pyarrow"
+    hashed_schema = pa.schema(
+        list(_as_arrow_schema(nodes.schema()))
+        + [pa.field("_content_hash", pa.string())]
+    )
+
+    def tag_canon_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_content_hash" not in g.schema.names:
+            return pa.schema(
+                list(hashed_schema)
+                + [pa.field("_keep", pa.bool_()), pa.field("_canon", pa.string())]
+            ).empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("_content_hash", "ascending"), (key_col, "ascending")])
+        g = g.take(idx).combine_chunks()
+        starts, lens = run_starts(g, ["_content_hash"])
+        n = g.num_rows
+        keep = np.zeros(n, dtype=bool)
+        keep[starts] = True
+        canon = (g.column(key_col).cast(pa.string()).combine_chunks()
+                 .take(pa.array(np.repeat(starts, lens), pa.int64())))
+        return g.append_column("_keep", pa.array(keep)).append_column(
+            "_canon", canon)
+
+    merged = (
+        hashed.map_batches(
+            add_part(["_content_hash"], max(num_partitions, 64),
+                     hashed_schema),
+            batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(tag_canon_partition, batch_format="pyarrow")
     )
 
     # Empty input blocks pass through map_groups without the fn running,
@@ -428,12 +467,11 @@ def clean_edges_dataset(edges, node_ids, *, src_col: str = "src",
     kept = semi_join(kept, node_ids, on=dst_col, key_col=id_col,
                      out_schema=triple_schema)
 
-    def first_triple(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # global distinct, partition-bucketed (stages/bucketing.py)
+    from docling_graph_ray.stages.bucketing import bucketed_first
 
-    return kept.groupby([src_col, dst_col, label_col]).map_groups(
-        first_triple, batch_format="pyarrow"
-    )
+    return bucketed_first(kept, [src_col, dst_col, label_col],
+                          out_schema=triple_schema)
 
 
 def integrity_check(nodes, edges, *, key_col: str = "node_id",

@@ -38,12 +38,10 @@ _LBL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
 
 def _label_sum(labels) -> int:
-    def part(b: pa.Table) -> pa.Table:
-        s = pc.sum(b.column("label")).as_py() if b.num_rows else 0
-        return pa.table({"s": pa.array([s or 0], pa.int64())})
-
-    return sum(r["s"] for r in labels.map_batches(
-        part, batch_format="pyarrow").take_all())
+    """Convergence scalar via the native ``Sum`` aggregate — the partial
+    sums combine inside Ray Data's aggregate tree; only the one final
+    scalar reaches the driver (no per-block partial table shipped)."""
+    return int(labels.sum("label") or 0)
 
 
 def _min_fold(pairs):
@@ -276,13 +274,9 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
             .repartition(label_blocks).materialize()
         )
 
-        # dangling mass = 1 - sum of mass sent along edges
-        def msum(b: pa.Table) -> pa.Table:
-            s = pc.sum(b.column("m")).as_py() if b.num_rows else 0.0
-            return pa.table({"s": pa.array([s or 0.0], pa.float64())})
-
-        sent = sum(r["s"] for r in inflow.map_batches(
-            msum, batch_format="pyarrow").take_all())
+        # dangling mass = 1 - sum of mass sent along edges; native Sum
+        # aggregate — only the final scalar reaches the driver
+        sent = float(inflow.sum("m") or 0.0)
         dangling = max(0.0, 1.0 - sent) / n_total
 
         joined = lookup_join(nodes, inflow, on="node", key_col="node",

@@ -1,4 +1,4 @@
-"""Hash-shuffle semi/anti/lookup joins that tolerate empty blocks.
+"""Partition-bucketed hash-shuffle semi/anti/lookup joins.
 
 Ray's ``Dataset.join`` is the right tool for a SINGLE join over clean
 sources (see ``pipelines.relational.orderpriority_lineitem_counts``), but
@@ -7,16 +7,26 @@ input contains the empty pass-through blocks that ``map_groups`` and
 ``join`` themselves emit — so a join downstream of another wide op crashes
 with ``pa.Table.join: No match … for FieldRef`` (the round-1
 ``graph_content_dedup`` pathology).  These helpers express the same joins
-as a union + ``groupby(key).map_groups`` co-group: identical shuffle
-payload (left rows + key rows move once), but groupby's shuffle unifies
-heterogeneous empty blocks instead of choking on them.
+as a union + co-group, with the co-group keyed by ``hash(key) % P``
+PARTITION BUCKETS rather than by the key itself: the round-2 version ran
+one Python ``map_groups`` call per DISTINCT KEY (the per-group-Python
+disease measured at 324 s / 1.6M groups, SURVEY.md §7.4 — crossover
+≈400k groups), which multiplied under the iterative graph algorithms.
+Now ``map_groups`` runs exactly P times and each call resolves its whole
+bucket with Arrow C++ hash kernels (``is_in`` for semi/anti,
+``group_by(min)`` + ``index_in`` + ``take`` for the lookup attach) — the
+``dedup_nodes`` shape (stages/graph.py).  Shuffle payload is unchanged
+(left rows + key rows move once, plus one int64 ``_part`` column).
 
 Scale notes (SURVEY.md §7.4): the key side rides the shuffle as
 ``(_key,)`` rows only — never a driver-side set, so the "small" side may
 be O(corpus) (the round-1 scale-killer was collecting every ``o_custkey``
-into a driver set, VERDICT.md What's-wrong #2).  Skew: one group per
-distinct key value; a pathologically hot key makes a giant group, exactly
-as a hash join would.
+into a driver set, VERDICT.md What's-wrong #2).  Skew: a partition holds
+~1/P of both sides; one pathologically hot key concentrates its rows in
+one partition, exactly as any hash join would — size ``num_partitions``
+so rows/P fits a worker heap (default 64; at 100 TB pass cpus×4).
+Integer keys hash and compare as int64 end-to-end (no string casts on
+the per-round graph-algorithm paths); other key types unify as strings.
 
 Reference semantics: the one semi-join in the reference's system is the
 orphan-edge drop (docling_graph/core/converters/graph_cleaner.py:319-364).
@@ -24,6 +34,7 @@ orphan-edge drop (docling_graph/core/converters/graph_cleaner.py:319-364).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -36,109 +47,154 @@ def as_arrow_schema(schema) -> pa.Schema:
     return base
 
 
-def _left_rows(b: pa.Table, on: str, names: list[str],
-               out_schema: pa.Schema, extra: dict) -> pa.Table:
-    """Tag a left-side batch with its join key; schema-guarded so empty
-    pass-through blocks (no columns) become empty tagged tables."""
+def hash_partition(key, num_partitions: int) -> pa.Array:
+    """Deterministic ``hash(key) % P`` partition ids (int64) for an Arrow
+    array/chunked-array.  Integer keys hash on the vectorized int64 path;
+    everything else hashes as object strings (both via pandas' siphash,
+    which is keyed with a fixed default — stable across processes)."""
+    import pandas as pd
+
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    n = len(key)
+    if n == 0:
+        return pa.array([], pa.int64())
+    if pa.types.is_integer(key.type):
+        h = pd.util.hash_array(
+            key.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    else:
+        h = pd.util.hash_array(key.to_pandas().to_numpy(dtype=object))
+    return pa.array((h % num_partitions).astype(np.int64))
+
+
+def _key_type(out_schema: pa.Schema, on: str) -> pa.DataType:
+    t = out_schema.field(on).type
+    return pa.int64() if pa.types.is_integer(t) else pa.string()
+
+
+def _left_rows(b: pa.Table, on: str, names: list[str], out_schema: pa.Schema,
+               flag: str, key_type: pa.DataType, P: int) -> pa.Table:
+    """Tag a left-side batch with its join key + partition id; schema-
+    guarded so empty pass-through blocks (no columns) become empty tagged
+    tables."""
     if b.num_rows == 0 or on not in b.schema.names:
         n = 0
-        key = pa.array([], pa.string())
+        key = pa.array([], key_type)
     else:
         n = b.num_rows
-        key = b.column(on).cast(pa.string())
+        key = b.column(on).cast(key_type).combine_chunks()
     cols = {"_key": key}
     for nm in names:
         cols[nm] = b.column(nm) if n else pa.nulls(0, out_schema.field(nm).type)
-    for nm, (typ, fill) in extra.items():
-        cols[nm] = pa.array([fill] * n, typ)
+    cols[flag] = pa.array(np.zeros(n, dtype=bool))
+    cols["_part"] = hash_partition(key, P)
+    return pa.table(cols)
+
+
+def _key_rows(b: pa.Table, key_col: str, names: list[str],
+              out_schema: pa.Schema, flag: str, key_type: pa.DataType,
+              P: int) -> pa.Table:
+    if b.num_rows == 0 or key_col not in b.schema.names:
+        n = 0
+        key = pa.array([], key_type)
+    else:
+        n = b.num_rows
+        key = b.column(key_col).cast(key_type).combine_chunks()
+    cols = {"_key": key}
+    for nm in names:
+        cols[nm] = pa.nulls(n, out_schema.field(nm).type)
+    cols[flag] = pa.array(np.ones(n, dtype=bool))
+    cols["_part"] = hash_partition(key, P)
     return pa.table(cols)
 
 
 def semi_join(left, keys, *, on: str, key_col: str | None = None,
-              anti: bool = False, out_schema: pa.Schema | None = None):
+              anti: bool = False, out_schema: pa.Schema | None = None,
+              num_partitions: int = 64):
     """left ⋉ keys (or ▷ when ``anti=True``) on ``left[on] == keys[key_col]``.
 
     ``keys`` may contain duplicates; output rows are the left rows (never
-    multiplied).  Both sides hash-shuffle by the key — nothing touches the
-    driver."""
+    multiplied).  Both sides hash-shuffle by ``hash(key) % P``; inside
+    each of the P co-group calls membership resolves with one
+    ``pc.is_in`` — nothing touches the driver, no per-key Python."""
     key_col = key_col or on
     out_schema = out_schema or as_arrow_schema(left.schema())
     names = list(out_schema.names)
+    kt = _key_type(out_schema, on)
 
-    def left_side(b: pa.Table) -> pa.Table:
-        return _left_rows(b, on, names, out_schema,
-                          {"_is_key": (pa.bool_(), False)})
-
-    def key_side(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or key_col not in b.schema.names:
-            n = 0
-            key = pa.array([], pa.string())
-        else:
-            n = b.num_rows
-            key = b.column(key_col).cast(pa.string())
-        cols = {"_key": key}
-        for nm in names:
-            cols[nm] = pa.nulls(n, out_schema.field(nm).type)
-        cols["_is_key"] = pa.array([True] * n, pa.bool_())
-        return pa.table(cols)
-
-    tagged = left.map_batches(left_side, batch_format="pyarrow").union(
-        keys.map_batches(key_side, batch_format="pyarrow")
-    )
+    tagged = left.map_batches(
+        lambda b: _left_rows(b, on, names, out_schema, "_is_key", kt,
+                             num_partitions),
+        batch_format="pyarrow",
+    ).union(keys.map_batches(
+        lambda b: _key_rows(b, key_col, names, out_schema, "_is_key", kt,
+                            num_partitions),
+        batch_format="pyarrow",
+    ))
 
     def regroup(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "_is_key" not in g.schema.names:
             return out_schema.empty_table()
         is_key = g.column("_is_key")
-        has_key = pc.any(is_key).as_py()
-        if has_key == anti:
-            return out_schema.empty_table()
         e = g.filter(pc.invert(is_key))
+        if e.num_rows == 0:
+            return out_schema.empty_table()
+        kk = g.filter(is_key).column("_key").combine_chunks()
+        if len(kk) == 0:
+            mask = pa.array(np.full(e.num_rows, bool(anti)))
+        else:
+            mask = pc.is_in(e.column("_key").combine_chunks(), value_set=kk)
+            if anti:
+                mask = pc.invert(mask)
+        e = e.filter(mask)
         if e.num_rows == 0:
             return out_schema.empty_table()
         return pa.table({nm: e.column(nm) for nm in names}).cast(out_schema)
 
-    return tagged.groupby("_key").map_groups(regroup, batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(regroup, batch_format="pyarrow")
 
 
 def lookup_join(left, lookup, *, on: str, key_col: str | None = None,
                 value_cols: list[str],
-                out_schema: pa.Schema | None = None):
+                out_schema: pa.Schema | None = None,
+                num_partitions: int = 64):
     """Left-outer lookup: attach ``value_cols`` from ``lookup`` to every
     left row matching on ``left[on] == lookup[key_col]``; unmatched rows
     keep nulls.  If a key has several lookup rows the per-column MINIMUM
-    value wins (deterministic, order-free).
+    value wins (deterministic, order-free); non-orderable (nested) value
+    types take the first row per key instead.
 
     The scale-safe replacement for a broadcast dict whose size scales
-    with the input (keep ``ray.put`` broadcasts only for true dims)."""
+    with the input (keep ``ray.put`` broadcasts only for true dims).
+    Co-group keyed by ``hash(key) % P``; inside each of the P calls the
+    attach is Arrow C++ end-to-end: ``group_by(min)`` folds the lookup
+    side, ``index_in`` locates each left key, ``take`` (null indices →
+    null values) materializes the columns."""
     key_col = key_col or on
     left_schema = out_schema or as_arrow_schema(left.schema())
     names = list(left_schema.names)
     lookup_schema = as_arrow_schema(lookup.schema())
     val_fields = [(c, lookup_schema.field(c).type) for c in value_cols]
     full_schema = pa.schema(list(left_schema) + [pa.field(c, t) for c, t in val_fields])
+    kt = _key_type(left_schema, on)
 
     def left_side(b: pa.Table) -> pa.Table:
-        t = _left_rows(b, on, names, left_schema,
-                       {"_is_lk": (pa.bool_(), False)})
+        t = _left_rows(b, on, names, left_schema, "_is_lk", kt,
+                       num_partitions)
         for c, typ in val_fields:
             t = t.append_column("_v_" + c, pa.nulls(t.num_rows, typ))
         return t
 
     def lookup_side(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or key_col not in b.schema.names:
-            n = 0
-            key = pa.array([], pa.string())
-        else:
-            n = b.num_rows
-            key = b.column(key_col).cast(pa.string())
-        cols = {"_key": key}
-        for nm in names:
-            cols[nm] = pa.nulls(n, left_schema.field(nm).type)
-        cols["_is_lk"] = pa.array([True] * n, pa.bool_())
+        t = _key_rows(b, key_col, names, left_schema, "_is_lk", kt,
+                      num_partitions)
+        n = t.num_rows
         for c, typ in val_fields:
-            cols["_v_" + c] = (b.column(c).cast(typ) if n else pa.nulls(0, typ))
-        return pa.table(cols)
+            t = t.append_column(
+                "_v_" + c,
+                b.column(c).cast(typ).combine_chunks() if n
+                else pa.nulls(0, typ))
+        return t
 
     tagged = left.map_batches(left_side, batch_format="pyarrow").union(
         lookup.map_batches(lookup_side, batch_format="pyarrow")
@@ -152,22 +208,37 @@ def lookup_join(left, lookup, *, on: str, key_col: str | None = None,
         if e.num_rows == 0:
             return full_schema.empty_table()
         lk = g.filter(is_lk)
+        ekeys = e.column("_key").combine_chunks()
         cols = {nm: e.column(nm) for nm in names}
         for c, typ in val_fields:
+            vcol = "_v_" + c
             if lk.num_rows == 0:
                 cols[c] = pa.nulls(e.num_rows, typ)
                 continue
-            if lk.num_rows == 1:
-                v = lk.column("_v_" + c)[0]
+            sub = lk.select(["_key", vcol]).combine_chunks()
+            if pa.types.is_nested(typ):
+                # first-per-key: sorted run boundaries (hash aggregation
+                # does not cover nested types)
+                idx = pc.sort_indices(sub, sort_keys=[("_key", "ascending")])
+                sub = sub.take(idx).combine_chunks()
+                kcol = sub.column("_key")
+                if pa.types.is_integer(kcol.type):
+                    kn = kcol.to_numpy(zero_copy_only=False)
+                else:
+                    kn = kcol.to_pandas().to_numpy(dtype=object)
+                starts = np.r_[0, np.flatnonzero(kn[1:] != kn[:-1]) + 1]
+                first = pa.array(starts, pa.int64())
+                agg_keys = kcol.combine_chunks().take(first)
+                agg_vals = sub.column(vcol).combine_chunks().take(first)
             else:
-                try:
-                    v = pc.min(lk.column("_v_" + c))
-                except pa.lib.ArrowNotImplementedError:
-                    v = lk.column("_v_" + c)[0]  # non-orderable (list/struct)
-            cols[c] = pa.array([v.as_py()] * e.num_rows, typ)
+                agg = sub.group_by("_key").aggregate([(vcol, "min")])
+                agg_keys = agg.column("_key").combine_chunks()
+                agg_vals = agg.column(vcol + "_min").combine_chunks()
+            pos = pc.index_in(ekeys, value_set=agg_keys)
+            cols[c] = agg_vals.take(pos)
         return pa.table(cols).cast(full_schema)
 
-    return tagged.groupby("_key").map_groups(regroup, batch_format="pyarrow")
+    return tagged.groupby("_part").map_groups(regroup, batch_format="pyarrow")
 
 
 def join_partitions(cap: int = 32) -> int:

@@ -10,12 +10,14 @@ Architecture (bounded-replication bucket join):
 1. time is bucketed at ``horizon`` granularity, so an interval of length
    ``horizon`` overlaps AT MOST TWO buckets — each left row is emitted
    once per overlapped bucket (≤2 rows), right rows exactly once;
-2. ONE hash shuffle on the composite ``(key, bucket)`` co-locates every
-   candidate pair (``groupby.map_groups``) — neither side is broadcast
-   or collected, both stream through the shuffle;
-3. inside each group the exact predicate ``t0 <= t <= t0 + horizon``
-   verifies candidates vectorized (numpy broadcast per group, bounded by
-   the bucket's fan-in, not the table size).
+2. ONE hash shuffle on ``hash(key, bucket) % P`` co-locates every
+   candidate pair (``groupby("_part").map_groups`` — exactly P Python
+   calls, never one per (key, bucket) group, SURVEY §7.4); neither side
+   is broadcast or collected, both stream through the shuffle;
+3. inside each partition the exact predicate ``t0 <= t <= t0 + horizon``
+   verifies candidates with two ``np.searchsorted`` calls per run over
+   the time-sorted rows (O(L log R) per run, bounded by the bucket's
+   fan-in, not the table size).
 
 This is the general recipe for non-equi joins at 100 TB: quantize the
 predicate to a finite overlap key, replicate the BOUNDED side (≤2×),
@@ -31,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _SIDE_RIGHT = 0
 _SIDE_LEFT = 1
@@ -117,30 +120,16 @@ def range_join(
         right.map_batches(prep_right, batch_format="pyarrow")
     )
 
-    def match_group(g: pa.Table) -> pa.Table:
-        side = g.column("_side").to_numpy(zero_copy_only=False)
-        times = g.column("_time").to_numpy(zero_copy_only=False)
-        is_left = side == _SIDE_LEFT
-        lefts = g.filter(pa.array(is_left))
-        rights = g.filter(pa.array(~is_left))
-        if not lefts.num_rows or not rights.num_rows:
-            return _empty_out()
-        lt = times[is_left]
-        rt = times[~is_left]
-        # candidates within the bucket: exact predicate via broadcast
-        li, ri = np.nonzero(
-            (rt[None, :] >= lt[:, None]) & (rt[None, :] <= (lt + horizon)[:, None])
-        )
-        if not len(li):
-            return _empty_out()
-        li_a = pa.array(li, pa.int64())
-        ri_a = pa.array(ri, pa.int64())
-        cols: dict[str, pa.Array] = {}
-        for c in left_cols:
-            cols[c] = lefts.column(c).take(li_a)
-        for c in right_cols:
-            cols[c] = rights.column(c).take(ri_a)
-        return pa.table(cols)
+    # Partition-bucketed (stages/bucketing.py): map_groups runs once per
+    # hash(key, bucket) % P partition, never once per (key, bucket) group
+    # (SURVEY §7.4).  Inside a partition, rows sort (key, bucket, side,
+    # time) — rights (side=0) precede lefts within each run and both are
+    # time-sorted — then a cheap Python walk over the run boundaries does
+    # TWO np.searchsorted calls per run (O(L log R), replacing the old
+    # O(L x R) broadcast) and one final concat + take materializes every
+    # pair.  Per-run cost is a few microseconds of loop overhead, not a
+    # map_groups task.
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
 
     def _empty_out() -> pa.Table:
         return pa.table(
@@ -148,6 +137,55 @@ def range_join(
             | {c: pa.nulls(0, _right_types[c]) for c in right_cols}
         )
 
-    return unioned.groupby(["_key", "_bucket"]).map_groups(
-        match_group, batch_format="pyarrow"
+    def match_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "_side" not in g.schema.names:
+            return _empty_out()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        g = g.take(pc.sort_indices(g, sort_keys=[
+            ("_key", "ascending"), ("_bucket", "ascending"),
+            ("_side", "ascending"), ("_time", "ascending"),
+        ])).combine_chunks()
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        times = g.column("_time").to_numpy(zero_copy_only=False)
+        is_left = side == _SIDE_LEFT
+        starts, lens = run_starts(g, ["_key", "_bucket"])
+        li_parts, ri_parts = [], []
+        for s, ln in zip(starts.tolist(), lens.tolist()):
+            e = s + ln
+            # rights sort first within the run
+            n_r = int(np.count_nonzero(~is_left[s:e]))
+            if n_r == 0 or n_r == ln:
+                continue
+            rt = times[s:s + n_r]
+            lt = times[s + n_r:e]
+            lo = np.searchsorted(rt, lt, side="left")
+            hi = np.searchsorted(rt, lt + horizon, side="right")
+            counts = hi - lo
+            pos = np.flatnonzero(counts > 0)
+            if not len(pos):
+                continue
+            li_parts.append(np.repeat(pos + (s + n_r), counts[pos]))
+            # ranges lo[j]..hi[j] per emitting left row, flattened
+            cc = counts[pos]
+            offs = np.repeat(np.cumsum(cc) - cc, cc)
+            ri_parts.append(
+                np.arange(cc.sum(), dtype=np.int64) - offs
+                + np.repeat(lo[pos], cc) + s)
+        if not li_parts:
+            return _empty_out()
+        li_a = pa.array(np.concatenate(li_parts), pa.int64())
+        ri_a = pa.array(np.concatenate(ri_parts), pa.int64())
+        cols: dict[str, pa.Array] = {}
+        for c in left_cols:
+            cols[c] = g.column(c).combine_chunks().take(li_a)
+        for c in right_cols:
+            cols[c] = g.column(c).combine_chunks().take(ri_a)
+        return pa.table(cols)
+
+    return (
+        unioned.map_batches(add_part(["_key", "_bucket"], 64),
+                            batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(match_partition, batch_format="pyarrow")
     )
