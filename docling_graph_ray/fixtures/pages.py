@@ -31,7 +31,7 @@ from datetime import datetime, timedelta
 import numpy as np
 import pyarrow as pa
 
-from docling_graph_ray.fixtures.pdf_writer import simple_text_pdf
+from docling_graph_ray.fixtures.pdf_writer import build_pdf15, simple_text_pdf
 
 BASE_TS = datetime(2025, 1, 1, 0, 0, 0)
 
@@ -228,7 +228,10 @@ def _synth_pdf(rng: np.random.Generator, base_id: int) -> bytes:
     """A REAL generated PDF (fixtures/pdf_writer.py: xref, FlateDecode
     streams, BT/Tj text operators) so the corpus exercises the real
     parser lane (stages/pdf_codec.py); every fifth one keeps the legacy
-    inline-payload shape to exercise the salvage rung."""
+    inline-payload shape to exercise the salvage rung, and every seventh
+    is a PDF-1.5 object-stream + CID-font document (build_pdf15) so the
+    modern-PDF path (ObjStm expansion, ToUnicode CMap) stays covered in
+    the flagship lineage (should count n_ok, not n_salvaged)."""
     words = [str(int(x)) for x in rng.integers(0, 1_000_000, size=40)]
     if base_id % 5 == 4:
         payload = f"synthetic pdf {base_id} " + " ".join(words)
@@ -240,6 +243,17 @@ def _synth_pdf(rng: np.random.Generator, base_id: int) -> bytes:
     lines = [f"synthetic pdf {base_id} page intro"] + [
         " ".join(words[i:i + 8]) for i in range(0, len(words), 8)
     ]
+    if base_id % 7 == 3:
+        y, page_lines, pages = 720.0, [], []
+        for ln in lines:
+            page_lines.append((ln, 72.0, y, 12.0))
+            y -= 18.0
+            if len(page_lines) == 4:
+                pages.append({"lines": page_lines})
+                page_lines, y = [], 720.0
+        if page_lines:
+            pages.append({"lines": page_lines})
+        return build_pdf15(pages)
     style = _PDF_OP_STYLES[base_id % len(_PDF_OP_STYLES)]
     # every fourth real PDF is multi-page (3 lines per page)
     lpp = 3 if base_id % 4 == 3 else 40

@@ -148,21 +148,31 @@ def distinct_brand_type(sf_dir: str):
 # joins
 
 
-def mktsegment_revenue(sf_dir: str, num_partitions: int = 8):
+def mktsegment_revenue(sf_dir: str, num_partitions: int = 64):
     """Hash-shuffle join orders ⋈ customer on custkey, then segment
     revenue.  Customer scales with the input (it is O(rows), not a dim),
     so broadcasting its custkey→segment dict would OOM the driver at
     100 TB — the join ships both sides through the shuffle instead and
     only the per-segment partials reduce (keep ``ray.put`` broadcasts for
-    true dims like nation/region)."""
+    true dims like nation/region).
+
+    The join is the partition-bucketed co-group ``lookup_join``
+    (stages/joins.py) rather than native ``Dataset.join``: same shuffle
+    payload, but task-pool execution — no hash-join aggregator actor
+    pool to spin up (~2 s fixed cost per join at small scale, the
+    round-2 sf0.1 regression), and tolerant of empty upstream blocks.
+    Custkey is unique on the customer side, so the lookup attach is an
+    exact inner join after the null-drop."""
+    from docling_graph_ray.stages.joins import lookup_join
+
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
+    joined = lookup_join(
+        orders, cust, on="o_custkey", key_col="c_custkey",
+        value_cols=["c_mktsegment"], num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("c_mktsegment"))),
+        batch_format="pyarrow",
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -274,14 +284,13 @@ def semi_join_customers(sf_dir: str, num_partitions: int = 8):
     def predistinct(b: pa.Table) -> pa.Table:
         return b.group_by("o_custkey").aggregate([])
 
+    from docling_graph_ray.stages.joins import semi_join
+
     keys = orders.map_batches(predistinct, batch_format="pyarrow")
-    matched = cust.join(
-        keys,
-        join_type="left_semi",
-        num_partitions=num_partitions,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    # partition-bucketed co-group semi join (stages/joins.py): task-pool
+    # execution, no hash-join actor spin-up at small scale
+    matched = semi_join(cust, keys, on="c_custkey", key_col="o_custkey",
+                        num_partitions=max(num_partitions, 64))
     return _nation_counts(matched)
 
 
@@ -297,14 +306,11 @@ def anti_join_customers(sf_dir: str, num_partitions: int = 8):
         t = b.filter(pc.greater(b.column("o_totalprice"), 300_000.0))
         return t.select(["o_custkey"]).group_by("o_custkey").aggregate([])
 
+    from docling_graph_ray.stages.joins import semi_join
+
     keys = orders.map_batches(big_orders, batch_format="pyarrow")
-    unmatched = cust.join(
-        keys,
-        join_type="left_anti",
-        num_partitions=num_partitions,
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-    )
+    unmatched = semi_join(cust, keys, on="c_custkey", key_col="o_custkey",
+                          anti=True, num_partitions=max(num_partitions, 64))
     return _nation_counts(unmatched)
 
 

@@ -111,14 +111,14 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
     occurrence of each distinct segment corpus-wide (min ``(id,
     seg_idx)``) keeps, all later occurrences are marked dropped.
 
-    Returns ``(id, seg_idx, seg_hash, keep)`` rows.  One hash-partition
-    shuffle of tiny signature rows; groups are occurrence lists of a
-    single segment hash (small — bounded by that segment's corpus
-    frequency), marked with a vectorized sort + first-flag."""
-    from ray.data.aggregate import Min
-
-    from docling_graph_ray.stages.joins import join_partitions
-
+    Returns ``(id, seg_idx, seg_hash, keep)`` rows.  ONE hash-partition
+    shuffle of tiny signature rows keyed ``hash(seg_hash) % P``
+    (stages/bucketing.py — exactly P vectorized map_groups calls);
+    inside each bucket an Arrow C++ ``group_by(min)`` finds every
+    segment's first occurrence and ``index_in`` + ``equal`` flags the
+    keepers.  (Round 2 ran a Min aggregate + a native ``Dataset.join``
+    here — two shuffles plus the hash-join actor-pool spin-up; same
+    result, double the exchange.)"""
     segs = docs.map_batches(
         segment_rows_udf(text_col=text_col, id_col=id_col, window=window),
         batch_format="pyarrow",
@@ -149,13 +149,11 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
             "_packed", pa.array((ids << _SEG_BITS) | seg, pa.int64())
         )
 
-    # consumed twice (aggregate + join): materialize, and guard the
-    # empty corpus (Ray's hash join crashes on schema-less empty parts)
+    # a fully-empty corpus yields a schema-less dataset (schema() is
+    # None), so the contract's typed empty result needs the guard; the
+    # packed rows are tiny (id+idx+hash ≈ 50 B) and consumed once
     packed = segs.map_batches(pack, batch_format="pyarrow").materialize()
     if packed.count() == 0:
-        # a fully empty dataset has NO schema at all (schema() is None),
-        # so the empty result uses the contract types directly (ids are
-        # integer by the pack() gate; seg_hash is the md5 hex string)
         import ray.data
 
         return ray.data.from_arrow(pa.table({
@@ -164,28 +162,37 @@ def segment_exact_dedup(docs, *, text_col: str = "text",
             "seg_hash": pa.array([], pa.string()),
             "keep": pa.array([], pa.bool_()),
         }))
-    mins = packed.groupby("seg_hash").aggregate(Min("_packed")).map_batches(
-        lambda t: pa.table({
-            "seg_hash": t.column("seg_hash"),
-            "_min_packed": t.column("min(_packed)"),
-        }),
-        batch_format="pyarrow",
-    )
-    joined = packed.join(
-        mins, join_type="inner", num_partitions=join_partitions(),
-        on=("seg_hash",),
-    )
 
-    def flag(b: pa.Table) -> pa.Table:
-        keep = pc.equal(b.column("_packed"), b.column("_min_packed"))
+    from docling_graph_ray.stages.bucketing import add_part
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("seg_idx", pa.int64()),
+        ("seg_hash", pa.string()), ("keep", pa.bool_()),
+    ])
+
+    def flag_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "seg_hash" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        sub = g.select(["seg_hash", "_packed"]).combine_chunks()
+        mins = sub.group_by("seg_hash").aggregate([("_packed", "min")])
+        pos = pc.index_in(sub.column("seg_hash"),
+                          value_set=mins.column("seg_hash").combine_chunks())
+        minp = mins.column("_packed_min").combine_chunks().take(pos)
         return pa.table({
-            id_col: b.column(id_col),
-            "seg_idx": b.column("seg_idx"),
-            "seg_hash": b.column("seg_hash"),
-            "keep": keep,
-        })
+            id_col: g.column(id_col).cast(pa.int64()),
+            "seg_idx": g.column("seg_idx").cast(pa.int64()),
+            "seg_hash": g.column("seg_hash"),
+            "keep": pc.equal(g.column("_packed"), minp),
+        }).cast(out_schema)
 
-    return joined.map_batches(flag, batch_format="pyarrow")
+    return (
+        packed.map_batches(add_part(["seg_hash"], 64),
+                           batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(flag_partition, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

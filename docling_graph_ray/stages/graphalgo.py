@@ -56,12 +56,17 @@ def _min_fold(pairs):
 
 def connected_components(edges, *, src_col: str = "src",
                          dst_col: str = "dst", max_rounds: int = 25,
-                         label_blocks: int = 8):
+                         label_blocks: int = 8, on_round=None):
     """Edge dataset → ``(node, component)`` rows, component = the
     minimum node id reachable from the node (undirected semantics).
 
     Isolated nodes don't exist in an edge list; callers needing them
-    union ``(n, n)`` rows for their node table afterwards."""
+    union ``(n, n)`` rows for their node table afterwards.
+
+    ``on_round(round_idx, seconds, label_sum)`` — optional per-round
+    instrumentation hook (volume smokes record the rounds×wall curve)."""
+    import time
+
     import ray  # noqa: F401  (documented dependency of materialize)
 
     def endpoints(b: pa.Table) -> pa.Table:
@@ -94,7 +99,8 @@ def connected_components(edges, *, src_col: str = "src",
 
     epairs = edges.map_batches(edge_pairs, batch_format="pyarrow")
 
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
+        round_t0 = time.monotonic()
         # propagate: attach each endpoint's label, offer it to the peer
         with_a = lookup_join(epairs, labels, on="a", key_col="node",
                              value_cols=["label"])
@@ -154,6 +160,8 @@ def connected_components(edges, *, src_col: str = "src",
         ).repartition(label_blocks).materialize()
 
         cur = _label_sum(labels)
+        if on_round is not None:
+            on_round(round_idx, time.monotonic() - round_t0, cur)
         if cur == prev_sum:
             break
         prev_sum = cur
@@ -166,7 +174,7 @@ def connected_components(edges, *, src_col: str = "src",
 
 def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
              damping: float = 0.85, iters: int = 10,
-             label_blocks: int = 8, ndigits: int = 10):
+             label_blocks: int = 8, ndigits: int = 10, on_round=None):
     """Distributed PageRank, fixed ``iters`` power iterations.
 
     Per iteration: attach each edge's source rank/out-degree (one hash
@@ -244,8 +252,11 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         batch_format="pyarrow",
     ).repartition(label_blocks).materialize()
 
+    import time
+
     base = (1.0 - damping) / n_total
-    for _ in range(iters):
+    for round_idx in range(iters):
+        round_t0 = time.monotonic()
         with_rank = lookup_join(
             lookup_join(epairs, ranks, on="a", key_col="node",
                         value_cols=["rank"]),
@@ -295,6 +306,8 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         ranks = joined.map_batches(
             update, batch_format="pyarrow"
         ).repartition(label_blocks).materialize()
+        if on_round is not None:
+            on_round(round_idx, time.monotonic() - round_t0, sent)
 
     def final_round(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -14,15 +14,22 @@ provenance geometry — and the BOTTOMLEFT→TOPLEFT origin normalization of
 ``_chunk_item_geometry`` (document_processor.py:59-118) with the 512-grid
 ``dclg_location`` quantizer (core/provenance/models.py:72-94).
 
+PDF ≥1.5 support (round 3): ``/Type /ObjStm`` object streams are
+expanded (the container objects are regular ``N G obj`` bodies the
+marker scan finds; their compressed members — typically the catalog,
+page tree and fonts in post-2006 writers — become resolvable), and
+composite (Type0/CID) fonts decode show strings through their
+``/ToUnicode`` CMap (bfchar/bfrange/codespacerange; Identity-H 2-byte
+codes).  Xref streams themselves carry only byte offsets the scan
+doesn't need, so they are deliberately not parsed.
+
 Documented limitations (a full ISO-32000 implementation is out of scope):
 
 - Objects are discovered by scanning ``N G obj`` markers rather than the
   xref table — the same robustness fallback real parsers use for damaged
-  files; classic xref tables are therefore optional, but PDF-1.5 xref
-  STREAMS / object streams are not decoded (their container objects are
-  simply not found → ``failed``/``salvaged``).
-- No font CMaps: show-string bytes decode as PDFDocEncoding/latin-1,
-  exact for the standard-14-font ASCII/Latin-1 subset.
+  files.
+- Composite fonts WITHOUT a usable ToUnicode CMap decode best-effort
+  (code points are glyph ids; flagged as a warning → ``salvaged``).
 - Glyph widths are estimated (0.5 em average) — bbox WIDTHS are
   approximate; positions (x, y, size, page box) are exact.
 - The CTM (``cm``) is not tracked; text space is assumed unscaled, which
@@ -280,7 +287,47 @@ class _Doc:
         self.raw = raw
         self.bodies = find_objects(raw)
         self._cache: dict[tuple[int, int], object] = {}
+        self._objstm: dict[tuple[int, int], object] = {}
         self.warnings = 0
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF ≥1.5 object streams: a ``/Type /ObjStm`` container holds N
+        compressed objects — a header of ``objnum offset`` integer pairs,
+        then the object bodies at ``First + offset``.  Expanding the
+        containers makes compressed objects (catalog/pages/fonts in most
+        post-2006 writers) resolvable WITHOUT decoding the xref stream:
+        the containers themselves are regular ``N G obj`` objects the
+        marker scan already finds, and the xref stream adds only byte
+        offsets we don't need (ISO 32000-1 §7.5.7-7.5.8).  Compressed
+        objects always have generation 0 per spec."""
+        for key, body in list(self.bodies.items()):
+            if b"/ObjStm" not in body:
+                continue
+            sdict = _Lexer(body).parse_value()
+            if (not isinstance(sdict, dict)
+                    or str(sdict.get("Type", "")) != "ObjStm"):
+                continue
+            data = self.stream_bytes(Ref(*key))
+            n = self.resolve(sdict.get("N"))
+            first = self.resolve(sdict.get("First"))
+            if (data is None or not isinstance(n, int)
+                    or not isinstance(first, int) or first > len(data)):
+                self.warnings += 1
+                continue
+            try:
+                nums = [int(x) for x in data[:first].split()[:2 * n]]
+            except ValueError:
+                self.warnings += 1
+                continue
+            for i in range(min(n, len(nums) // 2)):
+                objnum, off = nums[2 * i], nums[2 * i + 1]
+                try:
+                    val = _Lexer(data, first + off).parse_value()
+                except Exception:
+                    self.warnings += 1
+                    continue
+                self._objstm[(objnum, 0)] = val
 
     def obj(self, ref):
         if not isinstance(ref, Ref):
@@ -290,6 +337,10 @@ class _Doc:
             return self._cache[key]
         body = self.bodies.get(key)
         if body is None:
+            # uncompressed definitions shadow object-stream ones
+            # (incremental-update semantics); fall through otherwise
+            if key in self._objstm:
+                return self._objstm[key]
             self.warnings += 1
             return None
         val = _Lexer(body).parse_value()
@@ -384,11 +435,19 @@ def _walk_pages(doc: _Doc, node_ref, inherited: dict, out: list,
 
 
 def _pages(doc: _Doc) -> list[dict]:
-    # proper walk: trailer-less scan for the Catalog
+    # proper walk: trailer-less scan for the Catalog — in the direct
+    # bodies first, then in the expanded object streams (PDF ≥1.5
+    # writers routinely compress the catalog)
     root = None
     for key, body in doc.bodies.items():
         if b"/Catalog" in body:
             val = doc.obj(Ref(*key))
+            if isinstance(val, dict) and str(val.get("Type", "")) == "Catalog":
+                root = val
+                break
+    if root is None:
+        for key in sorted(doc._objstm):
+            val = doc._objstm[key]
             if isinstance(val, dict) and str(val.get("Type", "")) == "Catalog":
                 root = val
                 break
@@ -402,6 +461,149 @@ def _pages(doc: _Doc) -> list[dict]:
         val = doc.obj(Ref(*key))
         if isinstance(val, dict) and str(val.get("Type", "")) == "Page":
             out.append(val)
+    for key in sorted(doc._objstm):
+        val = doc._objstm[key]
+        if isinstance(val, dict) and str(val.get("Type", "")) == "Page":
+            out.append(val)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (composite / CID fonts, ISO 32000-1 §9.10.3)
+
+
+_HEX_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[|\]")
+_CMAP_SECTION_RE = re.compile(
+    rb"begin(codespacerange|bfchar|bfrange)(.*?)end\1", re.S)
+
+
+def _hex_int(h: bytes) -> int:
+    return int(bytes(c for c in h if c not in _WS) or b"0", 16)
+
+
+def _hex_str(h: bytes) -> str:
+    """Destination hex string → text: UTF-16BE code units (the ToUnicode
+    contract), tolerating odd lengths."""
+    clean = bytes(c for c in h if c not in _WS)
+    if len(clean) % 4:
+        return chr(_hex_int(clean))
+    try:
+        return bytes.fromhex(clean.decode("ascii")).decode(
+            "utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def parse_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap → (code → text map, code width in bytes).
+
+    Covers the sections every writer emits — codespacerange (code
+    width), bfchar (single mappings), bfrange (contiguous ranges, both
+    the ``<lo> <hi> <dstStart>`` and ``<lo> <hi> [<d0> <d1> …]`` forms).
+    Full CMap PostScript (usecmap, cidrange) is out of scope — those
+    drive glyph selection, not text extraction."""
+    cmap: dict[int, str] = {}
+    width = 2  # Identity-H default
+    for m in _CMAP_SECTION_RE.finditer(data):
+        section, body = m.group(1), m.group(2)
+        toks: list[object] = []
+        depth = 0
+        arr: list[bytes] = []
+        for t in _HEX_TOKEN_RE.finditer(body):
+            tok = t.group(0)
+            if tok == b"[":
+                depth, arr = 1, []
+            elif tok == b"]":
+                depth = 0
+                toks.append(list(arr))
+            elif depth:
+                arr.append(t.group(1))
+            else:
+                toks.append(t.group(1))
+        if section == b"codespacerange":
+            if toks and isinstance(toks[0], bytes):
+                clean = bytes(c for c in toks[0] if c not in _WS)
+                width = max(1, len(clean) // 2)
+        elif section == b"bfchar":
+            for i in range(0, len(toks) - 1, 2):
+                src, dst = toks[i], toks[i + 1]
+                if isinstance(src, bytes) and isinstance(dst, bytes):
+                    cmap[_hex_int(src)] = _hex_str(dst)
+        elif section == b"bfrange":
+            i = 0
+            while i + 3 <= len(toks):
+                lo, hi, dst = toks[i], toks[i + 1], toks[i + 2]
+                i += 3
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)):
+                    continue
+                lo_i, hi_i = _hex_int(lo), _hex_int(hi)
+                if hi_i - lo_i > 65535:
+                    continue
+                if isinstance(dst, list):
+                    for j, d in enumerate(dst[:hi_i - lo_i + 1]):
+                        cmap[lo_i + j] = _hex_str(d)
+                elif isinstance(dst, bytes):
+                    base = _hex_str(dst)
+                    if base:
+                        head, last = base[:-1], ord(base[-1])
+                        for j in range(hi_i - lo_i + 1):
+                            cmap[lo_i + j] = head + chr(last + j)
+    return cmap, width
+
+
+class _Font:
+    """Per-font show-string decoder: ``width``-byte codes through the
+    ToUnicode ``cmap`` when present, else latin-1 (simple fonts) or
+    best-effort chr() (Identity-H without ToUnicode — code points are
+    glyph ids, unrecoverable without font tables; flagged upstream)."""
+
+    __slots__ = ("width", "cmap")
+
+    def __init__(self, width: int = 1, cmap: dict[int, str] | None = None):
+        self.width = width
+        self.cmap = cmap
+
+    def decode(self, s: bytes) -> str:
+        if self.width == 1 and self.cmap is None:
+            return s.decode("latin-1")
+        w = self.width
+        out: list[str] = []
+        for i in range(0, len(s) - w + 1, w):
+            code = int.from_bytes(s[i:i + w], "big")
+            if self.cmap is not None:
+                out.append(self.cmap.get(code, ""))
+            else:
+                out.append(chr(code) if 32 <= code < 0x110000 else "")
+        return "".join(out)
+
+
+_DEFAULT_FONT = _Font()
+
+
+def _page_fonts(doc: _Doc, page: dict) -> dict[str, _Font]:
+    """Resource name → decoder for the page's ``/Font`` dictionary."""
+    out: dict[str, _Font] = {}
+    res = doc.resolve(page.get("Resources"))
+    fonts = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+    if not isinstance(fonts, dict):
+        return out
+    for name, fref in fonts.items():
+        fd = doc.resolve(fref)
+        if not isinstance(fd, dict):
+            continue
+        tu = fd.get("ToUnicode")
+        cmap = None
+        width = 1
+        if isinstance(tu, Ref):
+            data = doc.stream_bytes(tu)
+            if data:
+                cmap, width = parse_cmap(data)
+            else:
+                doc.warnings += 1
+        if cmap is None and str(fd.get("Subtype", "")) == "Type0":
+            width = 2  # composite font, no usable ToUnicode: best-effort
+            doc.warnings += 1
+        out[str(name)] = _Font(width, cmap)
     return out
 
 
@@ -427,20 +629,25 @@ def _content_tokens(data: bytes):
         yield ("op", tok.decode("latin-1", "replace"))
 
 
-def _decode_show(s) -> str:
+def _decode_show(s, font: _Font = _DEFAULT_FONT) -> str:
     if isinstance(s, bytes):
-        return s.decode("latin-1")
+        return font.decode(s)
     return str(s) if s is not None else ""
 
 
-def interpret_text(content: bytes, page_height: float) -> list[dict]:
+def interpret_text(content: bytes, page_height: float,
+                   fonts: dict[str, _Font] | None = None) -> list[dict]:
     """Content stream → reading-order text lines with top-left bboxes.
 
     A 'line' is the text accumulated between positioning operators
     (Td/TD/T*/Tm/'/\"), matching how writers emit one show per visual
     line.  bbox = [l, t, r, b] ints, top-left origin (BOTTOMLEFT→TOPLEFT
-    normalization per document_processor.py:59-118)."""
+    normalization per document_processor.py:59-118).  ``fonts`` maps
+    resource names (Tf operands) to :class:`_Font` decoders — composite
+    CID fonts decode through their ToUnicode CMap."""
     lines: list[dict] = []
+    fonts = fonts or {}
+    cur_font = _DEFAULT_FONT
     size = 12.0
     leading = 0.0
     tx = ty = 0.0
@@ -486,6 +693,7 @@ def interpret_text(content: bytes, page_height: float) -> list[dict]:
                 pass
             elif op == "Tf" and len(operands) >= 2:
                 size = float(operands[-1])
+                cur_font = fonts.get(str(operands[-2]), _DEFAULT_FONT)
             elif op == "TL" and operands:
                 leading = float(operands[-1])
             elif op == "Td" and len(operands) >= 2:
@@ -508,21 +716,21 @@ def interpret_text(content: bytes, page_height: float) -> list[dict]:
                 tx, ty = line_x, line_y
                 newline(tx, ty)
             elif op == "Tj" and operands:
-                buf.append(_decode_show(operands[-1]))
+                buf.append(_decode_show(operands[-1], cur_font))
             elif op == "'" and operands:
                 line_y -= leading
                 tx, ty = line_x, line_y
                 newline(tx, ty)
-                buf.append(_decode_show(operands[-1]))
+                buf.append(_decode_show(operands[-1], cur_font))
             elif op == '"' and len(operands) >= 3:
                 line_y -= leading
                 tx, ty = line_x, line_y
                 newline(tx, ty)
-                buf.append(_decode_show(operands[-1]))
+                buf.append(_decode_show(operands[-1], cur_font))
             elif op == "TJ" and operands and isinstance(operands[-1], list):
                 for piece in operands[-1]:
                     if isinstance(piece, (bytes, str)):
-                        buf.append(_decode_show(piece))
+                        buf.append(_decode_show(piece, cur_font))
                     elif isinstance(piece, (int, float)) and piece <= _TJ_SPACE_KERN:
                         buf.append(" ")
         except (TypeError, ValueError):
@@ -567,7 +775,8 @@ def parse_pdf(raw: bytes) -> dict:
                 part = doc.stream_bytes(r) if isinstance(r, Ref) else None
                 if part is not None:
                     data += part + b"\n"
-            lines = interpret_text(data, height) if data else []
+            fonts = _page_fonts(doc, page)
+            lines = interpret_text(data, height, fonts) if data else []
             pages_out.append({
                 "page_no": pno, "width": width, "height": height,
                 "lines": lines,

