@@ -7,10 +7,13 @@ actor-pool ``map_batches`` stages (the pattern of the reference's
 vlm_backend.py:21-120: heavy state in ``__init__``, batches through
 ``__call__``).
 
-The image/audio codecs are NOT installed in this container, so the
-decode kernels are deterministic fakes behind ``_decode_stub`` — clearly
-marked; the Ray-side plumbing (schemas, batch sizing for large payloads,
-actor signature, output layout) is real and tested.
+Decode is REAL for PNG and WAV (stages/media_codec.py — zlib + paeth
+unfiltering / RIFF PCM, no external codecs needed); formats this
+container can't decode (JPEG, MP4, …) fall back to the deterministic
+fake in ``_decode_stub`` — dispatch is by magic-byte sniff, never by
+trusting metadata.  The Ray-side plumbing (schemas, batch sizing for
+large payloads, actor signature, output layout) is identical on both
+paths.
 """
 
 from __future__ import annotations
@@ -19,6 +22,15 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from docling_graph_ray.stages.media_codec import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+    sniff_format,
+)
 
 MEDIA_META_TYPE = pa.struct(
     [
@@ -34,14 +46,48 @@ FEATURE_DIM = 64
 
 
 def _decode_stub(payload: bytes) -> np.ndarray:
-    """STUB decode: real codecs unavailable here (would be PIL/ffmpeg).
+    """STUB decode for formats with no in-container codec (JPEG, MP4…).
 
-    Deterministic fake 'pixels': blake2b-seeded pseudo-image. Replace with
-    a real decoder behind the same signature; everything downstream
-    (feature extraction, resize plumbing) is codec-agnostic."""
+    Deterministic fake 'pixels': blake2b-seeded pseudo-image — same
+    signature as the real path, so everything downstream (feature
+    extraction, resize plumbing) is codec-agnostic."""
     seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """payload → (H, W, 3) uint8 pixels.  REAL decode for PNG (gray and
+    alpha planes normalized to RGB); WAV renders its waveform onto a
+    16×16 canvas (so the one feature stage serves both modalities);
+    unknown formats fall back to the deterministic stub."""
+    fmt = sniff_format(payload or b"")
+    if fmt == "png":
+        try:
+            img = decode_png(payload)
+        except ValueError:
+            return _decode_stub(payload or b"")
+        if img.shape[2] == 1:        # gray → RGB
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 2:      # gray+alpha → RGB (drop alpha)
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        elif img.shape[2] == 4:      # RGBA → RGB
+            img = img[:, :, :3]
+        return img
+    if fmt == "wav":
+        try:
+            samples, _rate = decode_wav(payload)
+        except Exception:  # truncated RIFF → stub, never a throw
+            return _decode_stub(payload or b"")
+        mono = samples.mean(axis=1).astype(np.float32)
+        # resample to 768 points, scale to u8, paint as a 16x16x3 canvas
+        if mono.size == 0:
+            mono = np.zeros(1, np.float32)
+        xs = np.linspace(0, mono.size - 1, 16 * 16 * 3)
+        wave_u8 = np.interp(xs, np.arange(mono.size), mono)
+        wave_u8 = ((wave_u8 / 32768.0) * 127.5 + 127.5).astype(np.uint8)
+        return wave_u8.reshape(16, 16, 3)
+    return _decode_stub(payload or b"")
 
 
 class MediaFeatureActor:
@@ -59,7 +105,9 @@ class MediaFeatureActor:
         payloads = batch.column("payload").to_pylist()
         feats = []
         for p in payloads:
-            img = _decode_stub(p or b"")
+            img = decode_pixels(p or b"")
+            if img.shape[:2] != (16, 16):
+                img = resize_nearest(img, 16, 16)
             v = (img.reshape(-1).astype(np.float32) / 255.0) @ self._proj
             n = float(np.linalg.norm(v))
             feats.append((v / n if n else v).tolist())
@@ -83,20 +131,38 @@ def media_features(ds, *, concurrency=(1, 4), batch_size: int = 8):
 
 
 def make_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table for plumbing tests."""
+    """Deterministic synthetic media table: REAL payloads where the
+    engine has a real codec — image rows are genuine PNGs (24×16 RGB
+    noise, seeded), audio rows genuine 16 kHz mono WAVs (400 int16
+    samples) — and an opaque fake for video, so both decode paths stay
+    covered end-to-end."""
     ids, payloads, metas = [], [], []
     for i in range(n):
         key = f"{seed}:media:{i}".encode()
-        payload = hashlib.blake2b(key, digest_size=32).digest() * (8 + i % 5)
+        seed_i = int.from_bytes(
+            hashlib.blake2b(key, digest_size=8).digest(), "big")
+        rng = np.random.Generator(np.random.PCG64(seed_i))
+        kind = i % 3
+        if kind == 0:  # image: real PNG
+            img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+            payload = encode_png(img)
+            width, height, dur = 24, 16, 0
+        elif kind == 1:  # audio: real WAV
+            samples = rng.integers(-20000, 20000, size=400).astype(np.int16)
+            payload = encode_wav(samples, rate=16000)
+            width, height, dur = 0, 0, 1000 + i
+        else:  # video: no in-container codec — opaque fake payload
+            payload = hashlib.blake2b(key, digest_size=32).digest() * (8 + i % 5)
+            width, height, dur = 640, 480, 1000 + i
         ids.append(i)
         payloads.append(payload)
         metas.append(
             {
-                "media_type": ["image", "audio", "video"][i % 3],
-                "format": ["png", "wav", "mp4"][i % 3],
-                "width": 640,
-                "height": 480,
-                "duration_ms": 0 if i % 3 == 0 else 1000 + i,
+                "media_type": ["image", "audio", "video"][kind],
+                "format": ["png", "wav", "mp4"][kind],
+                "width": width,
+                "height": height,
+                "duration_ms": dur,
             }
         )
     return pa.table(
@@ -111,9 +177,11 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
 class MediaResizeActor:
     """Actor-pool resize stage: payload → resized payload + updated meta.
 
-    The pixel work is the ``_decode_stub`` fake (no codecs in this
-    container); the plumbing — binary in/binary out, meta width/height
-    update, small batches for large payloads — is the real contract."""
+    REAL for PNG payloads: decode → nearest-neighbour resize → re-encode
+    PNG (deterministic bytes).  Non-PNG payloads take the codec-free
+    stub path (fake pixels, raw bytes out) so the plumbing — binary
+    in/binary out, meta width/height update, small batches for large
+    payloads — is identical either way."""
 
     def __init__(self, width: int = 8, height: int = 8) -> None:
         self.width = width
@@ -124,6 +192,16 @@ class MediaResizeActor:
         metas = batch.column("meta").to_pylist()
         out_payloads, out_metas = [], []
         for p, m in zip(payloads, metas):
+            if sniff_format(p or b"") == "png":
+                try:
+                    img = decode_png(p)
+                    small = resize_nearest(img, self.width, self.height)
+                    out_payloads.append(encode_png(small))
+                    out_metas.append({**m, "width": self.width,
+                                      "height": self.height})
+                    continue
+                except ValueError:
+                    pass
             img = _decode_stub(p or b"")
             # STUB resize: strided downsample of the fake pixels
             sy = max(1, img.shape[0] // self.height)

@@ -460,3 +460,40 @@ def test_segment_dedup_rejects_string_ids(ray_session):
     t = pa.table({"doc_id": pa.array(["a"]), "text": pa.array(["x y z"])})
     with pytest.raises(Exception, match="integer id"):
         segment_exact_dedup(ray.data.from_arrow(t)).materialize()
+
+
+def test_hot_bucket_skew_bounded(ray_session):
+    """Round-2 verdict task #5 acceptance: a corpus where ONE signature
+    repeats en masse (the boilerplate-page skew) completes with bounded
+    per-bucket verify work.  SimHash verifies O(1)/member vectorized (no
+    cap needed); embedding verify is O(dim)/member, so members beyond
+    ``max_bucket_verify`` dedup via the exact-equality overflow path —
+    identical repeats still collapse to one representative."""
+    n = 100_000
+    texts = ["the same boilerplate page body words"] * n
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = simhash_dedup(ray.data.from_arrow(t).repartition(8))
+    reps = out.map_batches(
+        lambda b: b.filter(pa.compute.invert(b.column("is_dup"))),
+        batch_format="pyarrow",
+    ).count()
+    assert reps == 1  # everything collapses onto doc 0
+
+    m = 20_000
+    vec = np.ones(16, dtype=np.float32) / 4.0
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(m), pa.int64()),
+        "embedding": pa.array([vec.tolist()] * m, pa.list_(pa.float32())),
+    })
+    out2 = embedding_near_dedup(
+        ray.data.from_arrow(emb).repartition(8), dim=16,
+        cosine_threshold=0.95, max_bucket_verify=1000,
+    )
+    survivors = out2.map_batches(
+        lambda b: b.filter(pa.compute.invert(b.column("is_dup"))),
+        batch_format="pyarrow",
+    ).count()
+    assert survivors == 1  # overflow members hit the exact-equality path

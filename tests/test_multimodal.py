@@ -42,14 +42,24 @@ def test_resize_stage(ray_session):
 
     from docling_graph_ray.stages.multimodal import MediaResizeActor, make_media_table
 
+    from docling_graph_ray.stages.media_codec import decode_png, sniff_format
+
     ds = rd.from_arrow(make_media_table(12))
     out = ds.map_batches(
         MediaResizeActor, batch_format="pyarrow", batch_size=4,
         concurrency=(1, 2),
         fn_constructor_kwargs={"width": 8, "height": 8},
-    ).to_pandas()
+    ).to_pandas().sort_values("media_id")
     assert len(out) == 12
-    assert all(len(p) == 8 * 8 * 3 for p in out["payload"])
+    for _, r in out.iterrows():
+        p = bytes(r["payload"])
+        if r["media_id"] % 3 == 0:
+            # image rows: REAL resized PNG out
+            assert sniff_format(p) == "png"
+            assert decode_png(p).shape == (8, 8, 3)
+        else:
+            # stub path: raw fake pixels
+            assert len(p) == 8 * 8 * 3
     assert all(m["width"] == 8 and m["height"] == 8 for m in out["meta"])
 
 
@@ -66,3 +76,89 @@ def test_frame_sample(ray_session):
     # deterministic frame bytes
     out2 = frame_sample(rd.from_arrow(tbl), every_ms=250, max_frames=8).to_pandas()
     assert sorted(map(bytes, out["frame"])) == sorted(map(bytes, out2["frame"]))
+
+
+def test_png_roundtrip_exact():
+    from docling_graph_ray.stages.media_codec import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    for shape in [(5, 7, 3), (4, 4, 4), (6, 3, 1), (2, 9, 2)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+    # deterministic bytes
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    assert encode_png(img) == encode_png(img)
+
+
+def test_png_filtered_scanlines_decode():
+    """Decode PNGs using Sub/Up/Average/Paeth filters (what real encoders
+    emit), built by hand-filtering a known image."""
+    import struct
+    import zlib as _z
+
+    from docling_graph_ray.stages.media_codec import PNG_MAGIC, decode_png
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y, ftype in enumerate([1, 2, 3, 4, 0]):  # one of each filter
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int64), prev[:-ch]])
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pred = np.where(
+                (np.abs(p - left) <= np.abs(p - prev))
+                & (np.abs(p - left) <= np.abs(p - ul)), left,
+                np.where(np.abs(p - prev) <= np.abs(p - ul), prev, ul))
+            enc = cur - pred
+        raw += bytes([ftype]) + bytes((enc & 0xFF).astype(np.uint8))
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    pdf_bytes = (PNG_MAGIC
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                 + chunk(b"IDAT", _z.compress(bytes(raw)))
+                 + chunk(b"IEND", b""))
+    assert (decode_png(pdf_bytes) == img).all()
+
+
+def test_wav_roundtrip_and_decode_pixels():
+    from docling_graph_ray.stages.media_codec import decode_wav, encode_wav
+    from docling_graph_ray.stages.multimodal import decode_pixels
+
+    samples = (np.sin(np.linspace(0, 20, 300)) * 15000).astype(np.int16)
+    data = encode_wav(samples, rate=16000)
+    back, rate = decode_wav(data)
+    assert rate == 16000
+    assert (back[:, 0] == samples).all()
+    canvas = decode_pixels(data)
+    assert canvas.shape == (16, 16, 3)
+    # real content, not the stub: a different waveform gives different pixels
+    other = encode_wav((samples // 2).astype(np.int16), rate=16000)
+    assert not (decode_pixels(other) == canvas).all()
+
+
+def test_decode_pixels_real_vs_stub_dispatch():
+    from docling_graph_ray.stages.media_codec import encode_png
+    from docling_graph_ray.stages.multimodal import decode_pixels
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:2] = 200
+    assert (decode_pixels(encode_png(img)) == img).all()  # real decode
+    fake = decode_pixels(b"\xff\xd8\xff not-a-real-jpeg")
+    assert fake.shape == (16, 16, 3)  # stub path

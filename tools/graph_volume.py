@@ -69,12 +69,21 @@ def main() -> None:
     for shape, maker in (("chain", chain_edges), ("hub", hub_edges)):
         edges = ray.data.from_arrow(maker(n_edges)).repartition(
             num_cpus).materialize()
+        rounds: list[float] = []
+
+        def note(tag):
+            def fn(i, s, total):
+                rounds.append(round(s, 2))
+                print(f"# {tag} round {i}: {s:.1f}s", file=sys.stderr,
+                      flush=True)
+            return fn
+
         if algo in ("cc", "both"):
-            rounds: list[float] = []
+            rounds = []
             t0 = time.monotonic()
             cc = connected_components(
                 edges, max_rounds=40, label_blocks=label_blocks,
-                on_round=lambda i, s, _: rounds.append(round(s, 2)))
+                on_round=note(f"cc_{shape}"))
             n_nodes = cc.count()
             out[f"cc_{shape}_total_s"] = round(time.monotonic() - t0, 2)
             out[f"cc_{shape}_rounds"] = rounds
@@ -84,7 +93,7 @@ def main() -> None:
             t0 = time.monotonic()
             pr = pagerank(
                 edges, iters=5, label_blocks=label_blocks,
-                on_round=lambda i, s, _: rounds.append(round(s, 2)))
+                on_round=note(f"pr_{shape}"))
             n_nodes = pr.count()
             out[f"pr_{shape}_total_s"] = round(time.monotonic() - t0, 2)
             out[f"pr_{shape}_rounds"] = rounds
