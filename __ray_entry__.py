@@ -125,6 +125,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_topk": t.emb_lsh_topk,
         "emb_ivf_topk": t.emb_ivf_topk,
         "pages_flagship": t.pages_flagship,
+        # same corpus ingested from WARC containers (rows-only; byte-
+        # equivalence vs the Parquet lane is pytest-checked)
+        "pages_warc_flagship": t.pages_warc_flagship,
         # crawl -> extract -> langid -> curate composite (rows-only)
         "pages_curation": t.pages_curation,
         "media_features": t.media_pipeline,

@@ -336,6 +336,34 @@ def pages_flagship(sf_dir: str):
     )
 
 
+def pages_warc_flagship(sf_dir: str):
+    """Flagship extraction reading the SAME synthetic corpus from WARC
+    containers (sources/warc.py) instead of Parquet — the raw-crawl
+    ingestion lane.  Output shape matches ``pages_flagship`` so the two
+    lanes are directly comparable (byte-identical text per url ⇒ equal
+    text_sha256 multisets).  Rows-only (input is a crawl container, not
+    a SQL-visible table); equivalence vs the Parquet lane is pytest-
+    checked in tests/test_warc.py."""
+    from docling_graph_ray.pipelines.extract import (
+        dedup_extracted,
+        extract_pages_dataset,
+    )
+    from docling_graph_ray.sources.warc import read_warc, warc_fixture_dir
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    src = warc_fixture_dir(n, profile="t1", files=8)
+    ded = dedup_extracted(
+        extract_pages_dataset(read_warc(src), num_partitions=16)
+    )
+    return ded.map_batches(
+        lambda t: t.select(
+            ["url", "text_sha256", "n_blocks_kept", "n_blocks_dropped", "parse_status"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def media_pipeline(sf_dir: str):
     """Multimodal plumbing: synthetic media table → actor-pool features."""
     from docling_graph_ray.stages.multimodal import make_media_table, media_features
