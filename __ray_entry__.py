@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": t.doc_token_counts,
         "doc_quality": t.doc_quality,
         "doc_exact_dedup": t.doc_exact_dedup,
+        "doc_url_canonical": t.doc_url_canonical,
+        "doc_url_dedup": t.doc_url_dedup,
         # similarity (oracle-checked)
         "emb_topk": t.emb_topk,
         "events_sliding_window": r.events_sliding_window,
@@ -488,6 +490,103 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        # messy-url derivation + canonicalization chain mirrored literally
+        # from stages/urlops.py (same RE2 engine on both sides)
+        "doc_url_canonical": """
+            WITH m AS (
+                SELECT doc_id, doc_id % 6 AS k,
+                       ((doc_id // 6) % 50)::VARCHAR AS site,
+                       ((doc_id // 6) % 40)::VARCHAR AS page,
+                       ((doc_id // 6) % 3)::VARCHAR AS q
+                FROM documents
+            ), u AS (
+                SELECT doc_id, CASE k
+                    WHEN 0 THEN 'HTTP://site' || site || '.com/page' || page || '?q=' || q
+                    WHEN 1 THEN 'http://Site' || site || '.COM/page' || page || '?q=' || q || '#top'
+                    WHEN 2 THEN 'http://site' || site || '.com:80/page' || page || '?q=' || q
+                    WHEN 3 THEN 'http://site' || site || '.com/page' || page || '?utm_source=a&utm_medium=b&q=' || q
+                    WHEN 4 THEN 'http://site' || site || '.com/page' || page || '?q=' || q || '&fbclid=Zz9'
+                    ELSE 'https://site' || site || '.com:443/page' || page || '?q=' || q
+                END AS url FROM m
+            ), s1 AS (
+                SELECT doc_id, url,
+                       regexp_replace(url, '#.*$', '', 'g') AS v
+                FROM u
+            ), s2 AS (
+                SELECT doc_id, url,
+                       CASE WHEN regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*') <> ''
+                            THEN lower(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
+                                 || regexp_replace(v, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
+                            ELSE v END AS v
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id, url,
+                       regexp_replace(regexp_replace(v,
+                           '^(http://[^/?:]+):80((?:[/?].*)?)$', '\\1\\2'),
+                           '^(https://[^/?:]+):443((?:[/?].*)?)$', '\\1\\2') AS v
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id, url,
+                       regexp_replace(regexp_replace(regexp_replace(v,
+                           '([?&])(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*&', '\\1', 'g'),
+                           '([?&])(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*&', '\\1', 'g'),
+                           '([?&])(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*&', '\\1', 'g') AS v
+                FROM s3
+            )
+            SELECT doc_id, url,
+                   regexp_replace(regexp_replace(v,
+                       '[?&](?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*$', '', 'g'),
+                       '\\?$', '', 'g') AS url_canon
+            FROM s4
+        """,
+        "doc_url_dedup": """
+            WITH m AS (
+                SELECT doc_id, doc_id % 6 AS k,
+                       ((doc_id // 6) % 50)::VARCHAR AS site,
+                       ((doc_id // 6) % 40)::VARCHAR AS page,
+                       ((doc_id // 6) % 3)::VARCHAR AS q
+                FROM documents
+            ), u AS (
+                SELECT doc_id, CASE k
+                    WHEN 0 THEN 'HTTP://site' || site || '.com/page' || page || '?q=' || q
+                    WHEN 1 THEN 'http://Site' || site || '.COM/page' || page || '?q=' || q || '#top'
+                    WHEN 2 THEN 'http://site' || site || '.com:80/page' || page || '?q=' || q
+                    WHEN 3 THEN 'http://site' || site || '.com/page' || page || '?utm_source=a&utm_medium=b&q=' || q
+                    WHEN 4 THEN 'http://site' || site || '.com/page' || page || '?q=' || q || '&fbclid=Zz9'
+                    ELSE 'https://site' || site || '.com:443/page' || page || '?q=' || q
+                END AS url FROM m
+            ), s1 AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS v FROM u
+            ), s2 AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*') <> ''
+                            THEN lower(regexp_extract(v, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*'))
+                                 || regexp_replace(v, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '')
+                            ELSE v END AS v
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(v,
+                           '^(http://[^/?:]+):80((?:[/?].*)?)$', '\\1\\2'),
+                           '^(https://[^/?:]+):443((?:[/?].*)?)$', '\\1\\2') AS v
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(v,
+                           '([?&])(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*&', '\\1', 'g'),
+                           '([?&])(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*&', '\\1', 'g'),
+                           '([?&])(?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*&', '\\1', 'g') AS v
+                FROM s3
+            ), c AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(v,
+                           '[?&](?:utm_[^=&#]*|gclid|fbclid|msclkid)=[^&#]*$', '', 'g'),
+                           '\\?$', '', 'g') AS url_canon
+                FROM s4
+            )
+            SELECT url_canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+            FROM c GROUP BY url_canon
         """,
         "emb_topk": """
             WITH q AS (

@@ -72,6 +72,39 @@ def doc_exact_dedup(sf_dir: str):
     )
 
 
+def doc_url_canonical(sf_dir: str):
+    """URL canonicalization over deterministic messy urls derived from
+    doc_id (six spelling variants of a canonical page).  Oracle: the
+    same derivation + a literally mirrored RE2 rule chain in DuckDB."""
+    from docling_graph_ray.stages.urlops import canonicalize_url, synth_messy_urls
+
+    def build(b: pa.Table) -> pa.Table:
+        urls = synth_messy_urls(b.column("doc_id"))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()).combine_chunks(),
+            "url": urls,
+            "url_canon": canonicalize_url(urls),
+        })
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
+def doc_url_dedup(sf_dir: str):
+    """URL-keyed dedup: one row per canonical url with deterministic
+    keeper + copy count (C-path Min/Count aggregates, url+id shuffle
+    only)."""
+    from docling_graph_ray.stages.urlops import synth_messy_urls, url_dedup
+
+    def build(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()).combine_chunks(),
+            "url": synth_messy_urls(b.column("doc_id")),
+        })
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(build, batch_format="pyarrow")
+    return url_dedup(ds, url_col="url", id_col="doc_id")
+
+
 # ---------------------------------------------------------------------------
 # text analysis (rows-only)
 
