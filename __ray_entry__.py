@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": g.graph_pagerank,
         "doc_fingerprints": t.doc_fingerprints,
         "doc_bpe_tokens": t.doc_bpe_tokens,
+        "doc_substring_dedup": t.doc_substring_dedup,
         "doc_minhash_dedup": t.doc_minhash_dedup,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,

@@ -51,23 +51,45 @@ def doc_exact_dedup(sf_dir: str):
     """Exact-text dedup summary: keeper id + copy count per distinct text
     (hash-partition + per-group aggregate; text itself never shuffles —
     only its 64-bit hash)."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
     from docling_graph_ray.stages.dedup import add_text_hash
-
-    from ray.data.aggregate import Count, Min
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         add_text_hash("text"), batch_format="pyarrow"
     )
-    # C-path aggregates: one row per distinct text with NO per-group
-    # Python (a map_groups summarize costs one interpreter call per
-    # distinct text — the pattern measured at 324 s/1.6M rows in the
-    # curation composite before its rewrite)
-    agg = ds.groupby("text_hash").aggregate(Min("doc_id"), Count())
+    # partition-bucketed Arrow hash-aggregate: no per-group Python (one
+    # interpreter call per distinct text = 324 s/1.6M rows, SURVEY §7.4)
+    # AND no full-key-domain sort shuffle (native groupby measured 80×
+    # slower at 1e7 keys — bucketing.bucketed_aggregate docstring)
+    agg = bucketed_aggregate(
+        ds, ["text_hash"], [("doc_id", "min"), ("", "count_all")],
+        rename=["text_hash", "keeper_id", "n_copies"], combine=True,
+    )
     return agg.map_batches(
         lambda t: pa.table({
-            "keeper_id": t.column("min(doc_id)").cast(pa.int64()),
-            "n_copies": t.column("count()").cast(pa.int64()),
+            "keeper_id": t.column("keeper_id").cast(pa.int64()),
+            "n_copies": t.column("n_copies").cast(pa.int64()),
         }),
+        batch_format="pyarrow",
+    )
+
+
+def doc_substring_dedup(sf_dir: str):
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr at window
+    granularity) over the documents table: duplicated ≥W-token passages
+    removed from every occurrence.  Rows-only (rolling window hashes are
+    not SQL-expressible); equivalence vs a brute-force reference is
+    pytest-checked (tests/test_substr_dedup.py).  Window sized to the
+    synthetic docs (~tens of words)."""
+    from docling_graph_ray.stages.substr_dedup import substring_exact_dedup
+
+    out = substring_exact_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), window=12
+    )
+    # drop the cleaned text from the result (stable row shape for the
+    # driver's rows-only check; the text column is corpus-sized)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_removed"]),
         batch_format="pyarrow",
     )
 

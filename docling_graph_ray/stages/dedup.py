@@ -32,6 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
 _MERSENNE_PRIME = np.uint64((1 << 61) - 1)
 _MAX_HASH = np.uint64((1 << 32) - 1)
 
@@ -394,8 +396,9 @@ def _resolve_reps(candidates, id_col: str, *, num_partitions: int = 64):
         .groupby("_part")
         .map_groups(attach_rep, batch_format="pyarrow")
     )
-    return pairs.groupby(id_col).min("rep_id").map_batches(
-        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    return bucketed_aggregate(
+        pairs, [id_col], [("rep_id", "min")],
+        rename=[id_col, "rep_id"], combine=True,
     )
 
 
@@ -518,8 +521,9 @@ def simhash_dedup(
         .groupby("_part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    reps = pairs.groupby(id_col).min("rep_id").map_batches(
-        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    reps = bucketed_aggregate(
+        pairs, [id_col], [("rep_id", "min")],
+        rename=[id_col, "rep_id"], combine=True,
     )
     return _finalize_reps(
         reps, _empty_doc_reps(ds, id_col=id_col, text_col=text_col), id_col
@@ -674,8 +678,9 @@ def ngram_jaccard_dedup(
         return pa.table({id_col: kept, "rep_id": kept})
 
     base = ds.map_batches(self_rows, batch_format="pyarrow")
-    reps = base.union(verified).groupby(id_col).min("rep_id").map_batches(
-        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    reps = bucketed_aggregate(
+        base.union(verified), [id_col], [("rep_id", "min")],
+        rename=[id_col, "rep_id"], combine=True,
     )
     return _finalize_reps(
         reps, _empty_doc_reps(ds, id_col=id_col, text_col=text_col), id_col
@@ -779,8 +784,9 @@ def embedding_near_dedup(
         .groupby("_part")
         .map_groups(verify_partition, batch_format="pyarrow")
     )
-    reps = pairs.groupby(id_col).min("rep_id").map_batches(
-        lambda t: t.rename_columns([id_col, "rep_id"]), batch_format="pyarrow"
+    reps = bucketed_aggregate(
+        pairs, [id_col], [("rep_id", "min")],
+        rename=[id_col, "rep_id"], combine=True,
     )
     return reps.map_batches(
         lambda t: t.append_column(

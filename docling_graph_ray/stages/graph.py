@@ -516,12 +516,12 @@ def integrity_check(nodes, edges, *, key_col: str = "node_id",
             "detail": detail,
         }).cast(_WARN_SCHEMA)
 
-    dup_nodes = (
-        nodes.map_batches(id_partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .sum("n")
-        .map_batches(dup_id_warnings, batch_format="pyarrow")
-    )
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    dup_nodes = bucketed_aggregate(
+        nodes.map_batches(id_partial, batch_format="pyarrow"),
+        [key_col], [("n", "sum")], rename=[key_col, "sum(n)"], combine=True,
+    ).map_batches(dup_id_warnings, batch_format="pyarrow")
 
     # self-loops: one vectorized pass
     def self_loops(batch: pa.Table) -> pa.Table:
@@ -611,12 +611,11 @@ def integrity_check(nodes, edges, *, key_col: str = "node_id",
             "item": item, "detail": detail,
         }).cast(_WARN_SCHEMA)
 
-    dup_edges = (
-        e_norm.map_batches(triple_partial, batch_format="pyarrow")
-        .groupby([src_col, dst_col, label_col])
-        .sum("n")
-        .map_batches(dup_edge_warnings, batch_format="pyarrow")
-    )
+    dup_edges = bucketed_aggregate(
+        e_norm.map_batches(triple_partial, batch_format="pyarrow"),
+        [src_col, dst_col, label_col], [("n", "sum")],
+        rename=[src_col, dst_col, label_col, "sum(n)"], combine=True,
+    ).map_batches(dup_edge_warnings, batch_format="pyarrow")
 
     return dup_nodes.union(loop_warns, dang_src, dang_dst, dup_edges)
 
@@ -671,9 +670,12 @@ def enforce_closed_catalogs(nodes, edges, *,
         g = t.group_by("_dst").aggregate([("n_in", "sum"), ("n_marked", "sum")])
         return g.rename_columns(["_dst", "n_in", "n_marked"]).cast(in_schema)
 
-    stats = (
-        edges.map_batches(in_stats, batch_format="pyarrow")
-        .groupby("_dst").sum(["n_in", "n_marked"])
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    stats = bucketed_aggregate(
+        edges.map_batches(in_stats, batch_format="pyarrow"),
+        ["_dst"], [("n_in", "sum"), ("n_marked", "sum")],
+        rename=["_dst", "sum(n_in)", "sum(n_marked)"], combine=True,
     )
 
     cand_schema = pa.schema([("_dst", pa.string())])

@@ -45,12 +45,18 @@ def _label_sum(labels) -> int:
 
 
 def _min_fold(pairs):
-    """(node, label) rows → per-node min label."""
-    return (
-        pairs.groupby("node").min("label")
-        .map_batches(lambda t: t.rename_columns(["node", "label"])
-                     .cast(_LBL_SCHEMA),
-                     batch_format="pyarrow")
+    """(node, label) rows → per-node min label.
+
+    Partition-bucketed with a map-side combiner — Ray's native
+    ``groupby(node).min`` sort-shuffles by the full node domain, which
+    measured 180 s for 3e7 rows / 1e7 nodes where the bucketed fold runs
+    in 2.2 s (see bucketing.bucketed_aggregate); at one fold per round
+    that difference IS the algorithm's wall time."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    return bucketed_aggregate(
+        pairs, ["node"], [("label", "min")],
+        rename=["node", "label"], combine=True,
     )
 
 
@@ -233,11 +239,14 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         g = b.group_by("a").aggregate([([], "count_all")])
         return g.rename_columns(["node", "deg"])
 
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
     degrees = (
-        epairs.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node").sum("deg")
-        .map_batches(lambda t: t.rename_columns(["node", "deg"]),
-                     batch_format="pyarrow")
+        bucketed_aggregate(
+            epairs.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"], [("deg", "sum")],
+            rename=["node", "deg"], combine=True,
+        )
         .repartition(label_blocks).materialize()
     )
 
@@ -278,10 +287,11 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         # barrier: inflow is consumed twice (dangling-mass aggregate +
         # the rank update join)
         inflow = (
-            with_rank.map_batches(contribs, batch_format="pyarrow")
-            .groupby("node").sum("m")
-            .map_batches(lambda t: t.rename_columns(["node", "m"]),
-                         batch_format="pyarrow")
+            bucketed_aggregate(
+                with_rank.map_batches(contribs, batch_format="pyarrow"),
+                ["node"], [("m", "sum")],
+                rename=["node", "m"], combine=True,
+            )
             .repartition(label_blocks).materialize()
         )
 

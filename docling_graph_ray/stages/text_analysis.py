@@ -383,11 +383,11 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
         g = b.group_by("token").aggregate([([], "count_all")])
         return g.rename_columns(["token", "df"])
 
-    df = (
-        tf.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token").sum("df")
-        .map_batches(lambda t: t.rename_columns(["token", "df"]),
-                     batch_format="pyarrow")
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    df = bucketed_aggregate(
+        tf.map_batches(df_partial, batch_format="pyarrow"),
+        ["token"], [("df", "sum")], rename=["token", "df"], combine=True,
     )
 
     # N: documents contributing at least one token — counted on the
@@ -494,6 +494,8 @@ def value_quantiles(ds, col: str, qs: list[float]):
     Returns a small pyarrow table ``(q, value)``."""
     import math
 
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or col not in b.schema.names:
             return pa.schema([("v", pa.int64()),
@@ -506,11 +508,10 @@ def value_quantiles(ds, col: str, qs: list[float]):
 
     hist = sorted(
         (r["v"], r["n"]) for r in
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("v").sum("n")
-        .map_batches(lambda t: t.rename_columns(["v", "n"]),
-                     batch_format="pyarrow")
-        .take_all()
+        bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["v"], [("n", "sum")], rename=["v", "n"], combine=True,
+        ).take_all()
         if r["v"] is not None
     )
     total = sum(n for _, n in hist)
@@ -557,12 +558,11 @@ def word_freq_dataset(ds, *, text_col: str = "text"):
             "n": vc.field("counts").cast(pa.int64()),
         })
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("word")
-        .sum("n")
-        .map_batches(lambda t: t.rename_columns(["word", "n"]),
-                     batch_format="pyarrow")
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["word"], [("n", "sum")], rename=["word", "n"], combine=True,
     )
 
 
@@ -624,12 +624,13 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
 
     out: list[tuple[int, str, str, int]] = []
     for rank in range(merges):
-        agg = (
-            words.map_batches(pair_partial, batch_format="pyarrow")
-            .groupby(["left", "right"])
-            .sum("c")
-            .to_pandas()  # distinct adjacent pairs: vocabulary-sized
-        )
+        from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+        agg = bucketed_aggregate(
+            words.map_batches(pair_partial, batch_format="pyarrow"),
+            ["left", "right"], [("c", "sum")],
+            rename=["left", "right", "c"], combine=True,
+        ).to_pandas()  # distinct adjacent pairs: vocabulary-sized
         if agg.empty:
             break
         # single O(V) scan for the deterministic argmax

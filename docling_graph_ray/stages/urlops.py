@@ -132,9 +132,12 @@ def add_canonical_url(url_col: str = "url", out_col: str = "url_canon"):
 
 def url_dedup(ds, *, url_col: str = "url", id_col: str = "doc_id"):
     """One row per canonical url: ``(url_canon, keep_id, n_dups)`` with
-    the minimum id as the deterministic keeper.  C-path aggregates only;
-    the shuffle carries (url_canon, id) — never page payloads."""
-    from ray.data.aggregate import Count, Min
+    the minimum id as the deterministic keeper.  Partition-bucketed
+    Arrow hash-aggregates (a native ``groupby(url)`` sort-shuffles by
+    the full url domain — measured 80× slower at 1e7 keys, see
+    bucketing.bucketed_aggregate); the shuffle carries (url_canon, id)
+    — never page payloads."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
 
     slim = ds.map_batches(
         lambda b: pa.table(
@@ -145,14 +148,7 @@ def url_dedup(ds, *, url_col: str = "url", id_col: str = "doc_id"):
         ),
         batch_format="pyarrow",
     )
-    agg = slim.groupby("url_canon").aggregate(Min(id_col), Count())
-    return agg.map_batches(
-        lambda t: pa.table(
-            {
-                "url_canon": t.column("url_canon"),
-                "keep_id": t.column(f"min({id_col})").cast(pa.int64()),
-                "n_dups": t.column("count()").cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+    return bucketed_aggregate(
+        slim, ["url_canon"], [(id_col, "min"), ("", "count_all")],
+        rename=["url_canon", "keep_id", "n_dups"], combine=True,
     )

@@ -220,11 +220,14 @@ def field_distinct_counts(ds, *, columns: list[str]):
     def pre_distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(["field", "value"]).aggregate([])
 
-    pairs = (
+    from docling_graph_ray.stages.bucketing import bucketed_first
+
+    # distinct (field, value) without per-pair Python or a full-key-
+    # domain sort shuffle (the value domain scales with the corpus)
+    pairs = bucketed_first(
         ds.map_batches(explode, batch_format="pyarrow")
-        .map_batches(pre_distinct, batch_format="pyarrow")  # combiner
-        .groupby(["field", "value"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .map_batches(pre_distinct, batch_format="pyarrow"),  # combiner
+        ["field", "value"],
     )
 
     def to_partial(batch: pa.Table) -> pa.Table:
