@@ -339,11 +339,19 @@ def induce_spec(profiles, *, root: str, name: str = "induced_template",
                 f["role"] = "identity"
         kind = "root" if cls == root else ("entity" if identity
                                            else "component")
-        models.append({
+        model = {
             "name": cls, "kind": kind,
             "docstring": f"{cls} records (induced from field profiles).",
             "identity": identity, "fields": fields,
-        })
+        }
+        if kind == "root":
+            # identity-less root lists dedup first-wins (linter W09/R19);
+            # scheduling at induction keeps induced specs lint-clean
+            dedup = [f["name"] for f in fields
+                     if f["is_list"] and f["type"] in SCALAR_TYPES]
+            if dedup:
+                model["root_list_dedup"] = dedup
+        models.append(model)
     return {"name": name, "docstring": f"Template induced from data "
             f"profiles of {', '.join(sorted(by_cls))}.",
             "root": root, "enums": enums, "models": models}
@@ -379,6 +387,50 @@ def _is_bad_name(value: str) -> bool:
         or keyword.iskeyword(value)
         or (value.startswith("__") and value.endswith("__"))
     )
+
+
+# --- prose-hygiene rule machinery (reference linter.py R3/R4/R5/R16/R6/
+# R19 semantics, re-derived over the dict spec) ------------------------------
+
+DOCSTRING_WINDOW = 240          # the Phase-1 docstring window (linter.py:85)
+MIN_IDENTITY_EXAMPLES = 2
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+_NOT_RE = re.compile(r"\bnot\b", re.IGNORECASE)
+_CARDINALITY_PHRASES = ("at most", "maximum", "up to")
+_COMPUTE_RE = re.compile(
+    r"\b(calculate|compute|sum|convert|round|multiply|derive)\b",
+    re.IGNORECASE)
+_INVENT_RE = re.compile(
+    r"\b(generat(?:e|es|ed|ing)|assign(?:s|ed|ing)?|invent(?:s|ed|ing)?)\b",
+    re.IGNORECASE)
+_NA_RE = re.compile(r"\bn/a\b", re.IGNORECASE)
+_GLOBAL_RULE_PHRASES = ("omit if", "leave empty")
+_NUMBER_NAME_RE = re.compile(r"(_number$|_no$|^ref_|_ref$)")
+_ID_RENAME_CANDIDATES = ("name", "title")
+
+
+def _sentences(text) -> list[str]:
+    return [s.strip() for s in _SENT_SPLIT_RE.split(str(text or ""))
+            if s.strip()]
+
+
+def _is_forbidden_description(sentence: str) -> bool:
+    low = sentence.lower()
+    return bool(_COMPUTE_RE.search(sentence)) or bool(_NA_RE.search(sentence)) \
+        or any(p in low for p in _GLOBAL_RULE_PHRASES)
+
+
+def _docstring_reordered(docstring: str) -> str:
+    """Sentences reordered IS → IS-NOT → cardinality (the reference's R4
+    window-packing heuristic: discriminating IS content first)."""
+    sents = _sentences(docstring)
+    is_not = [s for s in sents if _NOT_RE.search(s)]
+    card = [s for s in sents if s not in is_not
+            and (any(c.isdigit() for c in s)
+                 or any(p in s.lower() for p in _CARDINALITY_PHRASES))]
+    is_bucket = [s for s in sents if s not in is_not and s not in card]
+    return " ".join(is_bucket + is_not + card)
 
 
 def lint_spec(spec: dict) -> list[dict]:
@@ -453,6 +505,65 @@ def lint_spec(spec: dict) -> list[dict]:
             if f.get("closed_catalog") and not f.get("reference"):
                 finding("E12", fwhere,
                         "closed_catalog requires a reference edge field")
+            desc = f.get("description") or ""
+            bad = [s for s in _sentences(desc)
+                   if _is_forbidden_description(s)]
+            if bad:
+                finding("W04", fwhere,
+                        "description instructs computation or restates "
+                        f"global rules: {bad}")
+            invented = [s for s in _sentences(desc) if _INVENT_RE.search(s)]
+            if invented:
+                finding("W05", fwhere,
+                        f"description instructs invention: {invented}")
+            if (f.get("role") == "identity" or f["name"] in identity) \
+                    and "examples" in f:
+                # examples-aware (induced) specs only: hand-authored specs
+                # without profiling carry no examples key — the reference
+                # raises R3 as a GAP for gap-fill, not a lint failure
+                ex = [e for e in (f.get("examples") or []) if str(e).strip()]
+                if len(ex) < MIN_IDENTITY_EXAMPLES:
+                    finding("W08", fwhere,
+                            "identity field carries fewer than "
+                            f"{MIN_IDENTITY_EXAMPLES} verbatim examples "
+                            "(examples are document-derived — no repair)")
+                elif _NUMBER_NAME_RE.search(f["name"]) and ex and not any(
+                        any(c.isdigit() for c in str(e)) for e in ex):
+                    finding("W06", fwhere,
+                            "number-named identity field holds digit-free "
+                            "values (rename to name/title)")
+                elif (f["name"] in _ID_RENAME_CANDIDATES and ex and all(
+                        any(c.isdigit() for c in str(e)) for e in ex)):
+                    finding("W07", fwhere,
+                            "identity named name/title holds digit-bearing "
+                            "values only — consider a *_number name "
+                            "(not auto-renamed)")
+        doc = " ".join(str(m.get("docstring") or "").split())
+        if len(doc) > DOCSTRING_WINDOW and _docstring_reordered(doc) != doc:
+            # reference R4: warn only when reordering changes the text;
+            # an already-IS-first over-budget docstring is advisory-only
+            finding("W03", where,
+                    f"docstring overruns the {DOCSTRING_WINDOW}-char "
+                    "Phase-1 window (sentences reorder IS -> IS-NOT -> "
+                    f"cardinality); window: {doc[:DOCSTRING_WINDOW]!r}")
+
+    # identity-less root list fields → dedup validator scheduled (R19)
+    root_m = next((m for m in spec.get("models", []) if m["name"] == root),
+                  None)
+    if root_m is not None:
+        model_kind = {m["name"]: m.get("kind") for m in spec.get("models", [])}
+        enum_set = set(enum_names)
+        scheduled = set(root_m.get("root_list_dedup", []))
+        for f in root_m.get("fields", []):
+            if (not f.get("is_list") or f["name"] in scheduled
+                    or f.get("role") == "edge"):
+                continue  # edge lists dedup by identity in the registry
+            t = f.get("type")
+            if (t in SCALAR_TYPES or t in enum_set
+                    or model_kind.get(t) == "component"):
+                finding("W09", f"{root}.{f['name']}",
+                        "identity-less root list field — first-wins dedup "
+                        "validator should be scheduled (root_list_dedup)")
     return findings
 
 
@@ -500,6 +611,64 @@ def repair_spec(spec: dict) -> tuple[dict, list[str]]:
             m["kind"] = "component"
             actions.append(f"demoted identity-less entity {m['name']} "
                            "to component")
+
+    # prose hygiene + identity honesty + root-list dedup (reference
+    # linter.py R4/R16/R6/R5/R19 semantics)
+    for m in spec.get("models", []):
+        doc = " ".join(str(m.get("docstring") or "").split())
+        if len(doc) > DOCSTRING_WINDOW:
+            reordered = _docstring_reordered(doc)
+            if reordered != doc:
+                m["docstring"] = reordered
+                actions.append(
+                    f"reordered over-budget docstring of {m['name']} "
+                    "IS -> IS-NOT -> cardinality")
+        taken = {f["name"] for f in m.get("fields", [])}
+        for f in m.get("fields", []):
+            sents = _sentences(f.get("description") or "")
+            kept = [s for s in sents if not _is_forbidden_description(s)
+                    and not _INVENT_RE.search(s)]
+            if len(kept) != len(sents):
+                f["description"] = " ".join(kept)
+                actions.append(
+                    f"scrubbed computation/invention sentences from "
+                    f"{m['name']}.{f['name']} description"
+                    + (" (emptied: description gap)" if not kept else ""))
+            ex = [e for e in (f.get("examples") or []) if str(e).strip()]
+            if (f["name"] in m.get("identity", [])
+                    and _NUMBER_NAME_RE.search(f["name"]) and ex
+                    and not any(any(c.isdigit() for c in str(e))
+                                for e in ex)):
+                new = next((c for c in _ID_RENAME_CANDIDATES
+                            if c not in taken), None)
+                if new is not None:
+                    old = f["name"]
+                    f["name"] = new
+                    taken.add(new)
+                    m["identity"] = [new if i == old else i
+                                     for i in m["identity"]]
+                    actions.append(
+                        f"renamed digit-free number-named identity "
+                        f"{m['name']}.{old!r} -> {new!r}")
+
+    root_m = next((m for m in spec.get("models", [])
+                   if m["name"] == spec.get("root")), None)
+    if root_m is not None:
+        model_kind = {m["name"]: m.get("kind") for m in spec.get("models", [])}
+        enum_set = {e["name"] for e in spec.get("enums", [])}
+        dedup = list(root_m.get("root_list_dedup", []))
+        for f in root_m.get("fields", []):
+            t = f.get("type")
+            if (f.get("is_list") and f["name"] not in dedup
+                    and f.get("role") != "edge"
+                    and (t in SCALAR_TYPES or t in enum_set
+                         or model_kind.get(t) == "component")):
+                dedup.append(f["name"])
+                actions.append(
+                    f"scheduled first-wins dedup for identity-less root "
+                    f"list {root_m['name']}.{f['name']}")
+        if dedup:
+            root_m["root_list_dedup"] = dedup
     return spec, actions
 
 
@@ -622,6 +791,11 @@ def render_template(spec: dict) -> str:
             # demotion (reference marker graph_max_instances,
             # graph_converter.py:360-429 / stages/graph.py:cardinality_bound)
             cfg.append(f"graph_max_instances={int(m['max_instances'])}")
+        if m.get("root_list_dedup"):
+            # identity-less root lists: first-wins dedup scheduled by the
+            # linter's R19 analogue (reference needs_root_list_dedup)
+            cfg.append(
+                f"graph_root_list_dedup={sorted(m['root_list_dedup'])!r}")
         emit(f"    model_config = ConfigDict({', '.join(cfg)})")
         emit("")
         for f in m.get("fields", []):

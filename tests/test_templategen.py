@@ -295,3 +295,105 @@ def test_lint_marker_rules():
     assert "E11" in codes   # max_instances=0
     assert "E12" in codes   # closed_catalog without reference
     assert "W02" in codes   # max_instances on a component
+
+
+def test_lint_prose_hygiene_rules():
+    from docling_graph_ray.templategen import (
+        DOCSTRING_WINDOW, lint_spec, repair_spec,
+    )
+
+    long_doc = ("An invoice is a billing document. It is not a receipt. "
+                "At most 3 per order. " + "Padding sentence here. " * 20)
+    spec = {
+        "name": "t", "root": "Invoice", "enums": [],
+        "models": [
+            {"name": "Invoice", "kind": "root",
+             "identity": ["invoice_number"], "docstring": long_doc,
+             "fields": [
+                 {"name": "invoice_number", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity", "edge_label": None,
+                  "examples": ["alpha", "beta"],  # digit-free!
+                  "description": ""},
+                 {"name": "total", "type": "float", "is_list": False,
+                  "optional": True, "role": "property", "edge_label": None,
+                  "description": "The grand total. Calculate it by "
+                                 "multiplying price and quantity. "
+                                 "Leave empty if absent."},
+                 {"name": "notes", "type": "str", "is_list": True,
+                  "optional": True, "role": "property", "edge_label": None,
+                  "description": "Generate an id for each note."},
+             ]},
+        ],
+    }
+    codes = {f["code"] for f in lint_spec(spec)}
+    assert "W03" in codes   # docstring over budget
+    assert "W04" in codes   # computation / global-rule sentences
+    assert "W05" in codes   # invention sentence
+    assert "W06" in codes   # digit-free number-named identity
+    assert "W09" in codes   # identity-less root list
+
+    fixed, actions = repair_spec(spec)
+    assert lint_spec(fixed) == []
+    m = fixed["models"][0]
+    # W06: identity renamed to 'name' (tracking the identity list)
+    assert m["identity"] == ["name"]
+    assert m["fields"][0]["name"] == "name"
+    # W03: docstring reordered IS -> IS-NOT -> cardinality
+    assert m["docstring"].startswith("An invoice is a billing document.")
+    assert m["docstring"].index("not a receipt") > m["docstring"].index(
+        "Padding sentence")
+    # W04/W05 scrub keeps only the innocent sentences
+    assert m["fields"][1]["description"] == "The grand total."
+    assert m["fields"][2]["description"] == ""
+    # W09 scheduled
+    assert m["root_list_dedup"] == ["notes"]
+    assert any("dedup" in a for a in actions)
+
+
+def test_lint_identity_examples_and_digit_flags():
+    from docling_graph_ray.templategen import lint_spec
+
+    spec = {
+        "name": "t", "root": "R", "enums": [],
+        "models": [
+            {"name": "R", "kind": "root", "identity": ["name"],
+             "docstring": "", "fields": [
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity", "edge_label": None,
+                  "examples": ["123", "456"], "description": ""},
+             ]},
+        ],
+    }
+    codes = {f["code"] for f in lint_spec(spec)}
+    assert "W07" in codes   # name identity holding digit-only values
+
+    spec["models"][0]["fields"][0]["examples"] = ["only-one"]
+    codes = {f["code"] for f in lint_spec(spec)}
+    assert "W08" in codes   # fewer than 2 verbatim examples
+
+    # no examples key at all (hand-authored spec) -> silent
+    del spec["models"][0]["fields"][0]["examples"]
+    assert lint_spec(spec) == []
+
+
+def test_render_root_list_dedup_marker():
+    from docling_graph_ray.templategen import (
+        render_template, repair_spec, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "R", "enums": [],
+        "models": [
+            {"name": "R", "kind": "root", "identity": ["name"],
+             "docstring": "", "fields": [
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "tags", "type": "str", "is_list": True,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    fixed, _ = repair_spec(spec)
+    classes = verify_template_source(render_template(fixed))
+    assert classes["R"].model_config["graph_root_list_dedup"] == ["tags"]
