@@ -22,7 +22,13 @@ algorithm can carry.  Each round ALSO repartitions the label table to a
 fixed block count before the barrier — the round's unions multiply
 block counts, and without the repartition the per-round sort cost grows
 geometrically with the accumulated (tiny) blocks (measured: rounds went
-4 s → 30 s → 485 s on a 64-node chain before the fix).
+4 s → 30 s → 485 s on a 64-node chain before the fix).  The barrier
+FURTHER severs the ``DatasetStats`` ancestry (``stages/lineage.py``):
+``materialize()`` keeps the stats parent chain, Ray summarizes stats
+recursively after EVERY execution, and with multi-branch consumption
+per round that walk is O(2^rounds) of driver-side Python (measured:
+13.5 s -> 600 s per round by round 12 on a 1e7-edge chain, executor
+time flat at ~1.5 s, before the fix).
 
 Node ids are int64 (graph pipelines here key nodes by integer ids;
 string-keyed graphs map ids to dense ints first — at web scale you
@@ -33,6 +39,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from docling_graph_ray.stages.lineage import round_barrier
 
 _LBL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
@@ -87,9 +95,9 @@ def connected_components(edges, *, src_col: str = "src",
                                        d.combine_chunks()]),
         }).cast(_LBL_SCHEMA)
 
-    labels = _min_fold(
+    labels = round_barrier(_min_fold(
         edges.map_batches(endpoints, batch_format="pyarrow")
-    ).repartition(label_blocks).materialize()
+    ), label_blocks)
     prev_sum = _label_sum(labels)
 
     from docling_graph_ray.stages.joins import lookup_join
@@ -132,13 +140,16 @@ def connected_components(edges, *, src_col: str = "src",
 
         # barrier: the pointer jump consumes prop TWICE (left + lookup
         # side of the self-join); without the materialize its 3-shuffle
-        # plan executes twice per round
-        prop = _min_fold(
+        # plan executes twice per round.  round_barrier also severs the
+        # stats ancestry — multi-branch consumption per round otherwise
+        # makes Ray's end-of-run stats summary walk O(2^rounds) on the
+        # driver (see stages/lineage.py; measured 13.5 s -> 600 s/round)
+        prop = round_barrier(_min_fold(
             labels.union(
                 with_a.map_batches(offers, batch_format="pyarrow"),
                 with_b.map_batches(offers_rev, batch_format="pyarrow"),
             )
-        ).repartition(label_blocks).materialize()
+        ), label_blocks)
 
         # pointer jump: label <- label(label)
         jumped = lookup_join(
@@ -161,9 +172,9 @@ def connected_components(edges, *, src_col: str = "src",
                 "label": lbl,
             }).cast(_LBL_SCHEMA)
 
-        labels = jumped.map_batches(
+        labels = round_barrier(jumped.map_batches(
             resolve, batch_format="pyarrow"
-        ).repartition(label_blocks).materialize()
+        ), label_blocks)
 
         cur = _label_sum(labels)
         if on_round is not None:
@@ -212,12 +223,12 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
                                        d.combine_chunks()]),
         }).cast(_LBL_SCHEMA)
 
-    nodes = _min_fold(
+    nodes = round_barrier(_min_fold(
         edges.map_batches(endpoints, batch_format="pyarrow")
     ).map_batches(
         lambda t: pa.table({"node": t.column("node")}),
         batch_format="pyarrow",
-    ).repartition(label_blocks).materialize()
+    ), label_blocks)
     n_total = nodes.count()
     if n_total == 0:
         return ray.data.from_arrow(rank_schema.empty_table())
@@ -241,25 +252,25 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
 
     from docling_graph_ray.stages.bucketing import bucketed_aggregate
 
-    degrees = (
+    degrees = round_barrier(
         bucketed_aggregate(
             epairs.map_batches(deg_partial, batch_format="pyarrow"),
             ["node"], [("deg", "sum")],
             rename=["node", "deg"], combine=True,
-        )
-        .repartition(label_blocks).materialize()
+        ),
+        label_blocks,
     )
 
     from docling_graph_ray.stages.joins import lookup_join
 
     init = 1.0 / n_total
-    ranks = nodes.map_batches(
+    ranks = round_barrier(nodes.map_batches(
         lambda b: pa.table({
             "node": b.column("node"),
             "rank": pa.array([init] * b.num_rows, pa.float64()),
         }).cast(rank_schema),
         batch_format="pyarrow",
-    ).repartition(label_blocks).materialize()
+    ), label_blocks)
 
     import time
 
@@ -286,13 +297,14 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
 
         # barrier: inflow is consumed twice (dangling-mass aggregate +
         # the rank update join)
-        inflow = (
+        # round_barrier severs stats ancestry too — see lineage.py
+        inflow = round_barrier(
             bucketed_aggregate(
                 with_rank.map_batches(contribs, batch_format="pyarrow"),
                 ["node"], [("m", "sum")],
                 rename=["node", "m"], combine=True,
-            )
-            .repartition(label_blocks).materialize()
+            ),
+            label_blocks,
         )
 
         # dangling mass = 1 - sum of mass sent along edges; native Sum
@@ -313,9 +325,9 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
             return pa.table({"node": b.column("node").cast(pa.int64()),
                              "rank": r}).cast(rank_schema)
 
-        ranks = joined.map_batches(
+        ranks = round_barrier(joined.map_batches(
             update, batch_format="pyarrow"
-        ).repartition(label_blocks).materialize()
+        ), label_blocks)
         if on_round is not None:
             on_round(round_idx, time.monotonic() - round_t0, sent)
 

@@ -607,6 +607,9 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
         ),
         batch_format="pyarrow",
     ).select_columns(["syms", "n"]).materialize()
+    from docling_graph_ray.stages.lineage import cut_stats_ancestry
+
+    cut_stats_ancestry(words)
 
     def pair_partial(b: pa.Table) -> pa.Table:
         counts: dict[tuple[str, str], int] = {}
@@ -653,9 +656,12 @@ def bpe_train(ds, *, text_col: str = "text", merges: int = 20):
                 "n": b.column("n"),
             })
 
-        words = words.map_batches(
+        # sever stats ancestry per merge round — the summary walk is
+        # otherwise O(rank) per execution, O(merges^2) total
+        # (see stages/lineage.py)
+        words = cut_stats_ancestry(words.map_batches(
             apply_merge, batch_format="pyarrow"
-        ).materialize()
+        ).materialize())
 
     return out
 
