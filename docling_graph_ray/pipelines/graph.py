@@ -20,7 +20,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from docling_graph_ray.functions.merging import fold_records
 from docling_graph_ray.stages.graph import (
     cardinality_bound,
     clean_edges_dataset,
@@ -266,30 +265,89 @@ def graph_merge_runs(sf_dir: str):
 
     ds = li.map_batches(mentions, batch_format="pyarrow")
 
-    def fold_group(group: pa.Table) -> pa.Table:
-        # deterministic within-group order: run A before run B, then by
-        # (order_in_run, ln) — left-associative precedence (merger.py:1-10).
-        # ln breaks (run, order) ties: several lineitems of one order land
-        # in one run, and without a total order the folded value would
-        # depend on shuffle arrival order.
-        idx = pc.sort_indices(group, sort_keys=[
-            ("run", "ascending"), ("order_in_run", "ascending"),
-            ("ln", "ascending"),
-        ])
-        g = group.take(idx)
-        recs = g.select(["returnflag", "linestatus"]).to_pylist()
-        folded, conflicts = fold_records(
-            recs, conflict_fields=["returnflag", "linestatus"]
-        )
-        return pa.Table.from_pylist([{
-            "suppkey": g.column("suppkey")[0].as_py(),
-            "returnflag": folded.get("returnflag"),
-            "linestatus": folded.get("linestatus"),
-            "n_conflicts": len(conflicts),
-            "n_mentions": g.num_rows,
-        }])
+    # Partition-bucketed fold (stages/bucketing.py): one vectorized
+    # map_groups call per suppkey-hash bucket, never one per supplier.
+    # The keep-first fold with conflict records vectorizes because the
+    # held value never changes once set: folded = first non-empty value
+    # in the deterministic (run, order_in_run, ln) order, and a conflict
+    # is every LATER non-empty occurrence that differs from it — exactly
+    # fold_records' semantics (functions/merging.py:41), property-tested
+    # against it in tests.
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
 
-    return ds.groupby("suppkey").map_groups(fold_group, batch_format="pyarrow")
+    in_schema = pa.schema([
+        ("suppkey", pa.int64()), ("run", pa.string()),
+        ("order_in_run", pa.int64()), ("ln", pa.int64()),
+        ("returnflag", pa.string()), ("linestatus", pa.string()),
+    ])
+    out_schema = pa.schema([
+        ("suppkey", pa.int64()), ("returnflag", pa.string()),
+        ("linestatus", pa.string()), ("n_conflicts", pa.int64()),
+        ("n_mentions", pa.int64()),
+    ])
+
+    def fold_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "suppkey" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        # deterministic within-key order: run A before run B, then by
+        # (order_in_run, ln) — left-associative precedence
+        # (merger.py:1-10).  ln breaks (run, order) ties.
+        idx = pc.sort_indices(g, sort_keys=[
+            ("suppkey", "ascending"), ("run", "ascending"),
+            ("order_in_run", "ascending"), ("ln", "ascending"),
+        ])
+        g = g.take(idx).combine_chunks()
+        n = g.num_rows
+        starts, lens = run_starts(g, ["suppkey"])
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        pos = np.arange(n, dtype=np.int64)
+        folded_cols: dict[str, pa.Array] = {}
+        n_conflicts = np.zeros(len(starts), dtype=np.int64)
+        for field in ("returnflag", "linestatus"):
+            col = g.column(field).combine_chunks()
+            enc = pc.dictionary_encode(col)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = pc.fill_null(enc.indices, -1).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            empty_codes = {
+                i for i, v in enumerate(enc.dictionary.to_pylist())
+                if v is None or v == ""
+            }
+            empty = codes == -1
+            for ec in empty_codes:
+                empty |= codes == ec
+            # first non-empty row index per segment (n = none)
+            posv = np.where(empty, n, pos)
+            first_idx = np.minimum.reduceat(posv, starts) if n else posv
+            f_rows = first_idx[seg]
+            held = codes[np.minimum(f_rows, n - 1)]
+            conflict = (~empty) & (pos > f_rows) & (f_rows < n) \
+                & (codes != held)
+            n_conflicts += np.add.reduceat(
+                conflict.astype(np.int64), starts)
+            valid = first_idx < n
+            vals = col.take(pa.array(np.minimum(first_idx, n - 1),
+                                     pa.int64()))
+            folded_cols[field] = pc.if_else(
+                pa.array(valid), vals, pa.scalar(None, col.type))
+        return pa.table({
+            "suppkey": g.column("suppkey").take(
+                pa.array(starts, pa.int64())),
+            "returnflag": folded_cols["returnflag"],
+            "linestatus": folded_cols["linestatus"],
+            "n_conflicts": pa.array(n_conflicts, pa.int64()),
+            "n_mentions": pa.array(lens, pa.int64()),
+        }).cast(out_schema)
+
+    return (
+        ds.map_batches(add_part(["suppkey"], 64, in_schema),
+                       batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -335,13 +393,13 @@ def graph_content_dedup(sf_dir: str):
     def distinct(b: pa.Table) -> pa.Table:
         return b.group_by(["src", "dst", "label"]).aggregate([])
 
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    # partition-bucketed distinct (stages/bucketing.py) — one vectorized
+    # map_groups call per hash bucket, never one per distinct triple
+    from docling_graph_ray.stages.bucketing import bucketed_first
 
-    return (
-        edges_out.map_batches(distinct, batch_format="pyarrow")
-        .groupby(["src", "dst", "label"])
-        .map_groups(first, batch_format="pyarrow")
+    return bucketed_first(
+        edges_out.map_batches(distinct, batch_format="pyarrow"),
+        ["src", "dst", "label"],
     )
 
 
@@ -680,21 +738,39 @@ def graph_connected_components(sf_dir: str):
 
     edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
-    def chain(g: pa.Table) -> pa.Table:
+    # Partition-bucketed chain builder (stages/bucketing.py): one
+    # vectorized map_groups call per custkey-hash bucket, never one per
+    # customer.  Within a bucket the (custkey, orderkey) sort makes
+    # consecutive-pair edges a single shifted-compare; single-order
+    # customers get a self-edge.
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    in_schema = pa.schema([("o_orderkey", pa.int64()),
+                           ("o_custkey", pa.int64())])
+
+    def chain_partition(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "o_orderkey" not in g.schema.names:
             return edge_schema.empty_table()
-        keys = sorted(g.column("o_orderkey").to_pylist())
-        if len(keys) == 1:
-            pairs = [(keys[0], keys[0])]
-        else:
-            pairs = list(zip(keys[:-1], keys[1:]))
-        return pa.table({
-            "src": pa.array([a for a, _ in pairs], pa.int64()),
-            "dst": pa.array([b for _, b in pairs], pa.int64()),
-        })
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+        g = g.take(idx).combine_chunks()
+        keys = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        same = cust[:-1] == cust[1:]
+        starts, lens = run_starts(g, ["o_custkey"])
+        singles = starts[lens == 1]
+        src = np.r_[keys[:-1][same], keys[singles]]
+        dst = np.r_[keys[1:][same], keys[singles]]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
 
-    edges = orders.groupby("o_custkey").map_groups(
-        chain, batch_format="pyarrow"
+    edges = (
+        orders.map_batches(add_part(["o_custkey"], 64, in_schema),
+                           batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(chain_partition, batch_format="pyarrow")
     )
     return connected_components(edges, label_blocks=8)
 
