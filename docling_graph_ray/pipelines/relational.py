@@ -156,20 +156,22 @@ def mktsegment_revenue(sf_dir: str, num_partitions: int = 64):
     only the per-segment partials reduce (keep ``ray.put`` broadcasts for
     true dims like nation/region).
 
-    The join is the partition-bucketed co-group ``lookup_join``
-    (stages/joins.py) rather than native ``Dataset.join``: same shuffle
-    payload, but task-pool execution — no hash-join aggregator actor
-    pool to spin up (~2 s fixed cost per join at small scale, the
-    round-2 sf0.1 regression), and tolerant of empty upstream blocks.
+    The join is ``lookup_join_auto`` (stages/joins.py): the customer
+    side's row count is a parquet-metadata-only probe, and the measured
+    ~400k-key crossover (SURVEY §7.4) picks broadcast (one task-pool
+    stage, zero shuffles — this sf) vs the partition-bucketed co-group
+    shuffle (the 100 TB path, where customer is O(rows)).  Both paths
+    share the same Arrow kernels, so the result is bit-identical.
     Custkey is unique on the customer side, so the lookup attach is an
     exact inner join after the null-drop."""
-    from docling_graph_ray.stages.joins import lookup_join
+    from docling_graph_ray.stages.joins import lookup_join_auto
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = lookup_join(
+    joined = lookup_join_auto(
         orders, cust, on="o_custkey", key_col="c_custkey",
         value_cols=["c_mktsegment"], num_partitions=num_partitions,
+        probe_rows=cust.count(),  # parquet metadata, no execution
     ).map_batches(
         lambda b: b.filter(pc.is_valid(b.column("c_mktsegment"))),
         batch_format="pyarrow",

@@ -971,12 +971,16 @@ def curate_documents(ds, *, alpha: float = 0.5, split_salt: int = 668265261,
             lambda t: pa.table({"doc_id": t.column("min(doc_id)")}),
             batch_format="pyarrow",
         )
+        # barrier: keepers is doc_id-only (8 B/row), so pinning it is
+        # cheap and makes count() below metadata-only — the probe for
+        # the broadcast-vs-shuffle selection.
+        .materialize()
     )
-    from docling_graph_ray.stages.joins import semi_join
+    from docling_graph_ray.stages.joins import semi_join_auto
 
     survivors = (
-        semi_join(qh.select_columns(["doc_id", "lang"]), keepers,
-                  on="doc_id")
+        semi_join_auto(qh.select_columns(["doc_id", "lang"]), keepers,
+                       on="doc_id", probe_rows=keepers.count())
         # consumed twice below (language-count pass + keep filter):
         # without this barrier the shuffles above execute twice.  The
         # pinned intermediate is (doc_id, lang) only — ~16 B/doc,

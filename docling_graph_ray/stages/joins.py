@@ -30,6 +30,19 @@ the per-round graph-algorithm paths); other key types unify as strings.
 
 Reference semantics: the one semi-join in the reference's system is the
 orphan-edge drop (docling_graph/core/converters/graph_cleaner.py:319-364).
+
+Broadcast fast path (round 3): ``semi_join_auto`` / ``lookup_join_auto``
+encode the measured shuffle-vs-broadcast crossover
+(``BROADCAST_CROSSOVER_ROWS`` ≈ 400k, SURVEY §7.4): when the caller can
+prove the key side is small — an explicit ``probe_rows`` count, cheap
+for parquet reads and already-materialized datasets (metadata-only) —
+the join runs as ONE task-pool ``map_batches`` against a ``ray.put``
+key table instead of a two-sided shuffle.  Driver memory is bounded by
+the threshold (400k keys × a few value columns ≈ a few MB).  Above the
+threshold, or when no cheap count exists, the shuffle path runs
+unchanged — the 100 TB design point.  Both paths use the SAME Arrow
+kernels (``is_in`` / ``group_by(min)`` + ``index_in``), so results are
+bit-identical (oracle-checked).
 """
 
 from __future__ import annotations
@@ -37,6 +50,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# Measured shuffle-join crossover on this class of box (SURVEY §7.4):
+# below ~400k keys the two-sided shuffle's fixed stage costs exceed a
+# broadcast scan; above it, per-key work dominates and the shuffle wins.
+BROADCAST_CROSSOVER_ROWS = 400_000
 
 
 def as_arrow_schema(schema) -> pa.Schema:
@@ -239,6 +257,162 @@ def lookup_join(left, lookup, *, on: str, key_col: str | None = None,
         return pa.table(cols).cast(full_schema)
 
     return tagged.groupby("_part").map_groups(regroup, batch_format="pyarrow")
+
+
+def _collect_small(ds, cols: list[str]) -> pa.Table:
+    """Driver-collect ``cols`` of a dataset the CALLER has proven small
+    (≤ BROADCAST_CROSSOVER_ROWS via ``probe_rows``).  Arrow refs move
+    zero-copy through the object store; schema-less empty pass-through
+    blocks are skipped."""
+    import ray
+
+    refs = ds.select_columns(cols).to_arrow_refs()
+    tbls = [t for t in ray.get(refs)
+            if t.num_rows and set(cols) <= set(t.schema.names)]
+    if not tbls:
+        return None
+    return pa.concat_tables([t.select(cols) for t in tbls]).combine_chunks()
+
+
+def broadcast_semi_join(left, keys, *, on: str, key_col: str | None = None,
+                        anti: bool = False,
+                        out_schema: pa.Schema | None = None):
+    """``semi_join`` semantics with the key side collected once and
+    shipped via ``ray.put`` — ONE task-pool stage, zero shuffles.  Same
+    ``pc.is_in`` kernel as the shuffle path, so results are identical.
+    Only reach this through ``semi_join_auto`` (the caller must bound
+    the key side)."""
+    import ray
+
+    key_col = key_col or on
+    out_schema = out_schema or as_arrow_schema(left.schema())
+    names = list(out_schema.names)
+    kt = _key_type(out_schema, on)
+
+    small = _collect_small(keys, [key_col])
+    kk = (small.column(key_col).cast(kt).combine_chunks()
+          if small is not None else pa.array([], kt))
+    kk_ref = ray.put(kk)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or on not in b.schema.names:
+            return out_schema.empty_table()
+        value_set = ray.get(kk_ref)
+        if len(value_set) == 0:
+            mask = pa.array(np.full(b.num_rows, bool(anti)))
+        else:
+            mask = pc.is_in(b.column(on).cast(kt).combine_chunks(),
+                            value_set=value_set)
+            if anti:
+                mask = pc.invert(mask)
+        e = b.filter(mask)
+        if e.num_rows == 0:
+            return out_schema.empty_table()
+        return pa.table({nm: e.column(nm) for nm in names}).cast(out_schema)
+
+    return left.map_batches(keep, batch_format="pyarrow")
+
+
+def broadcast_lookup_join(left, lookup, *, on: str,
+                          key_col: str | None = None,
+                          value_cols: list[str],
+                          out_schema: pa.Schema | None = None):
+    """``lookup_join`` semantics with the lookup side collected and
+    min-folded once on the driver, shipped via ``ray.put`` — ONE
+    task-pool stage, zero shuffles.  The fold per key is global here and
+    per-partition in the shuffle path, but each key lives in exactly one
+    partition there, so the results coincide."""
+    import ray
+
+    key_col = key_col or on
+    left_schema = out_schema or as_arrow_schema(left.schema())
+    names = list(left_schema.names)
+    lookup_schema = as_arrow_schema(lookup.schema())
+    val_fields = [(c, lookup_schema.field(c).type) for c in value_cols]
+    full_schema = pa.schema(
+        list(left_schema) + [pa.field(c, t) for c, t in val_fields])
+    kt = _key_type(left_schema, on)
+
+    small = _collect_small(lookup, [key_col] + value_cols)
+    folded: dict[str, pa.Array] = {}
+    if small is None:
+        agg_keys = pa.array([], kt)
+        for c, typ in val_fields:
+            folded[c] = pa.nulls(0, typ)
+    else:
+        sub = pa.table({"_key": small.column(key_col).cast(kt)}
+                       | {c: small.column(c) for c, _ in val_fields})
+        if any(pa.types.is_nested(t) for _, t in val_fields):
+            idx = pc.sort_indices(sub, sort_keys=[("_key", "ascending")])
+            sub = sub.take(idx).combine_chunks()
+            kcol = sub.column("_key")
+            if pa.types.is_integer(kcol.type):
+                kn = kcol.to_numpy(zero_copy_only=False)
+            else:
+                kn = kcol.to_pandas().to_numpy(dtype=object)
+            starts = np.r_[0, np.flatnonzero(kn[1:] != kn[:-1]) + 1]
+            first = pa.array(starts, pa.int64())
+            agg_keys = kcol.combine_chunks().take(first)
+            for c, _ in val_fields:
+                folded[c] = sub.column(c).combine_chunks().take(first)
+        else:
+            agg = sub.group_by("_key").aggregate(
+                [(c, "min") for c, _ in val_fields])
+            agg_keys = agg.column("_key").combine_chunks()
+            for c, _ in val_fields:
+                folded[c] = agg.column(c + "_min").combine_chunks()
+    model_ref = ray.put((agg_keys, folded))
+
+    def attach(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or on not in b.schema.names:
+            return full_schema.empty_table()
+        agg_keys, folded = ray.get(model_ref)
+        cols = {nm: b.column(nm) for nm in names}
+        if len(agg_keys) == 0:
+            for c, typ in val_fields:
+                cols[c] = pa.nulls(b.num_rows, typ)
+        else:
+            pos = pc.index_in(b.column(on).cast(kt).combine_chunks(),
+                              value_set=agg_keys)
+            for c, _ in val_fields:
+                cols[c] = folded[c].take(pos)
+        return pa.table(cols).cast(full_schema)
+
+    return left.map_batches(attach, batch_format="pyarrow")
+
+
+def semi_join_auto(left, keys, *, on: str, key_col: str | None = None,
+                   anti: bool = False, out_schema: pa.Schema | None = None,
+                   num_partitions: int = 64,
+                   probe_rows: int | None = None,
+                   threshold: int = BROADCAST_CROSSOVER_ROWS):
+    """``semi_join`` that picks broadcast vs shuffle by the MEASURED
+    crossover (SURVEY §7.4).  ``probe_rows`` is the caller's cheap count
+    of the key side (parquet metadata / materialized dataset); pass None
+    when no cheap count exists — the shuffle path then runs
+    unconditionally (never count() an unexecuted plan just to probe)."""
+    if probe_rows is not None and probe_rows <= threshold:
+        return broadcast_semi_join(left, keys, on=on, key_col=key_col,
+                                   anti=anti, out_schema=out_schema)
+    return semi_join(left, keys, on=on, key_col=key_col, anti=anti,
+                     out_schema=out_schema, num_partitions=num_partitions)
+
+
+def lookup_join_auto(left, lookup, *, on: str, key_col: str | None = None,
+                     value_cols: list[str],
+                     out_schema: pa.Schema | None = None,
+                     num_partitions: int = 64,
+                     probe_rows: int | None = None,
+                     threshold: int = BROADCAST_CROSSOVER_ROWS):
+    """``lookup_join`` with the same broadcast-vs-shuffle selection as
+    ``semi_join_auto``."""
+    if probe_rows is not None and probe_rows <= threshold:
+        return broadcast_lookup_join(left, lookup, on=on, key_col=key_col,
+                                     value_cols=value_cols,
+                                     out_schema=out_schema)
+    return lookup_join(left, lookup, on=on, key_col=key_col,
+                       value_cols=value_cols, out_schema=out_schema,
+                       num_partitions=num_partitions)
 
 
 def join_partitions(cap: int = 32) -> int:

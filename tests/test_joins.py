@@ -1,0 +1,132 @@
+"""Broadcast vs shuffle join equivalence (stages/joins.py).
+
+The broadcast fast path (``broadcast_semi_join`` / ``broadcast_lookup_join``)
+must be bit-identical to the partition-bucketed shuffle path on every
+semantics corner: duplicate keys on the key side, unmatched left rows,
+anti mode, empty key side, string and integer keys, and the min-fold of
+multi-valued lookups.  ``*_auto`` must route by ``probe_rows`` vs the
+threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docling_graph_ray.stages.joins import (
+    broadcast_lookup_join,
+    broadcast_semi_join,
+    lookup_join,
+    lookup_join_auto,
+    semi_join,
+    semi_join_auto,
+)
+
+
+def _left(n=4000, keys=600, seed=11):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": pa.array(rng.integers(0, keys, n), pa.int64()),
+        "x": pa.array(rng.integers(-50, 50, n), pa.int64()),
+    })
+
+
+def _keyside(keys=600, frac=0.6, dups=3, seed=13):
+    rng = np.random.default_rng(seed)
+    ks = rng.choice(keys, size=int(keys * frac), replace=False)
+    ks = np.repeat(ks, dups)  # duplicates must not multiply left rows
+    return pa.table({
+        "kk": pa.array(ks, pa.int64()),
+        "val": pa.array(rng.integers(0, 1000, len(ks)), pa.int64()),
+        "tag": pa.array([f"t{v % 7}" for v in ks], pa.string()),
+    })
+
+
+def _sorted_pandas(ds):
+    df = ds.to_pandas()
+    return (df.sort_values(list(df.columns)).reset_index(drop=True)
+            .sort_index(axis=1))
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_semi_broadcast_matches_shuffle(ray_session, anti):
+    import ray.data
+
+    left = ray.data.from_arrow(_left()).repartition(5)
+    keys = ray.data.from_arrow(_keyside()).repartition(3)
+    a = _sorted_pandas(semi_join(left, keys, on="k", key_col="kk",
+                                 anti=anti, num_partitions=8))
+    b = _sorted_pandas(broadcast_semi_join(left, keys, on="k",
+                                           key_col="kk", anti=anti))
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_semi_empty_keyside(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(_left(n=200))
+    empty = ray.data.from_arrow(
+        pa.table({"kk": pa.array([], pa.int64())}))
+    kept = broadcast_semi_join(left, empty, on="k", key_col="kk")
+    assert kept.count() == 0
+    anti = broadcast_semi_join(left, empty, on="k", key_col="kk", anti=True)
+    assert anti.count() == 200
+
+
+def test_lookup_broadcast_matches_shuffle(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(_left()).repartition(5)
+    lk = ray.data.from_arrow(_keyside()).repartition(3)
+    a = _sorted_pandas(lookup_join(left, lk, on="k", key_col="kk",
+                                   value_cols=["val", "tag"],
+                                   num_partitions=8))
+    b = _sorted_pandas(broadcast_lookup_join(left, lk, on="k", key_col="kk",
+                                             value_cols=["val", "tag"]))
+    assert a.equals(b)
+    # unmatched left rows keep nulls (frac=0.6 leaves misses)
+    assert a["val"].isna().any()
+
+
+def test_lookup_string_keys(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([f"u{i % 40}" for i in range(500)], pa.string()),
+        "x": pa.array(range(500), pa.int64()),
+    }))
+    lk = ray.data.from_arrow(pa.table({
+        "k": pa.array([f"u{i}" for i in range(25)] * 2, pa.string()),
+        "val": pa.array(list(range(25)) + [99] * 25, pa.int64()),
+    }))
+    a = _sorted_pandas(lookup_join(left, lk, on="k", value_cols=["val"],
+                                   num_partitions=4))
+    b = _sorted_pandas(broadcast_lookup_join(left, lk, on="k",
+                                             value_cols=["val"]))
+    assert a.equals(b)
+
+
+def test_auto_routes_by_probe_rows(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(_left(n=300, keys=50))
+    keys = ray.data.from_arrow(_keyside(keys=50))
+    # tiny threshold forces the shuffle path; generous one the broadcast —
+    # results must agree with each other regardless of route
+    small = _sorted_pandas(semi_join_auto(left, keys, on="k", key_col="kk",
+                                          probe_rows=90, threshold=10**6))
+    big = _sorted_pandas(semi_join_auto(left, keys, on="k", key_col="kk",
+                                        probe_rows=90, threshold=1))
+    none = _sorted_pandas(semi_join_auto(left, keys, on="k", key_col="kk",
+                                         probe_rows=None))
+    assert small.equals(big) and big.equals(none)
+
+    la = _sorted_pandas(lookup_join_auto(left, keys, on="k", key_col="kk",
+                                         value_cols=["val"],
+                                         probe_rows=90, threshold=10**6))
+    lb = _sorted_pandas(lookup_join_auto(left, keys, on="k", key_col="kk",
+                                         value_cols=["val"],
+                                         probe_rows=90, threshold=1))
+    assert la.equals(lb)
