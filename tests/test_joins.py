@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from docling_graph_ray.stages.joins import (
@@ -106,6 +107,39 @@ def test_lookup_string_keys(ray_session):
     b = _sorted_pandas(broadcast_lookup_join(left, lk, on="k",
                                              value_cols=["val"]))
     assert a.equals(b)
+
+
+def test_lookup_nested_value_type(ray_session):
+    """list<int64> value columns take the first-per-key sorted-run branch
+    (hash aggregation does not cover nested types) — both paths must
+    agree, including null attach for unmatched keys."""
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 2, 1], pa.int64()),
+        "x": pa.array(range(6), pa.int64()),
+    })).repartition(3)
+    lk = ray.data.from_arrow(pa.table({
+        "k": pa.array([2, 1, 2], pa.int64()),
+        "vals": pa.array([[20, 21], [10], [99]],
+                         pa.list_(pa.int64())),
+    })).repartition(2)
+    def norm(ds):
+        # arrow-level compare: Ray's to_pandas mangles ragged list cols
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")]
+        ).combine_chunks()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("k", "ascending"), ("x", "ascending")]))
+        return [(r["k"], r["x"],
+                 "null" if r["vals"] is None else str(list(r["vals"])))
+                for r in t.to_pylist()]
+
+    a = norm(lookup_join(left, lk, on="k", value_cols=["vals"],
+                         num_partitions=4))
+    b = norm(broadcast_lookup_join(left, lk, on="k", value_cols=["vals"]))
+    assert a == b
+    assert sum(1 for r in b if r[2] == "null") == 2  # k=3,4 unmatched
 
 
 def test_auto_routes_by_probe_rows(ray_session):
