@@ -361,14 +361,13 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
     Scale shape: tf rows come from one vectorized explode pass; df is a
     combiner-first groupby over per-batch vocabulary partials (the
     shuffle moves (token, n) rows bounded by per-batch vocabulary, the
-    same bound as ``doc_top_tokens``); the tf⋈df attach is a
-    dataset-native hash join on token — the vocabulary is NEVER
-    broadcast or collected (it scales with the corpus); the final
-    per-doc top-k is a grouped sort-head.  The only driver-side scalar
-    is N (one number).  Ties break (score desc, token asc) — a total
-    order, so the cutoff is stable."""
-    import math
-
+    same bound as ``doc_top_tokens``); the tf⋈df attach auto-selects
+    broadcast vs partition-bucketed shuffle by the materialized df
+    row count — above the ~400k-token crossover the vocabulary is
+    never driver-collected; the final per-doc top-k is a grouped
+    sort-head.  The only driver-side scalar is N (one number).  Ties
+    break (score desc, token asc) — a total order, so the cutoff is
+    stable."""
     tf = docs.map_batches(
         lambda b: term_freq_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
@@ -385,10 +384,13 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
 
     from docling_graph_ray.stages.bucketing import bucketed_aggregate
 
+    # barrier: df is (token, int64) only — pinning it is bounded by the
+    # corpus vocabulary (spillable), and makes count() metadata-only:
+    # the probe for the broadcast-vs-shuffle attach selection below.
     df = bucketed_aggregate(
         tf.map_batches(df_partial, batch_format="pyarrow"),
         ["token"], [("df", "sum")], rename=["token", "df"], combine=True,
-    )
+    ).materialize()
 
     # N: documents contributing at least one token — counted on the
     # SOURCE rows (one doc = one row, so per-batch boolean sums are safe
@@ -405,10 +407,15 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
             n_partial, batch_format="pyarrow").take_all()
     )
 
-    from docling_graph_ray.stages.joins import lookup_join
+    # attach df to tf: below the measured ~400k-token crossover the df
+    # side broadcasts (the LARGE tf side then never shuffles — one
+    # streaming pass); above it the partition-bucketed shuffle runs —
+    # the vocabulary is never driver-collected in that regime.
+    from docling_graph_ray.stages.joins import lookup_join_auto
 
-    joined = lookup_join(tf, df, on="token", key_col="token",
-                         value_cols=["df"])
+    joined = lookup_join_auto(tf, df, on="token", key_col="token",
+                              value_cols=["df"],
+                              probe_rows=df.count())
 
     out_schema = pa.schema([
         ("doc_id", pa.int64()), ("token", pa.string()),
@@ -418,15 +425,19 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
     def score_batch(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "df" not in b.schema.names:
             return out_schema.empty_table()
-        tfv = b.column("tf").to_pylist()
-        dfv = b.column("df").to_pylist()
-        score = [t * math.log(n_docs / d) for t, d in zip(tfv, dfv)]
+        # tf * ln(N/df), all Arrow kernels — same libm log as the
+        # previous math.log row loop, so values are bit-identical
+        score = pc.multiply(
+            b.column("tf").cast(pa.float64()),
+            pc.ln(pc.divide(float(n_docs),
+                            b.column("df").cast(pa.float64()))),
+        )
         return pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
             "token": b.column("token").cast(pa.string()),
             "tf": b.column("tf").cast(pa.int64()),
             "df": b.column("df").cast(pa.int64()),
-            "score": pa.array(score, pa.float64()),
+            "score": score,
         })
 
     scored = joined.map_batches(score_batch, batch_format="pyarrow")
