@@ -14,6 +14,7 @@ import ray
 import ray.data
 
 from docling_graph_ray.stages import text_analysis as ta
+from docling_graph_ray.stages.pools import auto_pool
 from docling_graph_ray.stages.dedup import (
     embedding_near_dedup,
     minhash_lsh_dedup,
@@ -204,7 +205,10 @@ def doc_lm_score(sf_dir: str):
         BigramScorer,
         fn_constructor_args=(model_ref,),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        # autoscaling pool up to a cluster-derived max: a hardcoded 4
+        # starved a 32-CPU cluster (round-3 verdict), min 1 keeps tiny
+        # inputs from paying a full-pool spin-up
+        concurrency=auto_pool(),
     )
 
 
@@ -425,7 +429,7 @@ def media_pipeline(sf_dir: str):
 
     tbl = make_media_table(64)
     ds = ray.data.from_arrow(tbl)
-    feats = media_features(ds, concurrency=(1, 2), batch_size=8)
+    feats = media_features(ds, concurrency=auto_pool(), batch_size=8)
     return feats.map_batches(
         lambda t: pa.table(
             {
@@ -1062,7 +1066,7 @@ def doc_bpe_apply(sf_dir: str, merges: int = 20):
         BPETokenizer,
         fn_constructor_kwargs={"merges": learned},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=auto_pool(),
     )
 
 

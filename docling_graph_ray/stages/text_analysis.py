@@ -373,39 +373,62 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
         batch_format="pyarrow",
     )
 
-    # df partials: each (doc, token) row is unique, so a per-batch count
-    # of rows per token is a valid partial document frequency
+    # N (documents with non-empty trimmed text) rides the df pass instead
+    # of a second source scan: the tf explode for the df branch appends
+    # ONE sentinel row per source batch with token="" carrying the
+    # batch's doc count in ``tf`` — a real tf row can never have an
+    # empty token (term_freq_batch filters them), so the sentinel is
+    # unambiguous.  Counted on SOURCE rows (one doc = one row) so block
+    # splits downstream can't double-count.
+    def tf_with_n(b: pa.Table) -> pa.Table:
+        rows = term_freq_batch(b, text_col=text_col, id_col=id_col)
+        t = pc.utf8_trim_whitespace(pc.fill_null(b.column(text_col), ""))
+        nn = pc.sum(pc.not_equal(t, "").cast(pa.int64())).as_py() or 0
+        sentinel = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "token": pa.array([""], pa.string()),
+            "tf": pa.array([int(nn)], pa.int64()),
+        }).cast(TF_SCHEMA)
+        return pa.concat_tables([rows, sentinel])
+
+    _DF_SCHEMA = pa.schema([("token", pa.string()), ("df", pa.int64())])
+
+    # df partials: each real (doc, token) row is unique, so a per-batch
+    # count of rows per token is a valid partial document frequency; the
+    # sentinel rows contribute their tf SUM to the token="" slot, which
+    # the same bucketed sum then folds into the global N.
     def df_partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "token" not in b.schema.names:
-            return pa.schema([("token", pa.string()),
-                              ("df", pa.int64())]).empty_table()
-        g = b.group_by("token").aggregate([([], "count_all")])
-        return g.rename_columns(["token", "df"])
+            return _DF_SCHEMA.empty_table()
+        is_sent = pc.equal(b.column("token"), "")
+        g = b.filter(pc.invert(is_sent)).group_by("token").aggregate(
+            [([], "count_all")]).rename_columns(["token", "df"])
+        nn = pc.sum(b.filter(is_sent).column("tf")).as_py() or 0
+        sentinel = pa.table({"token": pa.array([""], pa.string()),
+                             "df": pa.array([int(nn)], pa.int64())})
+        return pa.concat_tables([g.cast(_DF_SCHEMA), sentinel])
 
     from docling_graph_ray.stages.bucketing import bucketed_aggregate
 
     # barrier: df is (token, int64) only — pinning it is bounded by the
     # corpus vocabulary (spillable), and makes count() metadata-only:
     # the probe for the broadcast-vs-shuffle attach selection below.
-    df = bucketed_aggregate(
-        tf.map_batches(df_partial, batch_format="pyarrow"),
+    df_all = bucketed_aggregate(
+        docs.map_batches(tf_with_n, batch_format="pyarrow").map_batches(
+            df_partial, batch_format="pyarrow"),
         ["token"], [("df", "sum")], rename=["token", "df"], combine=True,
     ).materialize()
 
-    # N: documents contributing at least one token — counted on the
-    # SOURCE rows (one doc = one row, so per-batch boolean sums are safe
-    # under any downstream block split; counting distinct doc_ids over
-    # tf batches would double-count a doc whose rows straddle a split)
-    def n_partial(b: pa.Table) -> pa.Table:
-        t = pc.utf8_trim_whitespace(
-            pc.fill_null(b.column(text_col), ""))
-        nn = pc.sum(pc.not_equal(t, "").cast(pa.int64())).as_py() or 0
-        return pa.table({"n": pa.array([int(nn)], pa.int64())})
-
-    n_docs = sum(
-        r["n"] for r in docs.map_batches(
-            n_partial, batch_format="pyarrow").take_all()
+    sent_rows = df_all.map_batches(
+        lambda t: t.filter(pc.equal(t.column("token"), "")),
+        batch_format="pyarrow",
+    ).take_all()
+    n_docs = sum(r["df"] for r in sent_rows)
+    df = df_all.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("token"), "")),
+        batch_format="pyarrow",
     )
+    df_probe_rows = df_all.count() - len(sent_rows)
 
     # attach df to tf: below the measured ~400k-token crossover the df
     # side broadcasts (the LARGE tf side then never shuffles — one
@@ -415,7 +438,7 @@ def tfidf_topk(docs, *, k: int = 5, text_col: str = "text",
 
     joined = lookup_join_auto(tf, df, on="token", key_col="token",
                               value_cols=["df"],
-                              probe_rows=df.count())
+                              probe_rows=df_probe_rows)
 
     out_schema = pa.schema([
         ("doc_id", pa.int64()), ("token", pa.string()),
