@@ -199,15 +199,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_cardinality_bound": """
             SELECT p_brand, p_partkey,
                    CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS p_retailprice_cents,
-                   CAST(ROW_NUMBER() OVER (
-                       PARTITION BY p_brand
-                       ORDER BY p_retailprice DESC, p_partkey
-                   ) AS BIGINT) AS rank,
-                   (ROW_NUMBER() OVER (
-                       PARTITION BY p_brand
-                       ORDER BY p_retailprice DESC, p_partkey
-                   )) > 3 AS demoted
-            FROM part
+                   CASE WHEN rn <= 3 THEN CAST(rn AS BIGINT) END AS rank,
+                   rn > 3 AS demoted
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey
+                       ) AS rn
+                FROM part
+            )
         """,
         "graph_stats": """
             SELECT 'nodes:Customer' AS metric, COUNT(*) AS value FROM customer

@@ -6,10 +6,12 @@ then merges them (optionally LLM-confirmed; vetoed when the pair co-occur
 as siblings).  Reference: docling_graph/core/utils/alias_reconciler.py:
 54-330.  Here only the deterministic fuzzy rung is ported (SURVEY.md
 §2.6 checklist: "optional LLM-free fuzzy rung only"), as a
-``groupby(class).map_groups`` operator — candidate proposal is quadratic
-per class partition, so the partitioning assumption is: one class's
-entities fit one worker (bound classes with ``cardinality_bound`` first
-when they don't).
+``groupby(class).map_groups`` operator — the partitioning assumption is:
+one class's entities fit one worker (bound classes with
+``cardinality_bound`` first when they don't).  Candidate proposal inside
+a group is inverted-index-driven (near-linear typical) with a
+``max_survivor_scan`` cap so a pathological hot class degrades
+gracefully instead of going quadratic — see ``reconcile_group``.
 
 Merge direction: the SHORTER name (token-subset) is the alias; it folds
 into the richer entity with first-non-empty-wins enrichment and its
@@ -45,30 +47,85 @@ def is_containment_alias(short: str, long: str) -> bool:
     return st < lt and digit_signature(short) == digit_signature(long)
 
 
+# Candidate-scan cap per row: a hot class degrades gracefully (a row
+# whose match sits beyond the cap becomes its own survivor, audited via
+# ``audit_col``) instead of hanging a worker on a quadratic scan — the
+# same cap+audit treatment as the embedding near-dup verify rung
+# (stages/dedup.py max_bucket_verify).
+ALIAS_MAX_SURVIVOR_SCAN = 1024
+
+
 def reconcile_group(group: pa.Table, *, name_col: str,
-                    count_col: str | None = None) -> pa.Table:
+                    count_col: str | None = None,
+                    max_survivor_scan: int = ALIAS_MAX_SURVIVOR_SCAN,
+                    audit_col: str | None = None) -> pa.Table:
     """Merge containment aliases inside one class partition.
 
     Deterministic: rows ordered by (token count desc, name asc) so richer
     names absorb shorter ones; each alias folds into the FIRST (richest)
-    matching survivor."""
+    matching survivor.
+
+    Scale shape: a containment alias must share EVERY canonical token
+    with its survivor, so candidates come from an inverted token index
+    (shortest posting list among the row's tokens) instead of a scan of
+    all survivors — posting lists keep insertion (richness) order, so
+    the first verified candidate is exactly the survivor the full scan
+    would have chosen.  Typical cost is near-linear in group size; the
+    pathological shared-token class is bounded by ``max_survivor_scan``
+    verified candidates per row, with rows that hit the cap unresolved
+    counted in ``audit_col`` (opt-in, keeps the default schema stable)."""
     idx = pc.sort_indices(group, sort_keys=[(name_col, "ascending")])
     rows = group.take(idx).to_pylist()
-    rows.sort(key=lambda r: (-len(normalize_entity_name(r[name_col]).split("_")),
-                             r[name_col]))
+    meta = []
+    for r in rows:
+        norm = normalize_entity_name(r[name_col])
+        toks = set(norm.split("_"))
+        toks.discard("")
+        meta.append((len(norm.split("_")), toks, digit_signature(r[name_col])))
+    order = sorted(range(len(rows)),
+                   key=lambda i: (-meta[i][0], rows[i][name_col]))
     survivors: list[dict] = []
-    for row in rows:
+    surv_meta: list[tuple[set, tuple]] = []
+    posting: dict[str, list[int]] = {}
+    n_overflow = 0
+    for i in order:
+        row = rows[i]
+        _, toks, sig = meta[i]
         target = None
-        for s in survivors:
-            if is_containment_alias(row[name_col], s[name_col]):
-                target = s
-                break
+        truncated = False
+        if toks:
+            cands: list[int] | None = None
+            for t in toks:
+                pl = posting.get(t)
+                if pl is None:
+                    cands = []
+                    break
+                if cands is None or len(pl) < len(cands):
+                    cands = pl
+            scanned = 0
+            for si in cands or ():
+                if scanned >= max_survivor_scan:
+                    truncated = True
+                    break
+                s_toks, s_sig = surv_meta[si]
+                # is_containment_alias on precomputed sets: strict token
+                # subset + equal digit signatures
+                if toks < s_toks and sig == s_sig:
+                    target = survivors[si]
+                    break
+                scanned += 1
         if target is None:
             row = dict(row)
             row["aliases"] = []
             if count_col is None:
                 row["n_merged"] = 1
+            si = len(survivors)
             survivors.append(row)
+            surv_meta.append((toks, sig))
+            for t in toks:
+                posting.setdefault(t, []).append(si)
+            if truncated:
+                n_overflow += 1
         else:
             target["aliases"] = sorted([*target["aliases"], row[name_col]])
             if count_col is not None:
@@ -83,14 +140,21 @@ def reconcile_group(group: pa.Table, *, name_col: str,
                 if (target.get(k) in (None, "", [], {})) and v not in (None, "", [], {}):
                     target[k] = v
     survivors.sort(key=lambda r: r[name_col])
+    if audit_col is not None:
+        for s in survivors:
+            s[audit_col] = n_overflow
     return pa.Table.from_pylist(survivors)
 
 
 def alias_reconcile(nodes, *, class_col: str, name_col: str,
-                    count_col: str | None = None):
+                    count_col: str | None = None,
+                    max_survivor_scan: int = ALIAS_MAX_SURVIVOR_SCAN,
+                    audit_col: str | None = None):
     """Dataset-level operator: ``groupby(class).map_groups(reconcile)``."""
 
     def fn(group: pa.Table) -> pa.Table:
-        return reconcile_group(group, name_col=name_col, count_col=count_col)
+        return reconcile_group(group, name_col=name_col, count_col=count_col,
+                               max_survivor_scan=max_survivor_scan,
+                               audit_col=audit_col)
 
     return nodes.groupby(class_col).map_groups(fn, batch_format="pyarrow")

@@ -375,23 +375,104 @@ def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
 def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
                       rank_keys: list[tuple[str, str]]):
     """Per-class top-K keep (grouped top-k): rank by ``rank_keys``
-    (column, 'ascending'|'descending'), keep the first ``max_per_class``,
-    mark the rest demoted (audit preserved, not silently dropped —
-    graph_converter.py:360-429).
+    (column, 'ascending'|'descending'), keep the first ``max_per_class``
+    with their exact 1-based rank, mark the rest demoted with rank null
+    (audit preserved, not silently dropped — graph_converter.py:360-429).
 
-    Returns the full dataset with ``rank`` (1-based within class) and
-    ``demoted`` columns; callers filter ``demoted == False`` for the
-    bounded graph and keep the remainder as the audit trail."""
+    Scale shape: no whole-class group ever lands on one worker.  A
+    per-block partial top-K (the global top-K per class is contained in
+    the union of per-block top-Ks) feeds a tiny final merge whose groups
+    are ≤ K × blocks rows; the demoted remainder is flagged by a
+    streaming pass comparing each row against the broadcast per-class
+    rank-K boundary tuple — a hot class of 1e9 nodes costs two streaming
+    scans and a K×classes merge, never a single-group sort.  Requires
+    ``rank_keys`` to be a TOTAL order within a class (include a unique
+    tiebreaker, as the reference's converter does) and non-null rank-key
+    values; ties crossing the rank-K boundary would otherwise make
+    survivor membership ambiguous.  The input plan executes twice
+    (partial pass + remainder pass) — materialize upstream first when it
+    is expensive to recompute."""
+    import ray
 
-    def topk(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=rank_keys)
-        g = group.take(idx)
-        n = g.num_rows
-        rank = pa.array(np.arange(1, n + 1, dtype=np.int64))
-        demoted = pa.array(np.arange(n) >= max_per_class)
+    k = int(max_per_class)
+    key_cols = [c for c, _ in rank_keys]
+
+    def _class_ranks(g: pa.Table) -> np.ndarray:
+        """1-based rank within class over a table already sorted by
+        (class, *rank_keys) — run-boundary arithmetic, no Python loop."""
+        cls = g.column(class_col).to_numpy(zero_copy_only=False)
+        n = len(cls)
+        starts = np.r_[0, np.flatnonzero(cls[1:] != cls[:-1]) + 1]
+        return (np.arange(n) - np.repeat(
+            starts, np.diff(np.r_[starts, n]))) + 1
+
+    sort_keys = [(class_col, "ascending"), *rank_keys]
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        g = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        g = g.combine_chunks()
+        return g.filter(pa.array(_class_ranks(g) <= k))
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=rank_keys))
+        g = g.slice(0, k)
+        rank = pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        demoted = pa.array(np.zeros(g.num_rows, dtype=bool))
         return g.append_column("rank", rank).append_column("demoted", demoted)
 
-    return nodes.groupby(class_col).map_groups(topk, batch_format="pyarrow")
+    survivors = (
+        nodes.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby(class_col)
+        .map_groups(final_topk, batch_format="pyarrow")
+        .materialize()  # tiny: ≤ K rows per class
+    )
+
+    # Per-class boundary tuple = the LAST survivor's rank-key values
+    # (rank == min(K, class size)); every row sorting at-or-before it is
+    # a survivor (total order ⇒ exact membership), everything after is
+    # demoted.  classes × (1 + len(rank_keys)) scalars — broadcast once.
+    thr_rows = sorted(
+        survivors.select_columns([class_col, "rank", *key_cols]).take_all(),
+        key=lambda r: (str(r[class_col]), r["rank"]),
+    )
+    boundary = {}
+    for r in thr_rows:  # rank ascending ⇒ last write per class wins
+        boundary[r[class_col]] = [r[c] for c in key_cols]
+    classes = sorted(boundary, key=str)
+    thr_ref = ray.put((
+        pa.array(classes),
+        [pa.array([boundary[c][i] for c in classes])
+         for i in range(len(key_cols))],
+    ))
+
+    null_rank = pa.nulls(0, pa.int64())  # schema anchor
+
+    def demoted_rest(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return (batch.append_column("rank", null_rank)
+                         .append_column("demoted", pa.array([], pa.bool_())))
+        classes_arr, thr_cols = ray.get(thr_ref)
+        ci = pc.index_in(batch.column(class_col), value_set=classes_arr)
+        n = batch.num_rows
+        lt = np.zeros(n, dtype=bool)
+        eq = np.ones(n, dtype=bool)
+        for (col, order), thr in zip(rank_keys, thr_cols):
+            bv = batch.column(col)
+            tv = thr.take(ci)
+            c_lt = (pc.less(bv, tv) if order == "ascending"
+                    else pc.greater(bv, tv))
+            lt |= eq & c_lt.to_numpy(zero_copy_only=False)
+            eq &= pc.equal(bv, tv).to_numpy(zero_copy_only=False)
+        rest = batch.filter(pa.array(~(lt | eq)))
+        return (rest.append_column(
+                    "rank", pa.nulls(rest.num_rows, pa.int64()))
+                    .append_column("demoted", pa.array(
+                        np.ones(rest.num_rows, dtype=bool))))
+
+    return survivors.union(
+        nodes.map_batches(demoted_rest, batch_format="pyarrow"))
 
 
 def graph_stats(nodes, edges, *, class_col: str = "class",

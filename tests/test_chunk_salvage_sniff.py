@@ -228,6 +228,82 @@ def test_reconcile_group_folds_alias():
     assert merged["attr"] == "filled"  # enrichment from the alias
 
 
+def _reconcile_bruteforce(g, *, name_col, count_col):
+    """The pre-index reference scan: every row against every survivor."""
+    import pyarrow.compute as pc
+    from docling_graph_ray.functions.normalize import normalize_entity_name
+
+    idx = pc.sort_indices(g, sort_keys=[(name_col, "ascending")])
+    rows = g.take(idx).to_pylist()
+    rows.sort(key=lambda r: (
+        -len(normalize_entity_name(r[name_col]).split("_")), r[name_col]))
+    survivors = []
+    for row in rows:
+        target = next((s for s in survivors
+                       if is_containment_alias(row[name_col], s[name_col])),
+                      None)
+        if target is None:
+            row = dict(row)
+            row["aliases"] = []
+            survivors.append(row)
+        else:
+            target["aliases"] = sorted([*target["aliases"], row[name_col]])
+            target[count_col] = (target.get(count_col) or 0) + (
+                row.get(count_col) or 0)
+            for k, v in row.items():
+                if k in (name_col, "aliases"):
+                    continue
+                if target.get(k) in (None, "", [], {}) and v not in (None, "", [], {}):
+                    target[k] = v
+    survivors.sort(key=lambda r: r[name_col])
+    return survivors
+
+
+def test_reconcile_group_index_matches_full_scan():
+    """The inverted-index candidate path must pick the SAME survivor the
+    full quadratic scan would (first richest match), incl. shared-token
+    chains and digit-signature vetoes."""
+    import random
+
+    rng = random.Random(11)
+    words = ["acme", "corp", "intl", "group", "beta", "nova", "labs",
+             "north", "south", "unit"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(1, 5)
+        name = " ".join(rng.choice(words) for _ in range(n))
+        if rng.random() < 0.3:
+            name += f" {rng.randint(1, 3)}"
+        rows.append({"cls": "C", "name": name, "n": 1, "attr": None})
+    g = pa.Table.from_pylist(rows)
+    got = reconcile_group(g, name_col="name", count_col="n").to_pylist()
+    want = _reconcile_bruteforce(g, name_col="name", count_col="n")
+    assert [(r["name"], r["n"], r["aliases"]) for r in got] == \
+        [(r["name"], r["n"], r["aliases"]) for r in want]
+
+
+def test_reconcile_group_hot_class_bounded():
+    """A 1e5-member single class completes in bounded time (the round-3
+    verdict's skew demand): the inverted index keeps typical cost
+    near-linear and the scan cap bounds the shared-token worst case;
+    overflow is auditable opt-in without changing the default schema."""
+    import time
+
+    rows = [{"cls": "C", "name": f"entity {i} alpha beta", "n": 1}
+            for i in range(100_000)]
+    g = pa.Table.from_pylist(rows)
+    t0 = time.monotonic()
+    out = reconcile_group(g, name_col="name", count_col="n",
+                          audit_col="n_scan_overflow")
+    dt = time.monotonic() - t0
+    assert out.num_rows == 100_000      # distinct digit sigs: no merges
+    assert dt < 60, f"hot-class reconcile took {dt:.1f}s"
+    assert out.column("n_scan_overflow").to_pylist()[0] == 0
+    # default call keeps the legacy schema (no audit column)
+    small = reconcile_group(g.slice(0, 10), name_col="name", count_col="n")
+    assert "n_scan_overflow" not in small.schema.names
+
+
 # ---------------------------------------------------------------------- registry
 
 def test_registry_compose(ray_session):

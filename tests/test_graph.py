@@ -73,10 +73,43 @@ def test_cardinality_bound_rank_and_audit(ray_session):
     out = cardinality_bound(
         nodes, class_col="cls", max_per_class=2,
         rank_keys=[("score", "descending"), ("nid", "ascending")],
-    ).to_pandas().sort_values("rank")
-    assert out["nid"].tolist() == [0, 1, 2, 3, 4]
-    assert out["demoted"].tolist() == [False, False, True, True, True]
+    ).to_pandas()
+    surv = out[~out["demoted"]].sort_values("rank")
+    assert surv["nid"].tolist() == [0, 1]
+    assert surv["rank"].tolist() == [1, 2]
+    dem = out[out["demoted"]]
+    assert sorted(dem["nid"].tolist()) == [2, 3, 4]
+    assert dem["rank"].isna().all()  # demoted carry no exact global rank
     assert out.shape[0] == 5  # audit preserved, nothing dropped
+
+
+def test_cardinality_bound_hot_class_across_blocks(ray_session):
+    """A hot class spanning many blocks still gets exact global top-K:
+    the per-block partial top-K union must contain the global winners,
+    the boundary-tuple scan must flag exactly the rest, and small
+    classes (size <= K) must survive whole."""
+    rng = np.random.default_rng(7)
+    n = 20_000
+    scores = rng.permutation(n).astype(float)
+    t = pa.table({
+        "cls": pa.array(["hot"] * n + ["cold"] * 2),
+        "nid": pa.array(list(range(n)) + [n, n + 1], pa.int64()),
+        "score": pa.array(list(scores) + [5.0, 3.0]),
+    })
+    ds = ray.data.from_arrow(t).repartition(37)
+    out = cardinality_bound(
+        ds, class_col="cls", max_per_class=3,
+        rank_keys=[("score", "descending"), ("nid", "ascending")],
+    ).to_pandas()
+    assert len(out) == n + 2
+    hot = out[(out["cls"] == "hot") & ~out["demoted"]].sort_values("rank")
+    want = sorted(range(n), key=lambda i: -scores[i])[:3]
+    assert hot["nid"].tolist() == want
+    assert hot["rank"].tolist() == [1, 2, 3]
+    assert int(out[(out["cls"] == "hot") & out["demoted"]].shape[0]) == n - 3
+    cold = out[out["cls"] == "cold"]
+    assert (~cold["demoted"]).all() and sorted(
+        cold["rank"].tolist()) == [1, 2]
 
 
 def test_content_hash_dedup_redirects_edges(ray_session):
