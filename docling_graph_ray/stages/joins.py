@@ -37,12 +37,15 @@ encode the measured shuffle-vs-broadcast crossover
 prove the key side is small — an explicit ``probe_rows`` count, cheap
 for parquet reads and already-materialized datasets (metadata-only) —
 the join runs as ONE task-pool ``map_batches`` against a ``ray.put``
-key table instead of a two-sided shuffle.  Driver memory is bounded by
-the threshold (400k keys × a few value columns ≈ a few MB).  Above the
-threshold, or when no cheap count exists, the shuffle path runs
-unchanged — the 100 TB design point.  Both paths use the SAME Arrow
-kernels (``is_in`` / ``group_by(min)`` + ``index_in``), so results are
-bit-identical (oracle-checked).
+key table instead of a two-sided shuffle.  Driver memory is bounded
+twice: by the row threshold AND by ``MAX_BROADCAST_BYTES`` on the
+collected table (rows bound count, not width — wide ``value_cols``
+above the byte cap fall back to the shuffle).  Above the threshold,
+or when no cheap count exists, the shuffle path runs unchanged — the
+100 TB design point.  Both paths use the SAME Arrow kernels (``is_in``
+/ ``group_by(min)`` + ``index_in``; nested value types a deterministic
+serialization-sorted first-per-key), so results are bit-identical
+(oracle-checked).
 """
 
 from __future__ import annotations
@@ -54,7 +57,39 @@ import pyarrow.compute as pc
 # Measured shuffle-join crossover on this class of box (SURVEY §7.4):
 # below ~400k keys the two-sided shuffle's fixed stage costs exceed a
 # broadcast scan; above it, per-key work dominates and the shuffle wins.
+# NOTE: the crossover guards ROW COUNT only.  ``broadcast_lookup_join``
+# also collects ``value_cols``, so 400k rows of wide values (long
+# strings, lists) can exceed the "few MB" the row bound suggests —
+# ``MAX_BROADCAST_BYTES`` is the byte backstop: a collected table above
+# it falls back to the shuffle path instead of pinning the object store.
 BROADCAST_CROSSOVER_ROWS = 400_000
+MAX_BROADCAST_BYTES = 256 << 20
+
+
+def _first_per_key_nested(sub: pa.Table, vcol: str):
+    """Deterministic first-per-key fold for NESTED value types (Arrow hash
+    aggregation does not cover them): rows sort by ``(_key, repr(value))``
+    so duplicate keys carrying different nested values resolve to the
+    same winner on every path — broadcast (concat order) and shuffle
+    (co-group union order) would otherwise depend on block arrival.
+    Python serialization is O(lookup rows) but runs only on the folded
+    side and only for nested value columns (no current hot path).
+    Returns ``(keys, values)`` arrays, one row per distinct key."""
+    vser = pa.array([repr(v) for v in sub.column(vcol).to_pylist()],
+                    pa.string())
+    sub = sub.append_column("_vser", vser)
+    idx = pc.sort_indices(sub, sort_keys=[("_key", "ascending"),
+                                          ("_vser", "ascending")])
+    sub = sub.take(idx).combine_chunks()
+    kcol = sub.column("_key")
+    if pa.types.is_integer(kcol.type):
+        kn = kcol.to_numpy(zero_copy_only=False)
+    else:
+        kn = kcol.to_pandas().to_numpy(dtype=object)
+    starts = np.r_[0, np.flatnonzero(kn[1:] != kn[:-1]) + 1]
+    first = pa.array(starts, pa.int64())
+    return (kcol.combine_chunks().take(first),
+            sub.column(vcol).combine_chunks().take(first))
 
 
 def as_arrow_schema(schema) -> pa.Schema:
@@ -180,7 +215,9 @@ def lookup_join(left, lookup, *, on: str, key_col: str | None = None,
     left row matching on ``left[on] == lookup[key_col]``; unmatched rows
     keep nulls.  If a key has several lookup rows the per-column MINIMUM
     value wins (deterministic, order-free); non-orderable (nested) value
-    types take the first row per key instead.
+    types take the smallest-by-serialization row per key instead
+    (``_first_per_key_nested`` — also order-free, so broadcast and
+    shuffle agree on duplicate keys carrying different nested values).
 
     The scale-safe replacement for a broadcast dict whose size scales
     with the input (keep ``ray.put`` broadcasts only for true dims).
@@ -235,19 +272,7 @@ def lookup_join(left, lookup, *, on: str, key_col: str | None = None,
                 continue
             sub = lk.select(["_key", vcol]).combine_chunks()
             if pa.types.is_nested(typ):
-                # first-per-key: sorted run boundaries (hash aggregation
-                # does not cover nested types)
-                idx = pc.sort_indices(sub, sort_keys=[("_key", "ascending")])
-                sub = sub.take(idx).combine_chunks()
-                kcol = sub.column("_key")
-                if pa.types.is_integer(kcol.type):
-                    kn = kcol.to_numpy(zero_copy_only=False)
-                else:
-                    kn = kcol.to_pandas().to_numpy(dtype=object)
-                starts = np.r_[0, np.flatnonzero(kn[1:] != kn[:-1]) + 1]
-                first = pa.array(starts, pa.int64())
-                agg_keys = kcol.combine_chunks().take(first)
-                agg_vals = sub.column(vcol).combine_chunks().take(first)
+                agg_keys, agg_vals = _first_per_key_nested(sub, vcol)
             else:
                 agg = sub.group_by("_key").aggregate([(vcol, "min")])
                 agg_keys = agg.column("_key").combine_chunks()
@@ -276,12 +301,14 @@ def _collect_small(ds, cols: list[str]) -> pa.Table:
 
 def broadcast_semi_join(left, keys, *, on: str, key_col: str | None = None,
                         anti: bool = False,
-                        out_schema: pa.Schema | None = None):
+                        out_schema: pa.Schema | None = None,
+                        max_bytes: int = MAX_BROADCAST_BYTES):
     """``semi_join`` semantics with the key side collected once and
     shipped via ``ray.put`` — ONE task-pool stage, zero shuffles.  Same
     ``pc.is_in`` kernel as the shuffle path, so results are identical.
     Only reach this through ``semi_join_auto`` (the caller must bound
-    the key side)."""
+    the key side); keys wider than ``max_bytes`` in total (giant string
+    keys can blow the row bound) fall back to the shuffle path."""
     import ray
 
     key_col = key_col or on
@@ -290,6 +317,9 @@ def broadcast_semi_join(left, keys, *, on: str, key_col: str | None = None,
     kt = _key_type(out_schema, on)
 
     small = _collect_small(keys, [key_col])
+    if small is not None and small.nbytes > max_bytes:
+        return semi_join(left, keys, on=on, key_col=key_col, anti=anti,
+                         out_schema=out_schema)
     kk = (small.column(key_col).cast(kt).combine_chunks()
           if small is not None else pa.array([], kt))
     kk_ref = ray.put(kk)
@@ -316,12 +346,17 @@ def broadcast_semi_join(left, keys, *, on: str, key_col: str | None = None,
 def broadcast_lookup_join(left, lookup, *, on: str,
                           key_col: str | None = None,
                           value_cols: list[str],
-                          out_schema: pa.Schema | None = None):
+                          out_schema: pa.Schema | None = None,
+                          max_bytes: int = MAX_BROADCAST_BYTES):
     """``lookup_join`` semantics with the lookup side collected and
     min-folded once on the driver, shipped via ``ray.put`` — ONE
     task-pool stage, zero shuffles.  The fold per key is global here and
     per-partition in the shuffle path, but each key lives in exactly one
-    partition there, so the results coincide."""
+    partition there, so the results coincide (nested value types fold by
+    the same deterministic serialization rule on both paths).  The
+    crossover row bound does not bound VALUE width — if the collected
+    ``[key_col] + value_cols`` table exceeds ``max_bytes``, this falls
+    back to the shuffle path instead of pinning it."""
     import ray
 
     key_col = key_col or on
@@ -334,6 +369,11 @@ def broadcast_lookup_join(left, lookup, *, on: str,
     kt = _key_type(left_schema, on)
 
     small = _collect_small(lookup, [key_col] + value_cols)
+    if small is not None and small.nbytes > max_bytes:
+        # Row count cleared the crossover but the payload did not: fall
+        # back to the shuffle path rather than pin a giant table.
+        return lookup_join(left, lookup, on=on, key_col=key_col,
+                           value_cols=value_cols, out_schema=out_schema)
     folded: dict[str, pa.Array] = {}
     if small is None:
         agg_keys = pa.array([], kt)
@@ -342,25 +382,28 @@ def broadcast_lookup_join(left, lookup, *, on: str,
     else:
         sub = pa.table({"_key": small.column(key_col).cast(kt)}
                        | {c: small.column(c) for c, _ in val_fields})
-        if any(pa.types.is_nested(t) for _, t in val_fields):
-            idx = pc.sort_indices(sub, sort_keys=[("_key", "ascending")])
-            sub = sub.take(idx).combine_chunks()
-            kcol = sub.column("_key")
-            if pa.types.is_integer(kcol.type):
-                kn = kcol.to_numpy(zero_copy_only=False)
-            else:
-                kn = kcol.to_pandas().to_numpy(dtype=object)
-            starts = np.r_[0, np.flatnonzero(kn[1:] != kn[:-1]) + 1]
-            first = pa.array(starts, pa.int64())
-            agg_keys = kcol.combine_chunks().take(first)
-            for c, _ in val_fields:
-                folded[c] = sub.column(c).combine_chunks().take(first)
-        else:
+        # Fold per column, mirroring the shuffle path exactly: hash
+        # group_by(min) for orderable types, deterministic
+        # serialization-sorted first-per-key for nested types.
+        nested_cols = [(c, t) for c, t in val_fields if pa.types.is_nested(t)]
+        plain_cols = [(c, t) for c, t in val_fields
+                      if not pa.types.is_nested(t)]
+        per_col: dict[str, tuple] = {}
+        if plain_cols:
             agg = sub.group_by("_key").aggregate(
-                [(c, "min") for c, _ in val_fields])
-            agg_keys = agg.column("_key").combine_chunks()
-            for c, _ in val_fields:
-                folded[c] = agg.column(c + "_min").combine_chunks()
+                [(c, "min") for c, _ in plain_cols])
+            pk = agg.column("_key").combine_chunks()
+            for c, _ in plain_cols:
+                per_col[c] = (pk, agg.column(c + "_min").combine_chunks())
+        for c, _ in nested_cols:
+            per_col[c] = _first_per_key_nested(sub.select(["_key", c]), c)
+        # All folds cover the same key set; align every column to one
+        # canonical key order so a single index_in serves the attach.
+        agg_keys = per_col[value_cols[0]][0]
+        for c, _ in val_fields:
+            ck, cv = per_col[c]
+            pos = pc.index_in(agg_keys, value_set=ck)
+            folded[c] = cv.take(pos)
     model_ref = ray.put((agg_keys, folded))
 
     def attach(b: pa.Table) -> pa.Table:

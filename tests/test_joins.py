@@ -142,6 +142,98 @@ def test_lookup_nested_value_type(ray_session):
     assert sum(1 for r in b if r[2] == "null") == 2  # k=3,4 unmatched
 
 
+def test_lookup_nested_duplicate_keys_deterministic(ray_session):
+    """Duplicate keys carrying DIFFERENT nested values must resolve to
+    the same winner on both paths regardless of input block order — the
+    fold sorts by (key, repr(value)), not arrival order."""
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([7, 7, 8], pa.int64()),
+        "x": pa.array([0, 1, 2], pa.int64()),
+    }))
+    # two orderings of the same lookup rows
+    rows_a = pa.table({
+        "k": pa.array([7, 7], pa.int64()),
+        "vals": pa.array([[5, 5], [1, 2]], pa.list_(pa.int64())),
+    })
+    rows_b = rows_a.take(pa.array([1, 0], pa.int64()))
+    want = "[1, 2]"  # repr-min of the two candidates
+
+    def got(lk_tbl, fn, **kw):
+        ds = fn(left, ray.data.from_arrow(lk_tbl).repartition(2),
+                on="k", value_cols=["vals"], **kw)
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")])
+        return sorted((r["k"], "null" if r["vals"] is None
+                       else str(list(r["vals"]))) for r in t.to_pylist())
+
+    for tbl in (rows_a, rows_b):
+        assert got(tbl, lookup_join, num_partitions=3) == \
+            [(7, want), (7, want), (8, "null")]
+        assert got(tbl, broadcast_lookup_join) == \
+            [(7, want), (7, want), (8, "null")]
+
+
+def test_auto_dispatches_expected_path(ray_session, monkeypatch):
+    """probe_rows vs threshold must actually select the path, not just
+    produce equal results (both paths are equivalence-tested, so a
+    routing bug would otherwise be invisible)."""
+    import ray.data
+
+    from docling_graph_ray.stages import joins as J
+
+    calls = []
+
+    real_bsemi, real_semi = J.broadcast_semi_join, J.semi_join
+    monkeypatch.setattr(J, "broadcast_semi_join",
+                        lambda *a, **k: calls.append("broadcast")
+                        or real_bsemi(*a, **k))
+    monkeypatch.setattr(J, "semi_join",
+                        lambda *a, **k: calls.append("shuffle")
+                        or real_semi(*a, **k))
+
+    left = ray.data.from_arrow(_left(n=100, keys=20))
+    keys = ray.data.from_arrow(_keyside(keys=20))
+    J.semi_join_auto(left, keys, on="k", key_col="kk",
+                     probe_rows=30, threshold=100).count()
+    assert calls == ["broadcast"]
+    calls.clear()
+    J.semi_join_auto(left, keys, on="k", key_col="kk",
+                     probe_rows=300, threshold=100).count()
+    assert calls == ["shuffle"]
+    calls.clear()
+    J.semi_join_auto(left, keys, on="k", key_col="kk",
+                     probe_rows=None).count()
+    assert calls == ["shuffle"]
+
+
+def test_broadcast_byte_cap_falls_back_to_shuffle(ray_session):
+    """A key/lookup side whose collected bytes exceed max_bytes must run
+    the shuffle path (and still produce identical results)."""
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", "a"], pa.string()),
+        "x": pa.array([1, 2, 3, 4], pa.int64()),
+    }))
+    lk = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b"], pa.string()),
+        "val": pa.array(["V" * 4096, "W" * 4096], pa.string()),
+    }))
+    capped = _sorted_pandas(broadcast_lookup_join(
+        left, lk, on="k", value_cols=["val"], max_bytes=64))
+    normal = _sorted_pandas(broadcast_lookup_join(
+        left, lk, on="k", value_cols=["val"]))
+    assert capped.equals(normal)
+    scapped = _sorted_pandas(broadcast_semi_join(
+        left, lk, on="k", key_col="k", max_bytes=2))
+    snormal = _sorted_pandas(broadcast_semi_join(
+        left, lk, on="k", key_col="k"))
+    assert scapped.equals(snormal)
+    assert len(scapped) == 3
+
+
 def test_auto_routes_by_probe_rows(ray_session):
     import ray.data
 
