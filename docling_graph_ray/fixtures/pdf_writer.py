@@ -281,6 +281,75 @@ def build_pdf15(pages: list[dict]) -> bytes:
     return bytes(buf)
 
 
+def build_image_pdf(n_pages: int = 1, *, text_pages: list[int] = (),
+                    inline: bool = False) -> bytes:
+    """Scanned-document fixture: pages that draw an image and (unless
+    listed in ``text_pages``) contain NO text operators — what a
+    scan-to-PDF tool emits.  ``inline=True`` uses a ``BI…ID…EI`` inline
+    image instead of an ``/XObject /Image`` resource, covering both
+    detection branches of ``pdf_codec._page_has_image``.  Deterministic
+    bytes."""
+    objs: list[bytes] = []
+    catalog_num, pages_num, font_num, img_num = 1, 2, 3, 4
+    first_page_num = 5  # pages at 5, 7, …; contents at 6, 8, …
+
+    kids = b" ".join(
+        b"%d 0 R" % (first_page_num + 2 * i) for i in range(n_pages)
+    )
+    objs.append(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # 4x4 1-bit gray image, deterministic payload
+    img_data = bytes([0b10100000, 0b01010000, 0b10100000, 0b01010000])
+    objs.append(
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Length %d >>"
+        b"\nstream\n" % len(img_data) + img_data + b"\nendstream"
+    )
+    for i in range(n_pages):
+        content_num = first_page_num + 2 * i + 1
+        if inline:
+            draw = (b"q 100 0 0 100 72 600 cm\n"
+                    b"BI /W 4 /H 4 /CS /G /BPC 1 ID "
+                    + img_data + b" EI\nQ")
+            res = b"/Font << /F1 %d 0 R >>" % font_num
+        else:
+            draw = b"q 100 0 0 100 72 600 cm /Im1 Do Q"
+            res = (b"/Font << /F1 %d 0 R >> /XObject << /Im1 %d 0 R >>"
+                   % (font_num, img_num))
+        if i in text_pages:
+            draw += (b"\nBT /F1 12.00 Tf 1 0 0 1 72.00 720.00 Tm "
+                     b"(Caption page %d) Tj ET" % i)
+        objs.append(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << %s >> /Contents %d 0 R >>"
+            % (pages_num, res, content_num)
+        )
+        data = zlib.compress(draw, 6)
+        objs.append(
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream"
+        )
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_num, xref_at)
+    )
+    return bytes(buf)
+
+
 def simple_text_pdf(paragraphs: list[str], *, op_style: str = "tm",
                     size: float = 12.0, lines_per_page: int = 40) -> bytes:
     """Convenience: wrap paragraphs (one per line) into pages top-down."""

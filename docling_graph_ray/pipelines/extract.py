@@ -65,6 +65,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("n_salvaged", pa.int64()),
         ("n_fallback", pa.int64()),
         ("n_failed", pa.int64()),
+        ("n_image_only", pa.int64()),
         ("blocks_kept", pa.int64()),
         ("blocks_dropped", pa.int64()),
         ("bytes_in", pa.int64()),
@@ -314,6 +315,11 @@ def _lineage_record(part_id: int, deduped: pa.Table) -> dict:
         "n_salvaged": _count("salvaged"),
         "n_fallback": _count("fallback_text"),
         "n_failed": _count("failed"),
+        # scanned-image PDFs (text-free pages drawing images): the OCR
+        # gap quantified instead of silently folded into n_failed
+        # (reference closes it with RapidOCR,
+        # document_processor.py:199-230 — out of scope here)
+        "n_image_only": _count("image_only"),
         "blocks_kept": int(pc.sum(deduped.column("n_blocks_kept")).as_py() or 0),
         "blocks_dropped": int(pc.sum(deduped.column("n_blocks_dropped")).as_py() or 0),
         "bytes_in": int(pc.sum(deduped.column("bytes_in")).as_py() or 0),

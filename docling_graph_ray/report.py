@@ -24,7 +24,7 @@ def render_run_report(out_dir: str) -> str:
             config = json.load(f).get("config", {})
 
     def total(k: str) -> int:
-        return sum(r[k] for r in recs)
+        return sum(r.get(k, 0) for r in recs)
 
     n_urls = total("n_urls") or 1
     lines = [
@@ -33,8 +33,11 @@ def render_run_report(out_dir: str) -> str:
         f"- partitions committed: **{len(recs)}**",
         f"- documents (deduped urls): **{total('n_urls')}**",
         f"- parse outcomes: ok {total('n_ok')}, salvaged {total('n_salvaged')},"
-        f" fallback {total('n_fallback')}, failed {total('n_failed')}",
+        f" fallback {total('n_fallback')}, failed {total('n_failed')},"
+        f" image-only {total('n_image_only')}",
         f"- parse failure rate: {total('n_failed') / n_urls:.4%}",
+        f"- OCR gap (image-only, text-free docs): "
+        f"{total('n_image_only') / n_urls:.4%}",
         f"- blocks kept/dropped: {total('blocks_kept')} /"
         f" {total('blocks_dropped')}",
         f"- bytes in → out: {total('bytes_in'):,} → {total('bytes_out'):,}"

@@ -744,14 +744,43 @@ def interpret_text(content: bytes, page_height: float,
 # top-level API
 
 
+# inline-image heuristic: BI … ID delimited by PDF whitespace/name
+# boundaries.  Can in principle false-positive on "BI … ID" inside a
+# string literal, but only upgrades failed→image_only classification —
+# never drops text.
+_INLINE_IMG_RE = re.compile(rb"(?:^|[\s>\]])BI[\s/].*?[\s>\]]ID[\s]",
+                            re.DOTALL)
+
+
+def _page_has_image(doc: _Doc, page: dict, content: bytes) -> bool:
+    """True when the page draws an image: an ``/XObject`` resource with
+    ``/Subtype /Image``, or an inline ``BI…ID…EI`` image in the content
+    stream.  Scanned-page detector — the signal behind the
+    ``n_image_only`` lineage counter (the reference closes this gap with
+    its RapidOCR pipeline, document_processor.py:199-230; OCR itself is
+    out of scope in this container, so we QUANTIFY it instead)."""
+    res = doc.resolve(page.get("Resources"))
+    xo = doc.resolve(res.get("XObject")) if isinstance(res, dict) else None
+    if isinstance(xo, dict):
+        for v in xo.values():
+            d = doc.resolve(v)
+            if isinstance(d, dict) and str(d.get("Subtype", "")) == "Image":
+                return True
+    return bool(content and _INLINE_IMG_RE.search(content))
+
+
 def parse_pdf(raw: bytes) -> dict:
     """→ ``{"pages": [{"page_no", "width", "height", "lines": [{"text",
-    "bbox"}]}], "status": "ok"|"salvaged"|"failed"}``.
+    "bbox"}], "has_image"}], "status":
+    "ok"|"salvaged"|"image_only"|"failed", "image_only_pages": int}``.
 
     ``salvaged`` = some stream/object failed to decode but text was still
-    recovered; ``failed`` = no text."""
+    recovered; ``image_only`` = no text anywhere but at least one page
+    draws an image (a scanned document — OCR would be needed);
+    ``failed`` = no text, no images.  ``image_only_pages`` counts pages
+    with an image and no text regardless of overall status."""
     if not raw.startswith(b"%PDF-"):
-        return {"pages": [], "status": "failed"}
+        return {"pages": [], "status": "failed", "image_only_pages": 0}
     try:
         doc = _Doc(raw)
         pages_out = []
@@ -780,14 +809,20 @@ def parse_pdf(raw: bytes) -> dict:
             pages_out.append({
                 "page_no": pno, "width": width, "height": height,
                 "lines": lines,
+                "has_image": _page_has_image(doc, page, data),
             })
         has_text = any(p["lines"] for p in pages_out)
+        image_only = sum(
+            1 for p in pages_out if p["has_image"] and not p["lines"])
         if not has_text:
-            return {"pages": pages_out, "status": "failed"}
+            status = "image_only" if image_only else "failed"
+            return {"pages": pages_out, "status": status,
+                    "image_only_pages": image_only}
         status = "salvaged" if doc.warnings else "ok"
-        return {"pages": pages_out, "status": status}
+        return {"pages": pages_out, "status": status,
+                "image_only_pages": image_only}
     except Exception:
-        return {"pages": [], "status": "failed"}
+        return {"pages": [], "status": "failed", "image_only_pages": 0}
 
 
 def quantize_bbox_512(bbox: list[int], width: float,

@@ -20,7 +20,12 @@ reference's parse-failure handling, llm_backend.py:774-855 analogue):
    failed to decode but text was still recovered),
 2. legacy inline-payload scan (the pre-round-2 synthetic shape: text
    between the last ``endobj`` and ``%%EOF``) → ``salvaged``,
-3. nothing recovered → ``failed`` with empty text — the row is kept.
+3. nothing recovered but the document draws images → ``image_only``
+   with empty text — the scanned-PDF signal surfaced as its own
+   lineage counter (``n_image_only``) so a 100 TB run can quantify
+   the OCR gap instead of folding it into ``failed``,
+4. nothing recovered at all → ``failed`` with empty text — the row is
+   kept.
 """
 
 from __future__ import annotations
@@ -87,12 +92,15 @@ class PdfParseActor:
         if not raw.startswith(PDF_MAGIC):
             return "", "failed", []
         parsed = parse_pdf(raw)
-        if parsed["status"] != "failed":
+        if parsed["status"] not in ("failed", "image_only"):
             text, spans = assemble_pdf_text(parsed)
             if text:
                 return text, parsed["status"], spans
-        # salvage rung: legacy inline payload between endobj and %%EOF
-        m = self._payload_re.search(raw)
+        # salvage rung: legacy inline payload between endobj and %%EOF.
+        # Only for NON-structural payloads (no page tree found) — on a
+        # real but textless PDF the pattern would otherwise swallow the
+        # xref/trailer tail as "text"
+        m = None if parsed["pages"] else self._payload_re.search(raw)
         if m:
             text = " ".join(
                 m.group(1).decode("utf-8", errors="replace").split()
@@ -104,6 +112,8 @@ class PdfParseActor:
                     "page_no": 0, "bbox": [0, 0, 612, 792],
                 }]
                 return text, "salvaged", spans
+        if parsed["status"] == "image_only":
+            return "", "image_only", []
         return "", "failed", []
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -79,10 +79,12 @@ def write_run_manifest(out_dir: str, config: dict) -> str:
         "config": dict(sorted(config.items())),
         "partitions_committed": len(recs),
         "totals": {
-            k: sum(r[k] for r in recs)
+            # .get: a resumed run may roll up partitions committed by an
+            # older build whose lineage predates a counter
+            k: sum(r.get(k, 0) for r in recs)
             for k in ("n_urls", "n_ok", "n_salvaged", "n_fallback",
-                      "n_failed", "blocks_kept", "blocks_dropped",
-                      "bytes_in", "bytes_out")
+                      "n_failed", "n_image_only", "blocks_kept",
+                      "blocks_dropped", "bytes_in", "bytes_out")
         },
     }
     path = os.path.join(out_dir, "run_manifest.json")
