@@ -462,6 +462,19 @@ def doc_chunks(sf_dir: str, max_tokens: int = 64):
     )
 
 
+def doc_chunks_flat(sf_dir: str, max_tokens: int = 64):
+    """Oracle-facing projection of ``doc_chunks``: the scalar chunk
+    columns whose DuckDB twin reproduces the chunker EXACTLY on this
+    corpus (single-spaced ASCII words ⇒ the sentence rung never fires
+    and ``_hard_split``'s midpoint/rfind ladder is a recursive CTE —
+    see the ``doc_chunks`` entry in ``oracle_sql``).  blake2b
+    ``text_hash`` and the nested span/geometry columns are not
+    SQL-expressible; they stay pytest-covered (tests/test_chunk_*)."""
+    return doc_chunks(sf_dir, max_tokens=max_tokens).select_columns(
+        ["url", "chunk_id", "chunk_text", "token_count", "char_length",
+         "resplit_of"])
+
+
 # ---------------------------------------------------------------------------
 # alias reconciliation (LLM-free fuzzy rung; rows-only)
 
