@@ -394,6 +394,9 @@ def _is_bad_name(value: str) -> bool:
 
 DOCSTRING_WINDOW = 240          # the Phase-1 docstring window (linter.py:85)
 MIN_IDENTITY_EXAMPLES = 2
+#: field normalizer gates (reference spec.py:144): renderer emits a
+#: never-reject ``mode="before"`` validator per gate
+NORMALIZERS = frozenset(("none", "currency", "numeric", "string_list"))
 
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 _NOT_RE = re.compile(r"\bnot\b", re.IGNORECASE)
@@ -421,16 +424,31 @@ def _is_forbidden_description(sentence: str) -> bool:
         or any(p in low for p in _GLOBAL_RULE_PHRASES)
 
 
+def _is_cardinality_sentence(sentence: str) -> bool:
+    return (any(c.isdigit() for c in sentence)
+            or any(p in sentence.lower() for p in _CARDINALITY_PHRASES))
+
+
 def _docstring_reordered(docstring: str) -> str:
     """Sentences reordered IS → IS-NOT → cardinality (the reference's R4
     window-packing heuristic: discriminating IS content first)."""
     sents = _sentences(docstring)
     is_not = [s for s in sents if _NOT_RE.search(s)]
     card = [s for s in sents if s not in is_not
-            and (any(c.isdigit() for c in s)
-                 or any(p in s.lower() for p in _CARDINALITY_PHRASES))]
+            and _is_cardinality_sentence(s)]
     is_bucket = [s for s in sents if s not in is_not and s not in card]
     return " ".join(is_bucket + is_not + card)
+
+
+def _identity_rank(field: dict, position: int) -> tuple:
+    """R1 identity-trim order (reference linter.py _identity_rank):
+    digit-bearing examples first, then shortest example, then original
+    position — "kept the digit-bearing/shortest-example ids"."""
+    examples = [str(e) for e in (field.get("examples") or [])
+                if isinstance(e, (str, int, float))]
+    has_digit = any(any(c.isdigit() for c in e) for e in examples)
+    shortest = min((len(e) for e in examples), default=float("inf"))
+    return (0 if has_digit else 1, shortest, position)
 
 
 def lint_spec(spec: dict) -> list[dict]:
@@ -459,6 +477,11 @@ def lint_spec(spec: dict) -> list[dict]:
             finding("E04", e["name"], "enum name is not a safe identifier")
         if not e.get("members"):
             finding("E08", e["name"], "enum has no members")
+        members = {str(v) for v in e.get("members", [])}
+        for member in sorted(e.get("synonyms") or {}):
+            if str(member) not in members:
+                finding("E14", f"{e['name']}.{member}",
+                        "enum synonyms name an undeclared member")
 
     for m in spec.get("models", []):
         where = m["name"]
@@ -505,6 +528,16 @@ def lint_spec(spec: dict) -> list[dict]:
             if f.get("closed_catalog") and not f.get("reference"):
                 finding("E12", fwhere,
                         "closed_catalog requires a reference edge field")
+            norm = f.get("normalizer", "none") or "none"
+            if norm not in NORMALIZERS:
+                finding("E13", fwhere, f"unknown normalizer {norm!r}")
+            elif norm != "none" and (f.get("role") == "identity"
+                                     or f["name"] in identity):
+                # reference R2: identity values copy verbatim — the gate
+                # would rewrite them (repair clears it)
+                finding("W10", fwhere,
+                        "identity field carries a normalizer gate "
+                        "(identity values are copied verbatim)")
             desc = f.get("description") or ""
             bad = [s for s in _sentences(desc)
                    if _is_forbidden_description(s)]
@@ -546,6 +579,29 @@ def lint_spec(spec: dict) -> list[dict]:
                     f"docstring overruns the {DOCSTRING_WINDOW}-char "
                     "Phase-1 window (sentences reorder IS -> IS-NOT -> "
                     f"cardinality); window: {doc[:DOCSTRING_WINDOW]!r}")
+        # reference R13: a cardinality bound must be visible to Phase-1
+        # discovery as a docstring sentence
+        if (m.get("max_instances") and m.get("kind") != "component"
+                and not any(_is_cardinality_sentence(s)
+                            for s in _sentences(doc))):
+            documented = max(1, int(m["max_instances"]) // 2) \
+                if m.get("max_instances_documented") is None \
+                else int(m["max_instances_documented"])
+            finding("W11", where,
+                    f"max_instances={m['max_instances']} without a "
+                    "cardinality sentence in the docstring — repair "
+                    f"injects 'At most {documented} expected per "
+                    "document.'")
+
+    # reference R1: an identity-less root gets a synthesized
+    # document_reference identity on repair (never invented per-entity
+    # ids — the root is the one class with a printed-reference fallback)
+    root_decl = next((m for m in spec.get("models", [])
+                      if m["name"] == root), None)
+    if root_decl is not None and not root_decl.get("identity"):
+        finding("W12", str(root),
+                "identity-less root — repair synthesizes a "
+                "'document_reference' identity field")
 
     # identity-less root list fields → dedup validator scheduled (R19)
     root_m = next((m for m in spec.get("models", []) if m["name"] == root),
@@ -602,15 +658,120 @@ def repair_spec(spec: dict) -> tuple[dict, list[str]]:
                     f"renamed field {m['name']}.{f['name']!r} -> {new!r}")
                 f["name"] = new
         m["identity"] = [field_renames.get(i, i) for i in m.get("identity", [])]
-        if len(m["identity"]) > MAX_IDENTITY_FIELDS:
-            dropped = m["identity"][MAX_IDENTITY_FIELDS:]
-            m["identity"] = m["identity"][:MAX_IDENTITY_FIELDS]
-            actions.append(f"dropped identity overflow on {m['name']}: "
-                           f"{dropped}")
+
+    # --- induction repair rungs (reference linter.py repair_draft /
+    # _predraft_identity, cited per rung) --------------------------------
+    for m in spec.get("models", []):
+        by_name = {f["name"]: f for f in m.get("fields", [])}
+        # IR rung: missing/invalid kind defaults by identity evidence
+        if m.get("kind") not in ("root", "entity", "component"):
+            m["kind"] = "entity" if m.get("identity") else "component"
+            actions.append(f"defaulted missing kind of {m['name']} to "
+                           f"{m['kind']!r}")
+        # R1 rung: identity names an undeclared field — dropped
+        declared = [i for i in m.get("identity", []) if i in by_name]
+        if declared != m.get("identity", []):
+            dropped = [i for i in m.get("identity", []) if i not in by_name]
+            actions.append(f"dropped undeclared identity fields on "
+                           f"{m['name']}: {dropped}")
+            m["identity"] = declared
+        # R1 rung: components carry no identity / max_instances
+        if m.get("kind") == "component":
+            if m.get("identity"):
+                for i in m["identity"]:
+                    by_name[i]["role"] = "property"
+                m["identity"] = []
+                actions.append(f"cleared identity on component {m['name']} "
+                               "(roles demoted to property)")
+            if m.get("max_instances") is not None:
+                m.pop("max_instances", None)
+                actions.append(f"cleared max_instances on component "
+                               f"{m['name']}")
+        # R1 rung: identity-less ROOT synthesizes document_reference
+        # (a real printed identity beats the filename fallback,
+        # linter.py _predraft_synthesize_root_identity)
+        if m["name"] == spec.get("root") and not m.get("identity"):
+            f = by_name.get("document_reference")
+            if f is None:
+                f = {"name": "document_reference", "type": "str",
+                     "is_list": False, "optional": False,
+                     "description": "Identifier printed on the document, "
+                     "e.g. reference number or title.",
+                     "examples": [], "role": "identity",
+                     "edge_label": None, "reference": False}
+                m["fields"] = [f] + list(m.get("fields", []))
+                by_name[f["name"]] = f
+            else:
+                f["role"] = "identity"
+                f["type"] = "str"
+                f["is_list"] = False
+            m["identity"] = ["document_reference"]
+            actions.append(f"synthesized document_reference identity on "
+                           f"identity-less root {m['name']}")
+        # R2 rung: identity is scalar, non-list, un-normalized, never an
+        # edge (linter.py _predraft_retype_identity)
+        for i in m.get("identity", []):
+            f = by_name[i]
+            if f.get("is_list"):
+                f["is_list"] = False
+                actions.append(f"cleared is_list on identity "
+                               f"{m['name']}.{i}")
+            if f.get("type") not in SCALAR_TYPES:
+                actions.append(f"retyped identity {m['name']}.{i} from "
+                               f"{f.get('type')!r} to 'str'")
+                f["type"] = "str"
+            if (f.get("normalizer") or "none") != "none":
+                f["normalizer"] = "none"
+                actions.append(f"cleared normalizer on identity "
+                               f"{m['name']}.{i} (values copy verbatim)")
+            if f.get("edge_label") or f.get("reference") \
+                    or f.get("closed_catalog"):
+                f["edge_label"] = None
+                f["reference"] = False
+                f.pop("closed_catalog", None)
+                actions.append(f"cleared edge markers on identity "
+                               f"{m['name']}.{i}")
+            f["role"] = "identity"
+        # R1 rung: identity overflow trims to the BEST two — digit-
+        # bearing examples first, then shortest example (linter.py
+        # _identity_rank), not positionally
+        if len(m.get("identity", [])) > MAX_IDENTITY_FIELDS:
+            ranked = sorted(
+                m["identity"],
+                key=lambda n: _identity_rank(by_name[n],
+                                             m["identity"].index(n)))
+            keep = ranked[:MAX_IDENTITY_FIELDS]
+            dropped = [i for i in m["identity"] if i not in keep]
+            for i in dropped:
+                by_name[i]["role"] = "property"
+            m["identity"] = [i for i in m["identity"] if i in keep]
+            actions.append(f"trimmed identity overflow on {m['name']} to "
+                           f"the digit-bearing/shortest ids: kept "
+                           f"{m['identity']}, demoted {dropped}")
         if m.get("kind") == "entity" and not m["identity"]:
             m["kind"] = "component"
+            m.pop("max_instances", None)
             actions.append(f"demoted identity-less entity {m['name']} "
                            "to component")
+        # R13 rung: double the documented max_instances ONCE (discovery
+        # overshoot headroom, linter.py repair_draft contract) and make
+        # the documented figure visible as a docstring sentence
+        mi = m.get("max_instances")
+        if (isinstance(mi, int) and not isinstance(mi, bool) and mi >= 1
+                and m.get("kind") != "component"):
+            if m.get("max_instances_documented") is None:
+                m["max_instances_documented"] = mi
+                m["max_instances"] = mi * 2
+                actions.append(f"doubled documented max_instances of "
+                               f"{m['name']} ({mi} -> {mi * 2}) for "
+                               "discovery headroom")
+            doc = str(m.get("docstring") or "")
+            if not any(_is_cardinality_sentence(s) for s in _sentences(doc)):
+                sentence = (f"At most {m['max_instances_documented']} "
+                            "expected per document.")
+                m["docstring"] = f"{doc.rstrip()} {sentence}".strip()
+                actions.append(f"injected cardinality sentence into "
+                               f"{m['name']} docstring: {sentence!r}")
 
     # prose hygiene + identity honesty + root-list dedup (reference
     # linter.py R4/R16/R6/R5/R19 semantics)
@@ -703,6 +864,98 @@ def _enum_member_name(value: object, used: set[str]) -> str:
     return name
 
 
+def _enum_validator(field: str, enum_name: str, is_list: bool) -> str:
+    """``mode="before"`` delegation to the gate; the list variant
+    normalizes every item so case/synonym variants in a list never raise
+    (reference snippets.py:126-146)."""
+    if is_list:
+        return (
+            f'    @field_validator("{field}", mode="before")\n'
+            f"    @classmethod\n"
+            f"    def _normalize_{field}(cls, v: Any) -> Any:\n"
+            f'        """Map free-text list items onto {enum_name} '
+            f'members (falls back to OTHER)."""\n'
+            f"        if isinstance(v, list):\n"
+            f"            return [_normalize_enum({enum_name}, item) "
+            f"for item in v]\n"
+            f"        return _normalize_enum({enum_name}, v)"
+        )
+    return (
+        f'    @field_validator("{field}", mode="before")\n'
+        f"    @classmethod\n"
+        f"    def _normalize_{field}(cls, v: Any) -> Any:\n"
+        f'        """Map free-text values onto {enum_name} members '
+        f'(falls back to OTHER)."""\n'
+        f"        return _normalize_enum({enum_name}, v)"
+    )
+
+
+def _normalizer_validator(field: str, norm: str) -> str:
+    """Never-reject coercion gates (reference snippets.py:151-210
+    semantics): currency symbols/casing → ISO-4217-shaped codes; numeric
+    strings ('1 500,00', '$1,500.00') → float or None; bare/comma
+    strings → list."""
+    if norm == "currency":
+        return (
+            f'    @field_validator("{field}", mode="before")\n'
+            f"    @classmethod\n"
+            f"    def _normalize_{field}_currency(cls, v: Any) -> Any:\n"
+            f'        """Normalize currency symbols/casing to ISO 4217 '
+            f'codes; never rejects."""\n'
+            f"        if not v:\n"
+            f"            return v\n"
+            "        symbol_map = {'\\u20ac': 'EUR', '$': 'USD', "
+            "'\\u00a3': 'GBP', '\\u00a5': 'JPY'}\n"
+            f"        v_str = str(v).strip()\n"
+            f"        if v_str in symbol_map:\n"
+            f"            return symbol_map[v_str]\n"
+            f"        v_upper = v_str.upper()\n"
+            f"        if len(v_upper) == 3 and v_upper.isalpha():\n"
+            f"            return v_upper\n"
+            f"        logger.warning('Currency %r does not match ISO 4217 "
+            f"format; kept as %r', v, v_upper)\n"
+            f"        return v_upper"
+        )
+    if norm == "numeric":
+        return (
+            f'    @field_validator("{field}", mode="before")\n'
+            f"    @classmethod\n"
+            f"    def _coerce_{field}_numeric(cls, v: Any) -> Any:\n"
+            f'        """Coerce numeric strings to float; unparseable '
+            f'values drop to None (never rejects)."""\n'
+            f"        if not isinstance(v, str):\n"
+            f"            return v\n"
+            f"        cleaned = re.sub(r'[^\\d,.\\-]', '', v)\n"
+            f"        if ',' in cleaned:\n"
+            f"            if re.search(r',\\d\\d?$', cleaned):\n"
+            f"                cleaned = cleaned.replace('.', '')"
+            f".replace(',', '.')\n"
+            f"            else:\n"
+            f"                cleaned = cleaned.replace(',', '')\n"
+            f"        try:\n"
+            f"            return float(cleaned)\n"
+            f"        except ValueError:\n"
+            f"            logger.warning('Could not parse numeric value "
+            f"%r; dropping it', v)\n"
+            f"            return None"
+        )
+    # string_list
+    return (
+        f'    @field_validator("{field}", mode="before")\n'
+        f"    @classmethod\n"
+        f"    def _coerce_{field}_list(cls, v: Any) -> Any:\n"
+        f'        """Accept bare or comma-separated strings as lists."""\n'
+        f"        if isinstance(v, str):\n"
+        f"            if ',' in v:\n"
+        f"                return [p.strip() for p in v.split(',') "
+        f"if p.strip()]\n"
+        f"            return [v]\n"
+        f"        if v is None:\n"
+        f"            return []\n"
+        f"        return v"
+    )
+
+
 def render_template(spec: dict) -> str:
     """Spec -> Python module source.  Pure function of the spec: stable
     ordering (enums alphabetical, models dependency-first with the root
@@ -734,6 +987,14 @@ def render_template(spec: dict) -> str:
     if root in model_by_name:
         visit(root)
 
+    enums_by_name = {e["name"]: e for e in spec.get("enums", [])}
+    has_enums = bool(enums_by_name)
+    has_normalizers = any(
+        (f.get("normalizer") or "none") != "none"
+        for m in spec.get("models", []) for f in m.get("fields", [])
+    )
+    has_validators = has_enums or has_normalizers
+
     lines: list[str] = []
     emit = lines.append
     emit('"""' + (spec.get("docstring") or spec.get("name", "template")) +
@@ -744,11 +1005,24 @@ def render_template(spec: dict) -> str:
     # exec'd in a scratch namespace where lazy string annotations cannot
     # be resolved by pydantic; dependency-first ordering makes eager
     # annotation evaluation safe (cycles are refused above).
+    if has_validators:
+        emit("import logging")
+        emit("import re")
     emit("from datetime import date, datetime")
     emit("from enum import Enum")
-    emit("from typing import Any, List, Optional")
+    if has_enums:
+        emit("from typing import Any, List, Optional, Type")
+    else:
+        emit("from typing import Any, List, Optional")
     emit("")
-    emit("from pydantic import BaseModel, ConfigDict, Field")
+    if has_validators:
+        emit("from pydantic import BaseModel, ConfigDict, Field, "
+             "field_validator")
+    else:
+        emit("from pydantic import BaseModel, ConfigDict, Field")
+    if has_validators:
+        emit("")
+        emit("logger = logging.getLogger(__name__)")
     emit("")
     emit("")
     emit("def edge(label: str, default: Any = None, *, reference: bool = "
@@ -763,6 +1037,36 @@ def render_template(spec: dict) -> str:
     emit("    if 'default_factory' in kwargs:")
     emit("        return Field(json_schema_extra=extra, **kwargs)")
     emit("    return Field(default, json_schema_extra=extra, **kwargs)")
+
+    if has_enums:
+        # the enum normalizer gate (reference snippets.py:101-122,
+        # NORMALIZE_ENUM_HELPER semantics re-derived): accept enum
+        # instances, member names or value strings in any casing /
+        # punctuation; unmapped values fall back to OTHER instead of
+        # rejecting — the never-raise law of the salvage ladder applied
+        # to codegen
+        emit("")
+        emit("")
+        emit("def _normalize_enum(enum_cls: Type[Enum], v: Any) -> Any:")
+        emit('    """Map free-text values onto enum members; fall back '
+             'to OTHER (never raises)."""')
+        emit("    if isinstance(v, enum_cls):")
+        emit("        return v")
+        emit("    if isinstance(v, str):")
+        emit("        key = re.sub(r'[^A-Za-z0-9]+', '', v).lower()")
+        emit("        mapping = {}")
+        emit("        for member in enum_cls:")
+        emit("            mapping[re.sub(r'[^A-Za-z0-9]+', '', "
+             "member.name).lower()] = member")
+        emit("            mapping[re.sub(r'[^A-Za-z0-9]+', '', "
+             "str(member.value)).lower()] = member")
+        emit("        if key in mapping:")
+        emit("            return mapping[key]")
+        emit("    if 'OTHER' in enum_cls.__members__:")
+        emit("        logger.warning('Unmapped enum value %r for %s; "
+             "falling back to OTHER', v, enum_cls.__name__)")
+        emit("        return enum_cls.OTHER")
+        emit("    return v")
 
     for e in sorted(spec.get("enums", []), key=lambda e: e["name"]):
         emit("")
@@ -798,14 +1102,23 @@ def render_template(spec: dict) -> str:
                 f"graph_root_list_dedup={sorted(m['root_list_dedup'])!r}")
         emit(f"    model_config = ConfigDict({', '.join(cfg)})")
         emit("")
+        validators: list[str] = []
         for f in m.get("fields", []):
             py = _SCALAR_PY.get(f["type"], f["type"])
             ann = f"List[{py}]" if f["is_list"] else py
             optional = f.get("optional", True)
-            if optional and not f["is_list"]:
+            enum_decl = enums_by_name.get(f["type"])
+            enum_other = bool(enum_decl and enum_decl.get("include_other",
+                                                          True))
+            if optional and not f["is_list"] and not enum_other:
                 ann = f"Optional[{ann}]"
             if f["is_list"]:
                 default = "Field(default_factory=list)"
+            elif enum_other and f.get("role") != "edge":
+                # enum fields with the OTHER safety net default to OTHER,
+                # not None (reference renderer.py:497-505): absent or
+                # unmapped values both land on the safety member
+                default = f"{f['type']}.OTHER"
             else:
                 default = "None" if optional else None  # required: no default
             if f.get("role") == "edge":
@@ -825,9 +1138,33 @@ def render_template(spec: dict) -> str:
             line = f"    {f['name']}: {ann}"
             if default is not None:
                 line += f" = {default}"
-            if f.get("description"):
-                line += f"  # {f['description']}"
+            desc = str(f.get("description") or "")
+            if enum_decl and enum_decl.get("synonyms"):
+                # synonyms ride the field description (reference
+                # renderer.py _effective_description): prose for the
+                # extractor, while the gate maps names/values
+                mappings = "; ".join(
+                    f"'{syn}' -> '{member}'"
+                    for member in enum_decl["members"]
+                    for syn in enum_decl["synonyms"].get(str(member), [])
+                )
+                if mappings:
+                    desc = f"{desc} Synonyms: map {mappings}.".strip()
+            if desc:
+                line += f"  # {' '.join(desc.split())}"
             emit(line)
+            # per-field normalizer gates (reference snippets.py:126-210
+            # templates re-derived; emission order matches the field list)
+            if enum_decl:
+                validators.append(_enum_validator(f["name"], f["type"],
+                                                  f["is_list"]))
+            norm = f.get("normalizer") or "none"
+            if norm != "none":
+                validators.append(_normalizer_validator(f["name"], norm))
+        for block in validators:
+            emit("")
+            for vline in block.splitlines():
+                emit(vline)
         if not m.get("fields"):
             emit("    pass")
     emit("")

@@ -241,7 +241,10 @@ def test_render_max_instances_and_closed_catalog():
         "name": "t", "docstring": "d", "root": "Root", "enums": [],
         "models": [
             {"name": "Root", "kind": "root", "identity": ["name"],
-             "docstring": "", "max_instances": 3, "fields": [
+             # the cardinality sentence keeps R13/W11 quiet (a bound must
+             # be visible to Phase-1 discovery as docstring prose)
+             "docstring": "At most 3 expected per document.",
+             "max_instances": 3, "fields": [
                  {"name": "name", "type": "str", "is_list": False,
                   "optional": False, "role": "identity",
                   "edge_label": None, "reference": False},
@@ -397,3 +400,203 @@ def test_render_root_list_dedup_marker():
     fixed, _ = repair_spec(spec)
     classes = verify_template_source(render_template(fixed))
     assert classes["R"].model_config["graph_root_list_dedup"] == ["tags"]
+
+
+def test_enum_normalizer_gate():
+    """Rendered enum fields accept free-text casing/punctuation variants
+    and fall back to OTHER — the never-reject gate (reference
+    snippets.py:101-146, renderer.py:578-606)."""
+    from docling_graph_ray.templategen import (
+        render_template, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Doc",
+        "enums": [{"name": "LoanStatus", "members": ["on_loan", "returned"],
+                   "include_other": True,
+                   "synonyms": {"on_loan": ["checked out"]}}],
+        "models": [
+            {"name": "Doc", "kind": "root", "identity": ["name"],
+             "docstring": "", "fields": [
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "status", "type": "LoanStatus", "is_list": False,
+                  "optional": True, "role": "property",
+                  "description": "Loan state.",
+                  "edge_label": None, "reference": False},
+                 {"name": "states", "type": "LoanStatus", "is_list": True,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    src = render_template(spec)
+    assert src == render_template(spec)  # deterministic
+    assert "Synonyms: map 'checked out' -> 'on_loan'." in src
+    classes = verify_template_source(src)
+    doc = classes["Doc"]
+    # member-name, value, casing and punctuation variants all map
+    assert doc(name="x", status="ON_LOAN").status.value == "on_loan"
+    assert doc(name="x", status="On-Loan").status.value == "on_loan"
+    assert doc(name="x", status="returned").status.value == "returned"
+    # unmapped → OTHER, absent → OTHER (the safety-net default)
+    assert doc(name="x", status="lost??").status.name == "OTHER"
+    assert doc(name="x").status.name == "OTHER"
+    # list variant normalizes each item
+    got = doc(name="x", states=["RETURNED", "nope"]).states
+    assert [s.name for s in got] == ["RETURNED", "OTHER"]
+
+
+def test_field_normalizer_gates():
+    """currency / numeric / string_list before-validators (reference
+    snippets.py:151-210): never reject, coerce or drop."""
+    from docling_graph_ray.templategen import (
+        render_template, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Inv", "enums": [],
+        "models": [
+            {"name": "Inv", "kind": "root", "identity": ["ref"],
+             "docstring": "", "fields": [
+                 {"name": "ref", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "currency", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "normalizer": "currency",
+                  "edge_label": None, "reference": False},
+                 {"name": "total", "type": "float", "is_list": False,
+                  "optional": True, "role": "property",
+                  "normalizer": "numeric",
+                  "edge_label": None, "reference": False},
+                 {"name": "tags", "type": "str", "is_list": True,
+                  "optional": True, "role": "property",
+                  "normalizer": "string_list",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    classes = verify_template_source(render_template(spec))
+    inv = classes["Inv"]
+    assert inv(ref="1", currency="€").currency == "EUR"
+    assert inv(ref="1", currency="usd").currency == "USD"
+    assert inv(ref="1", total="$1,500.00").total == 1500.0
+    assert inv(ref="1", total="1 500,00").total == 1500.0
+    assert inv(ref="1", total="n/a").total is None  # dropped, not raised
+    assert inv(ref="1", tags="a, b").tags == ["a", "b"]
+    assert inv(ref="1", tags="solo").tags == ["solo"]
+
+
+def test_lint_normalizer_and_synonym_rules():
+    from docling_graph_ray.templategen import lint_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "M",
+        "enums": [{"name": "E", "members": ["a"],
+                   "synonyms": {"ghost": ["g"]}}],
+        "models": [
+            {"name": "M", "kind": "root", "identity": ["rid"],
+             "docstring": "", "fields": [
+                 {"name": "rid", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "normalizer": "currency",
+                  "edge_label": None, "reference": False},
+                 {"name": "x", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "normalizer": "bogus",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    codes = {f["code"] for f in lint_spec(spec)}
+    assert "E14" in codes  # synonyms name an undeclared member
+    assert "E13" in codes  # unknown normalizer
+    assert "W10" in codes  # normalizer on an identity field
+
+
+def test_repair_identity_rungs():
+    """The reference repair_draft rungs (linter.py:1838-1955): trim to
+    the digit-bearing/shortest two, retype/descale/denormalize identity,
+    strip component identity+max_instances, synthesize root identity."""
+    from docling_graph_ray.templategen import lint_spec, repair_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Doc",
+        "enums": [{"name": "Kind", "members": ["a", "b"]}],
+        "models": [
+            # identity-less root → document_reference synthesized
+            {"name": "Doc", "kind": "root", "identity": [],
+             "docstring": "", "fields": [
+                 {"name": "note", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+            # 3 identity fields: 'code' digit-bearing (kept first),
+            # 'name' shortest digit-free, 'title' longest → demoted
+            {"name": "Part", "kind": "entity",
+             "identity": ["title", "name", "code"],
+             "docstring": "", "fields": [
+                 {"name": "title", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "examples": ["a very long part title"],
+                  "edge_label": None, "reference": False},
+                 {"name": "name", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "examples": ["bolt"],
+                  "edge_label": None, "reference": False},
+                 {"name": "code", "type": "Kind", "is_list": True,
+                  "optional": False, "role": "identity",
+                  "examples": ["X-42"], "normalizer": "numeric",
+                  "edge_label": None, "reference": False}]},
+            # component with identity + max_instances → both stripped
+            {"name": "Box", "kind": "component", "identity": ["bid"],
+             "max_instances": 4,
+             "docstring": "", "fields": [
+                 {"name": "bid", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    repaired, actions = repair_spec(spec)
+    models = {m["name"]: m for m in repaired["models"]}
+
+    doc = models["Doc"]
+    assert doc["identity"] == ["document_reference"]
+    assert doc["fields"][0]["name"] == "document_reference"
+
+    part = models["Part"]
+    assert part["identity"] == ["name", "code"]  # digit-bearing + shortest
+    code = {f["name"]: f for f in part["fields"]}["code"]
+    assert code["type"] == "str" and code["is_list"] is False
+    assert code.get("normalizer", "none") in ("none", None)
+    title = {f["name"]: f for f in part["fields"]}["title"]
+    assert title["role"] == "property"
+
+    box = models["Box"]
+    assert box["identity"] == [] and "max_instances" not in box
+    assert {f["name"]: f for f in box["fields"]}["bid"]["role"] == "property"
+
+    # repaired spec carries no E-findings
+    assert not [f for f in lint_spec(repaired) if f["code"].startswith("E")]
+
+
+def test_repair_max_instances_doubles_once_and_injects_cardinality():
+    from docling_graph_ray.templategen import repair_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Doc", "enums": [],
+        "models": [
+            {"name": "Doc", "kind": "root", "identity": ["rid"],
+             "docstring": "Top-level record.", "max_instances": 3,
+             "fields": [
+                 {"name": "rid", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    r1, _ = repair_spec(spec)
+    doc = r1["models"][0]
+    assert doc["max_instances"] == 6              # doubled once
+    assert doc["max_instances_documented"] == 3
+    assert "At most 3 expected per document." in doc["docstring"]
+    r2, _ = repair_spec(r1)                       # idempotent
+    assert r2["models"][0]["max_instances"] == 6
+    assert r2["models"][0]["docstring"].count("At most 3") == 1
