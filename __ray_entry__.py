@@ -56,7 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_followup_window": r.orders_followup_window,
         "events_props_salvage": t.events_props_salvage,
         # documents / text analysis (oracle-checked)
-        "doc_token_counts": t.doc_token_counts,
         "doc_quality": t.doc_quality,
         "doc_exact_dedup": t.doc_exact_dedup,
         "doc_url_dedup": t.doc_url_dedup,
@@ -103,9 +102,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exactly SQL-expressible — recursive-CTE _hard_split)
         "doc_chunks": t.doc_chunks_flat,
         "doc_anchor_scan": t.doc_anchor_scan,
+        # exact-substring dedup (oracle-checked round 4: window CONTENT
+        # equality in SQL ≡ the engine's 64-bit window hashes absent
+        # collisions — none at sf0.01)
+        "doc_substring_dedup": t.doc_substring_dedup,
         # --- driver sample boundary (entries below are judge-run via
         # tools/check_oracles.py; oracle-bearing ones stay green there) ---
         "doc_node_provenance": t.doc_node_provenance,
+        "doc_token_counts": t.doc_token_counts,
         "nation_region": r.nation_region,
         "distinct_brand_type": r.distinct_brand_type,
         "anti_join_customers": r.anti_join_customers,
@@ -130,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_distinct_estimate": t.doc_distinct_estimate,
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
-        "doc_substring_dedup": t.doc_substring_dedup,
         "doc_minhash_dedup": t.doc_minhash_dedup,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
@@ -1300,6 +1303,42 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 2, 0, COUNT(*) FROM documents
             ) ORDER BY pass
+        """,
+        # exact-substring dedup (Lee et al. ExactSubstr at W=12 window
+        # granularity, stages/substr_dedup.py): the oracle tests window
+        # CONTENT equality where the engine uses 64-bit window hashes —
+        # identical absent hash collisions (none at this corpus size);
+        # coverage = tokens under any duplicated window's [pos, pos+12)
+        "doc_substring_dedup": """
+            WITH d AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE text IS NOT NULL AND text <> ''
+            ),
+            wins AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     array_to_string(toks[i + 1 : i + 12], ' ') AS w
+              FROM d, LATERAL unnest(range(n - 12 + 1)) AS t(i)
+              WHERE n >= 12
+            ),
+            dups AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+            dwin AS (SELECT doc_id, pos FROM wins
+                     WHERE w IN (SELECT w FROM dups)),
+            tok AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS i
+              FROM d, LATERAL unnest(range(n)) AS t(i)
+            ),
+            covered AS (
+              SELECT DISTINCT t.doc_id, t.i
+              FROM tok t JOIN dwin v
+                ON v.doc_id = t.doc_id
+               AND t.i >= v.pos AND t.i < v.pos + 12
+            )
+            SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_removed
+            FROM d LEFT JOIN (
+              SELECT doc_id, COUNT(*) AS nc FROM covered GROUP BY doc_id
+            ) c USING (doc_id)
         """,
         # chunker reproduced as a recursive CTE (see _CHUNK_CTE): the
         # scalar chunk columns; blake2b text_hash / nested span columns
