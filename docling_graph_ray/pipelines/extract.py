@@ -432,19 +432,53 @@ def _auto_concurrency() -> tuple[int, int]:
     return (n, n)
 
 
-def _lanes(classified, pdf_concurrency, shuffle_codec: str | None = None):
+def _resolve_parser(parser_cls, shuffle_codec: str | None):
+    """Duck-typed backend injection (the reference's
+    ``PipelineConfig.llm_client`` protocol injection, config.py:161-165 +
+    protocols.py:239-283, re-expressed for the actor stage): a custom
+    class slots in where ``ExtractActor`` goes, validated structurally
+    WITHOUT instantiating on the driver (its ``__init__`` may load a
+    model stack).  Returns ``(cls, fn_constructor_kwargs)``."""
+    import inspect
+
+    from docling_graph_ray.state.protocols import stage_class_defines_call
+
+    if parser_cls is None:
+        return ExtractActor, {"shuffle_codec": shuffle_codec}
+    if not stage_class_defines_call(parser_cls):
+        raise TypeError(
+            f"{getattr(parser_cls, '__name__', parser_cls)!r} is not a "
+            "batch stage: it must be a class defining __call__(batch) "
+            "(see state.protocols.BatchStage)"
+        )
+    params = inspect.signature(parser_cls.__init__).parameters
+    if "shuffle_codec" in params:
+        return parser_cls, {"shuffle_codec": shuffle_codec}
+    if shuffle_codec:
+        raise TypeError(
+            f"{parser_cls.__name__} does not accept shuffle_codec= but "
+            f"the pipeline was asked for {shuffle_codec!r} payload "
+            "compression — add the kwarg (compress at flush, see "
+            "ExtractActor.__init__) or pass shuffle_codec=None"
+        )
+    return parser_cls, {}
+
+
+def _lanes(classified, pdf_concurrency, shuffle_codec: str | None = None,
+           parser_cls=None):
     """The extraction stage: one warm-actor pool, one pass, one parse per
     row.  ``batch_size`` bounds per-call input (~64 rows × ~0.25 MB avg
     html ≈ 8 MB on the heavy profile); small batches keep the task tail
     short — one coarse straggler task can dominate the whole run."""
     if pdf_concurrency is None:
         pdf_concurrency = _auto_concurrency()
+    cls, ctor_kwargs = _resolve_parser(parser_cls, shuffle_codec)
     return classified.map_batches(
-        ExtractActor,
+        cls,
         batch_format="pyarrow",
         batch_size=32,
         concurrency=pdf_concurrency,
-        fn_constructor_kwargs={"shuffle_codec": shuffle_codec},
+        fn_constructor_kwargs=ctor_kwargs,
     )
 
 
@@ -489,17 +523,22 @@ def extract_pages_dataset(
     giant_bytes: int = DEFAULT_GIANT_BYTES,
     pdf_concurrency=None,
     shuffle_codec: str | None = None,
+    parser_cls=None,
 ):
     """pages Dataset → extracted Dataset (NOT deduped; no shuffle).
 
     The narrow part of the pipeline, for callers that want the extracted
     rows themselves (queries, tests).  Pass ``shuffle_codec="zlib"`` when
     the result feeds a wide op (``dedup_extracted`` detects it and skips
-    its own compress pass)."""
+    its own compress pass).  ``parser_cls`` injects a custom extraction
+    backend (duck-typed, ``state.protocols.BatchStage``) in place of
+    ``ExtractActor`` — the reference's custom-backend protocol surface
+    (docling_graph/protocols.py:1-301; docs/usage/advanced/
+    custom-backends.md)."""
     classified = pages.map_batches(
         make_classifier(num_partitions, giant_bytes), batch_format="pyarrow"
     )
-    return _lanes(classified, pdf_concurrency, shuffle_codec)
+    return _lanes(classified, pdf_concurrency, shuffle_codec, parser_cls)
 
 
 def run_extract_pipeline(
@@ -511,6 +550,7 @@ def run_extract_pipeline(
     pdf_concurrency=None,
     resume: bool = True,
     shuffle_codec: str | None = "zlib",
+    parser_cls=None,
 ):
     """Full pipeline; returns the lineage Dataset (one row per partition).
 
@@ -536,7 +576,7 @@ def run_extract_pipeline(
 
     if shuffle_codec not in (None, "zlib"):
         raise ValueError(f"unknown shuffle_codec: {shuffle_codec!r}")
-    extracted = _lanes(classified, pdf_concurrency, shuffle_codec)
+    extracted = _lanes(classified, pdf_concurrency, shuffle_codec, parser_cls)
     finalizer = PartitionFinalizer(out_dir)
 
     def finalize_partition(group: pa.Table) -> pa.Table:

@@ -46,6 +46,42 @@ class Exporter(Protocol):
     def __call__(self, ds: Any, out_dir: str) -> Any: ...
 
 
+def is_batch_stage(obj: Any) -> bool:
+    """TypeGuard-style structural check (reference
+    docling_graph/protocols.py:239-283 ``is_vlm_backend`` /
+    ``is_llm_backend`` analogue): does the instance satisfy the
+    warm-actor batch contract?"""
+    return isinstance(obj, BatchStage)
+
+
+def is_document_parser(obj: Any) -> bool:
+    """Structural check for the binary-parser lane contract (the
+    ``PdfParseActor`` shape: batch ``__call__`` plus row-local
+    ``_parse_one``)."""
+    return isinstance(obj, DocumentParser)
+
+
+def get_stage_kind(obj: Any) -> str:
+    """Duck-typed dispatch tag (reference ``get_backend_type``,
+    protocols.py:270-283): 'document_parser' beats 'batch_stage' (it is
+    the narrower contract); anything else is 'unknown'."""
+    if is_document_parser(obj):
+        return "document_parser"
+    if is_batch_stage(obj):
+        return "batch_stage"
+    return "unknown"
+
+
+def stage_class_defines_call(cls: type) -> bool:
+    """Class-level structural probe that does NOT instantiate (a custom
+    parser's ``__init__`` may load a model stack — never run that on the
+    driver just to type-check): ``__call__`` must be defined somewhere
+    in the MRO above ``object``."""
+    return isinstance(cls, type) and any(
+        "__call__" in vars(k) for k in cls.__mro__ if k is not object
+    )
+
+
 def validate_stage(cls: type, *, batch: pa.Table | None = None) -> None:
     """Registry-time validation for a custom stage class: instantiable
     with no args (actor-pool contract) and structurally a BatchStage;
