@@ -203,6 +203,61 @@ def cmd_from_ontology(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lint(args: argparse.Namespace) -> int:
+    """Lint an EXISTING template module: import the root class, walk it
+    back into a spec (reverse.py semantics — lenient, findings not
+    crashes), and report what the rulebook would change (reference
+    ``docling-graph template lint`` / reverse.py spec_from_dotted_path).
+    Driver-side; no Ray session."""
+    import importlib
+    import sys as _sys
+    from pathlib import Path
+
+    from pydantic import BaseModel
+
+    from docling_graph_ray.templategen import (
+        lint_spec,
+        render_template,
+        spec_from_template,
+        verify_template_source,
+    )
+
+    module_path, _, class_name = args.target.rpartition(":")
+    if not module_path:
+        print("lint: target must be 'module_or_file:ClassName'",
+              file=sys.stderr)
+        return 2
+    if module_path.endswith(".py"):
+        # load the file as a scratch module (TemplateLoadingStage
+        # semantics: cwd temporarily importable)
+        spec_ns: dict = {}
+        source = Path(module_path).read_text(encoding="utf-8")
+        spec_ns = verify_template_source(source)
+        cls = spec_ns.get(class_name)
+    else:
+        _sys.path.insert(0, ".")
+        try:
+            mod = importlib.import_module(module_path)
+        finally:
+            _sys.path.pop(0)
+        cls = getattr(mod, class_name, None)
+    if not (isinstance(cls, type) and issubclass(cls, BaseModel)):
+        print(f"lint: {args.target!r} is not a BaseModel class",
+              file=sys.stderr)
+        return 2
+    spec, findings = spec_from_template(cls)
+    errors = [f for f in lint_spec(spec) if f["code"].startswith("E")]
+    for line in findings:
+        print(f"  note  {line}")
+    for f in errors:
+        print(f"  ERROR {f['code']} {f['where']}: {f['message']}")
+    if args.out:
+        Path(args.out).write_text(render_template(spec), encoding="utf-8")
+        print(f"lint: repaired re-render → {args.out}")
+    print(f"lint: {len(findings)} findings, {len(errors)} errors")
+    return 1 if errors else 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     # pure driver-side composition (graph.json exports are small); no Ray
     from docling_graph_ray.merge import merge_graph_files
@@ -284,6 +339,14 @@ def main(argv: list[str] | None = None) -> int:
     onto.add_argument("--format", choices=("jsonschema", "linkml", "ttl"),
                       default=None, help="override format inference")
     onto.set_defaults(fn=cmd_from_ontology)
+
+    lt = sub.add_parser(
+        "lint", help="lint an existing template module (reverse → rules)")
+    lt.add_argument("target",
+                    help="'module_or_file.py:ClassName' root template")
+    lt.add_argument("--out", default=None,
+                    help="write the repaired re-render here")
+    lt.set_defaults(fn=cmd_lint)
 
     mg = sub.add_parser(
         "merge", help="merge graph.json exports (gate + re-key + split)")

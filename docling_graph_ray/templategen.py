@@ -1171,6 +1171,288 @@ def render_template(spec: dict) -> str:
     return "\n".join(lines)
 
 
+# ---------------------------------------------------------------------------
+# reverse flow: live template class → spec dict
+# (reference templategen/reverse.py:1-590 — existing/hand-written
+# templates walk back into a loose spec so the full rulebook judges
+# them; deliberately LENIENT: unrepresentable constructs become
+# findings, never crashes)
+
+
+_SCALAR_BY_TYPE = {str: "str", int: "int", float: "float", bool: "bool"}
+
+
+def _unwrap_annotation(annotation) -> tuple[object, bool, list[str]]:
+    """Peel Optional/List/Union/Annotated layers (reverse.py:123-165):
+    returns (core type, is_list, notes about unrepresentable layers)."""
+    import types
+    import typing
+
+    is_list = False
+    notes: list[str] = []
+    current = annotation
+    for _ in range(16):
+        origin = typing.get_origin(current)
+        if origin is not None and str(origin).endswith("Annotated"):
+            current = typing.get_args(current)[0]
+        elif origin is typing.Union or origin is types.UnionType:
+            args = [a for a in typing.get_args(current)
+                    if a is not type(None)]
+            if not args:
+                notes.append("annotation is None-only")
+                return (type(None), is_list, notes)
+            if len(args) > 1:
+                from pydantic import BaseModel
+                model_args = [a for a in args if isinstance(a, type)
+                              and issubclass(a, BaseModel)]
+                chosen = model_args[0] if model_args else args[0]
+                notes.append("multi-type union collapsed to "
+                             f"'{getattr(chosen, '__name__', chosen)}'")
+                current = chosen
+            else:
+                current = args[0]
+        elif origin in (list, set, tuple, frozenset):
+            if origin is not list:
+                notes.append(f"'{origin.__name__}' container treated as a "
+                             "list")
+            if is_list:
+                notes.append("nested list-of-list flattened to one list")
+            is_list = True
+            item_args = typing.get_args(current)
+            if not item_args:
+                return (str, is_list, notes)
+            current = item_args[0]
+        else:
+            return (current, is_list, notes)
+    notes.append("annotation nesting too deep to unwrap")
+    return (current, is_list, notes)
+
+
+def _extra_marker(field_info, key: str):
+    extra = getattr(field_info, "json_schema_extra", None)
+    if isinstance(extra, dict):
+        return extra.get(key)
+    return None
+
+
+def reverse_spec(template) -> tuple[dict, list[str]]:
+    """Walk a live root template class back into a spec dict
+    (reference reverse.py reverse_draft): model_config reads mirror the
+    converter's (``is_entity``, ``graph_id_fields``,
+    ``graph_max_instances`` — emitted as the DOCUMENTED ``raw // 2``
+    since live templates store the doubled bound and ``repair_spec``
+    doubles exactly once — ``graph_root_list_dedup``);
+    ``json_schema_extra`` markers exactly as the graph converter reads
+    them.  Descriptions render as comments in this engine's codegen, so
+    they are recovered only when present in ``FieldInfo.description``.
+    Returns ``(spec, findings)``; findings name every construct the
+    spec cannot represent."""
+    from datetime import date, datetime
+    from enum import Enum
+
+    from pydantic import BaseModel
+
+    findings: list[str] = []
+    models: list[dict] = []
+    enums: dict[int, dict] = {}
+    names: dict[int, str] = {}
+    taken: set[str] = set()
+    queue: list[type] = []
+    seen: set[int] = set()
+
+    scalar_by_type = dict(_SCALAR_BY_TYPE)
+    scalar_by_type[date] = "date"
+    scalar_by_type[datetime] = "datetime"
+
+    def assign_name(cls: type) -> str:
+        key = id(cls)
+        if key in names:
+            return names[key]
+        base = name = cls.__name__
+        i = 2
+        while name in taken:
+            name = f"{base}_{i}"
+            i += 1
+        if name != base:
+            findings.append(f"{base}: duplicate class name — renamed to "
+                            f"{name!r}")
+        names[key] = name
+        taken.add(name)
+        return name
+
+    def enqueue(cls: type) -> str:
+        nm = assign_name(cls)
+        if id(cls) not in seen:
+            seen.add(id(cls))
+            queue.append(cls)
+        return nm
+
+    def register_enum(cls: type) -> str:
+        key = id(cls)
+        if key in enums:
+            return enums[key]["name"]
+        nm = assign_name(cls)
+        members, include_other = [], False
+        for member in cls:
+            if member.name == "OTHER":
+                include_other = True
+                continue
+            if not isinstance(member.value, str):
+                findings.append(
+                    f"{nm}: enum member {member.name!r} has a non-string "
+                    f"value {member.value!r} — stringified")
+            members.append(str(member.value))
+        enums[key] = {"name": nm, "members": members,
+                      "include_other": include_other}
+        return nm
+
+    def cfg(cls: type, key: str, default):
+        config = getattr(cls, "model_config", {}) or {}
+        get = getattr(config, "get", None)
+        return get(key, default) if callable(get) else default
+
+    def reverse_field(model_name: str, fname: str, fi,
+                      identity: list[str]) -> dict:
+        where = f"{model_name}.{fname}"
+        core, is_list, notes = _unwrap_annotation(fi.annotation)
+        findings.extend(f"{where}: {n}" for n in notes)
+        if isinstance(core, type) and issubclass(core, BaseModel):
+            type_name = enqueue(core)
+            is_model = True
+        elif isinstance(core, type) and issubclass(core, Enum):
+            type_name = register_enum(core)
+            is_model = False
+        elif isinstance(core, type) and core in scalar_by_type:
+            type_name = scalar_by_type[core]
+            is_model = False
+        else:
+            shown = getattr(core, "__name__", None) or str(core)
+            findings.append(f"{where}: unknown scalar type {shown!r} — "
+                            "carried as 'str'")
+            type_name = "str"
+            is_model = False
+
+        extra = getattr(fi, "json_schema_extra", None)
+        if extra is not None and not isinstance(extra, dict):
+            findings.append(f"{where}: json_schema_extra is not a mapping "
+                            "(callable?) — edge markers unreadable")
+        label = _extra_marker(fi, "edge_label")
+        edge_label = label if isinstance(label, str) and label else None
+        reference = _extra_marker(fi, "graph_reference") is True
+        closed = bool(_extra_marker(fi, "reference_closed_catalog"))
+
+        if fname in identity:
+            role = "identity"
+            if edge_label or reference or closed:
+                findings.append(f"{where}: identity field carries edge "
+                                "markers — repair clears them")
+        elif edge_label is not None:
+            role = "edge"
+        else:
+            role = "property"
+            if is_model:
+                findings.append(f"{where}: model-typed field without "
+                                "edge() metadata — the converter falls "
+                                "back to the field name as edge label")
+            if reference or closed:
+                findings.append(f"{where}: reference markers without an "
+                                "edge_label")
+        if fi.is_required() and role != "identity":
+            findings.append(f"{where}: required non-identity field — the "
+                            "renderer emits non-identity fields "
+                            "Optional/defaulted")
+        examples = [str(e) for e in (getattr(fi, "examples", None) or [])]
+        if len(examples) > MAX_FIELD_EXAMPLES:
+            findings.append(f"{where}: {len(examples)} examples truncated "
+                            f"to {MAX_FIELD_EXAMPLES}")
+            examples = examples[:MAX_FIELD_EXAMPLES]
+        field = {
+            "name": fname, "type": type_name, "is_list": is_list,
+            "optional": not fi.is_required(),
+            "description": getattr(fi, "description", None) or "",
+            "examples": examples, "role": role,
+            "edge_label": edge_label, "reference": reference,
+        }
+        if closed:
+            field["closed_catalog"] = True
+        return field
+
+    root_name = enqueue(template)
+    while queue:
+        cls = queue.pop(0)
+        nm = assign_name(cls)
+        is_entity = cfg(cls, "is_entity", True)
+        kind = ("root" if cls is template
+                else ("component" if is_entity is False else "entity"))
+        raw_ids = cfg(cls, "graph_id_fields", [])
+        if not isinstance(raw_ids, (list, tuple)):
+            findings.append(f"{nm}: graph_id_fields is not a list "
+                            f"({raw_ids!r}) — ignored")
+            raw_ids = []
+        identity = []
+        for idn in raw_ids:
+            if not isinstance(idn, str):
+                findings.append(f"{nm}: non-string graph_id_fields entry "
+                                f"{idn!r} — dropped")
+            elif idn not in cls.model_fields:
+                findings.append(f"{nm}: graph_id_fields names undeclared "
+                                f"field {idn!r} — dropped")
+            elif idn not in identity:
+                identity.append(idn)
+        if kind == "component" and identity:
+            findings.append(f"{nm}: is_entity=False with graph_id_fields "
+                            "— repair clears it")
+        if kind == "entity" and not identity:
+            findings.append(f"{nm}: no graph_id_fields and not "
+                            "is_entity=False — repair demotes to "
+                            "component (never invent ids)")
+        model = {
+            "name": nm, "kind": kind,
+            "docstring": " ".join((cls.__doc__ or "").split()),
+            "identity": identity,
+            "fields": [reverse_field(nm, fn, fi, identity)
+                       for fn, fi in cls.model_fields.items()],
+        }
+        if not model["docstring"]:
+            findings.append(f"{nm}: class has no docstring")
+        raw_mi = cfg(cls, "graph_max_instances", None)
+        if raw_mi is not None:
+            if (not isinstance(raw_mi, int) or isinstance(raw_mi, bool)
+                    or raw_mi < 1):
+                findings.append(f"{nm}: graph_max_instances={raw_mi!r} is "
+                                "not a positive int — ignored")
+            else:
+                documented = max(1, raw_mi // 2)
+                if documented * 2 != raw_mi:
+                    findings.append(
+                        f"{nm}: graph_max_instances={raw_mi} is not an "
+                        f"even 2x bound — draft carries the documented "
+                        f"{documented} (re-renders as {documented * 2})")
+                model["max_instances"] = documented
+        dedup = cfg(cls, "graph_root_list_dedup", None)
+        if isinstance(dedup, (list, tuple)) and dedup:
+            model["root_list_dedup"] = [str(d) for d in dedup]
+        models.append(model)
+
+    spec = {
+        "name": f"{root_name.lower()}_template",
+        "docstring": " ".join((template.__doc__ or root_name).split()),
+        "root": root_name,
+        "enums": sorted(enums.values(), key=lambda e: e["name"]),
+        "models": models,
+    }
+    return spec, findings
+
+
+def spec_from_template(template) -> tuple[dict, list[str]]:
+    """Reverse + repair in one step (reference reverse.py
+    spec_from_template): the repair actions ARE the lint verdict for an
+    existing template — each states what the rulebook would change."""
+    draft, findings = reverse_spec(template)
+    repaired, actions = repair_spec(draft)
+    return repaired, findings + actions
+
+
 def verify_template_source(source: str) -> dict[str, type]:
     """Parse + execute the rendered source in a scratch namespace and
     return its BaseModel classes — the accept gate

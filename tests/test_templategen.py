@@ -600,3 +600,107 @@ def test_repair_max_instances_doubles_once_and_injects_cardinality():
     r2, _ = repair_spec(r1)                       # idempotent
     assert r2["models"][0]["max_instances"] == 6
     assert r2["models"][0]["docstring"].count("At most 3") == 1
+
+
+def test_reverse_spec_roundtrip():
+    """spec → render → live classes → reverse → repair → render is a
+    fixed point (reference reverse.py: generated templates flow SPEC →
+    renderer → Python; existing ones flow back for the rulebook)."""
+    from docling_graph_ray.templategen import (
+        render_template, repair_spec, reverse_spec, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "Invoice extraction template.",
+        "root": "Invoice",
+        "enums": [{"name": "Status", "members": ["open", "paid"],
+                   "include_other": True}],
+        "models": [
+            {"name": "Item", "kind": "entity", "identity": ["sku"],
+             "docstring": "One line item.", "fields": [
+                 {"name": "sku", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "qty", "type": "int", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+            {"name": "Invoice", "kind": "root", "identity": ["ref"],
+             "docstring": "Top-level invoice. At most 2 expected per "
+                          "document.",
+             "max_instances": 2, "max_instances_documented": 1,
+             "fields": [
+                 {"name": "ref", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "status", "type": "Status", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False},
+                 {"name": "items", "type": "Item", "is_list": True,
+                  "optional": True, "role": "edge",
+                  "edge_label": "HAS_ITEM", "reference": False}]},
+        ],
+    }
+    src1 = render_template(spec)
+    root = verify_template_source(src1)["Invoice"]
+
+    draft, findings = reverse_spec(root)
+    assert draft["root"] == "Invoice"
+    by_name = {m["name"]: m for m in draft["models"]}
+    assert by_name["Invoice"]["identity"] == ["ref"]
+    assert by_name["Item"]["identity"] == ["sku"]
+    assert by_name["Invoice"]["max_instances"] == 1  # documented = 2 // 2
+    enums = {e["name"]: e for e in draft["enums"]}
+    assert enums["Status"]["members"] == ["open", "paid"]
+    assert enums["Status"]["include_other"] is True
+    items = {f["name"]: f for f in by_name["Invoice"]["fields"]}["items"]
+    assert items["role"] == "edge" and items["edge_label"] == "HAS_ITEM"
+
+    repaired, _ = repair_spec(draft)
+    src2 = render_template(repaired)
+    # the re-render round-trips to the SAME live structure
+    classes2 = verify_template_source(src2)
+    root2 = classes2["Invoice"]
+    assert root2.model_config["graph_id_fields"] == ["ref"]
+    assert root2.model_config["graph_max_instances"] == 2  # re-doubled
+    assert classes2["Status"]("open").name == "OPEN"
+    # and the reversed spec itself re-renders byte-identically
+    assert render_template(repaired) == src2
+
+
+def test_reverse_spec_lenient_findings():
+    """Unrepresentable constructs become findings, never crashes
+    (reference reverse.py leniency contract)."""
+    from typing import Union
+
+    from pydantic import BaseModel, ConfigDict, Field
+
+    from docling_graph_ray.templategen import spec_from_template
+
+    class Weird(BaseModel):
+        model_config = ConfigDict(
+            is_entity=True,
+            graph_id_fields=["a", "b", "c", "ghost"],
+        )
+        """no real docstring (this is a statement, not a docstring)"""
+        a: str = Field(..., examples=["a1"])
+        b: str = Field(..., examples=["b-22"])
+        c: str = Field(..., examples=["long example value"])
+        u: Union[int, str, None] = None
+        required_prop: str = Field(...)
+        strange: bytes | None = None
+
+    spec, findings = spec_from_template(Weird)
+    text = "\n".join(findings)
+    assert "ghost" in text                      # undeclared identity
+    assert "multi-type union" in text           # Union[int, str]
+    assert "unknown scalar type" in text        # bytes
+    assert "required non-identity" in text      # required_prop
+    m = spec["models"][0]
+    assert len(m["identity"]) == 2              # trimmed to best two
+    assert m["kind"] == "root"
+    # repair output renders + verifies
+    from docling_graph_ray.templategen import (
+        render_template, verify_template_source,
+    )
+    classes = verify_template_source(render_template(spec))
+    assert "Weird" in classes
