@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
+        # rendered-template trial-run evaluation (oracle-checked; the
+        # enum gate / grounding arithmetic is plain SQL on this corpus)
+        "template_trial_eval": t.template_trial_eval,
         # rows-only (non-SQL-expressible)
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
@@ -1303,6 +1306,42 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 2, 0, COUNT(*) FROM documents
             ) ORDER BY pass
+        """,
+        # rendered-template trial-run: the evaluate_template walk reduces
+        # to per-field counting on this corpus (enum gate membership,
+        # even/odd grounding construction — see textops.template_trial_eval)
+        "template_trial_eval": """
+            WITH d AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+            )
+            SELECT '' AS cls, '__records__' AS field,
+                   COUNT(*) AS n, COUNT(*) AS n_filled,
+                   CAST(0 AS BIGINT) AS n_other,
+                   CAST(0 AS BIGINT) AS n_string_vals,
+                   CAST(0 AS BIGINT) AS n_grounded
+            FROM d
+            UNION ALL
+            SELECT 'TrialDoc', 'doc_key', COUNT(*), COUNT(*),
+                   CAST(0 AS BIGINT), COUNT(*), CAST(0 AS BIGINT) FROM d
+            UNION ALL
+            SELECT 'TrialDoc', 'lang', COUNT(*),
+                   CAST(SUM(CASE WHEN lang IN ('en','de','fr')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN lang IN ('en','de','fr')
+                            THEN 0 ELSE 1 END) AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM d
+            UNION ALL
+            SELECT 'TrialDoc', 'source', COUNT(*), COUNT(*),
+                   CAST(0 AS BIGINT), COUNT(*), CAST(0 AS BIGINT) FROM d
+            UNION ALL
+            SELECT 'TrialDoc', 'summary', COUNT(*), COUNT(*),
+                   CAST(0 AS BIGINT), COUNT(*),
+                   CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM d
+            UNION ALL
+            SELECT 'TrialDoc', 'n_chars', COUNT(*), COUNT(*),
+                   CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(0 AS BIGINT) FROM d
         """,
         # exact-substring dedup (Lee et al. ExactSubstr at W=12 window
         # granularity, stages/substr_dedup.py): the oracle tests window

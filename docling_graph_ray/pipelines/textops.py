@@ -729,6 +729,77 @@ def template_field_profile(sf_dir: str):
     })
 
 
+_TRIAL_SPEC = {
+    "name": "trial", "docstring": "Trial-eval template.", "root": "TrialDoc",
+    "enums": [{"name": "Lang", "members": ["en", "de", "fr"],
+               "include_other": True}],
+    "models": [
+        {"name": "TrialDoc", "kind": "root", "identity": ["doc_key"],
+         "docstring": "One document record.", "fields": [
+             {"name": "doc_key", "type": "str", "is_list": False,
+              "optional": False, "role": "identity",
+              "edge_label": None, "reference": False},
+             {"name": "lang", "type": "Lang", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False},
+             {"name": "source", "type": "str", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False},
+             {"name": "summary", "type": "str", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False},
+             {"name": "n_chars", "type": "int", "is_list": False,
+              "optional": True, "role": "property",
+              "edge_label": None, "reference": False}]},
+    ],
+}
+
+
+def template_trial_eval(sf_dir: str):
+    """Empirical template evaluation over the documents table (reference
+    templategen/evaluate.py: trial-run a RENDERED template — enum
+    normalizer gates included — against real records and report fill /
+    OTHER / grounding rates).  Records derive deterministically from
+    document rows: ``lang`` exercises the enum gate (es/zh fall to
+    OTHER), ``summary`` is the doc's first two tokens on even doc_ids
+    (grounded) and first-token + an out-of-vocabulary marker on odd
+    ones (ungrounded) — so every report column has non-trivial values
+    the DuckDB oracle recomputes independently."""
+    from docling_graph_ray.templategen import (
+        evaluate_template,
+        render_template,
+        verify_template_source,
+    )
+
+    trial_cls = verify_template_source(
+        render_template(_TRIAL_SPEC))["TrialDoc"]
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def to_records(b: pa.Table) -> pa.Table:
+        import json as _json
+
+        rows = b.to_pylist()
+        recs, texts = [], []
+        for r in rows:
+            toks = (r["text"] or "").split()
+            head2 = " ".join(toks[:2])
+            summary = (head2 if r["doc_id"] % 2 == 0
+                       else (toks[0] if toks else "") + " __q")
+            recs.append(_json.dumps({
+                "doc_key": str(r["doc_id"]), "lang": r["lang"],
+                "source": r["source"], "summary": summary,
+                "n_chars": r["n_chars"],
+            }))
+            texts.append(r["text"] or "")
+        return pa.table({"record": pa.array(recs, pa.string()),
+                         "text": pa.array(texts, pa.large_string())})
+
+    records = docs.map_batches(to_records, batch_format="pyarrow")
+    return evaluate_template(trial_cls, records, json_col="record",
+                             text_col="text")
+
+
 def doc_contract_routing(sf_dir: str):
     """Per-document direct/dense contract routing over the documents
     table (budget 2048 tokens, context 8192): a pure column predicate

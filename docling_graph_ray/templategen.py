@@ -1453,6 +1453,106 @@ def spec_from_template(template) -> tuple[dict, list[str]]:
     return repaired, findings + actions
 
 
+# ---------------------------------------------------------------------------
+# empirical template evaluation (reference templategen/evaluate.py:1-560:
+# "static validity is not extraction quality" — trial-run the template
+# against real records and report the signals the converter emits for
+# free: per-class field fill-rates, enum-OTHER rates (the members don't
+# match the data), identity coverage, grounding precision of extracted
+# strings against source text).  Ray shape: per-batch count partials →
+# one tiny groupby — the report never collects records on the driver.
+
+
+EVAL_SCHEMA = pa.schema([
+    ("cls", pa.string()),
+    ("field", pa.string()),
+    ("n", pa.int64()),
+    ("n_filled", pa.int64()),
+    ("n_other", pa.int64()),        # enum fields: OTHER fallbacks
+    ("n_string_vals", pa.int64()),
+    ("n_grounded", pa.int64()),     # string values found in source text
+])
+
+
+def _walk_instance(inst, cls_name: str, counts: dict, text_norm: str | None):
+    """Count fill/OTHER/grounding for one validated instance; recurse
+    into nested models and model lists (each class tallies its own
+    rows, mirroring the reference's per-class fill-rate table)."""
+    from enum import Enum
+
+    from pydantic import BaseModel
+
+    for fname in type(inst).model_fields:
+        key = (cls_name, fname)
+        acc = counts.setdefault(key, [0, 0, 0, 0, 0])
+        acc[0] += 1
+        value = getattr(inst, fname, None)
+        items = value if isinstance(value, list) else [value]
+        filled = _is_filled(value if not isinstance(value, Enum)
+                            else value.value)
+        if isinstance(value, Enum):
+            filled = value.name != "OTHER"
+        if filled:
+            acc[1] += 1
+        for item in items:
+            if isinstance(item, Enum):
+                if item.name == "OTHER":
+                    acc[2] += 1
+            elif isinstance(item, BaseModel):
+                _walk_instance(item, type(item).__name__, counts, text_norm)
+            elif isinstance(item, str) and item.strip():
+                acc[3] += 1
+                if text_norm is not None and \
+                        " ".join(item.split()) in text_norm:
+                    acc[4] += 1
+
+
+def evaluate_template(template, records, *, json_col: str = "record",
+                      text_col: str | None = None):
+    """Trial-run ``template`` over a Dataset of JSON record rows and
+    return the empirical report as a tiny Dataset of EVAL_SCHEMA rows
+    (plus one ``(cls='', field='__records__')`` row counting validated
+    vs failed records).  Fill-rate = n_filled/n; OTHER-rate =
+    n_other/n; grounding precision = n_grounded/n_string_vals (only
+    when ``text_col`` carries the source text).  Advisory only — no
+    gates (reference evaluate.py contract)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], list[int]] = {}
+        n_ok = n_fail = 0
+        texts = (batch.column(text_col).to_pylist()
+                 if text_col and text_col in batch.schema.names
+                 else [None] * batch.num_rows)
+        for raw, text in zip(batch.column(json_col).to_pylist(), texts):
+            try:
+                rec = json.loads(raw) if isinstance(raw, str) else raw
+                inst = template.model_validate(rec or {})
+            except Exception:
+                n_fail += 1
+                continue
+            n_ok += 1
+            text_norm = (" ".join(str(text).split())
+                         if text is not None else None)
+            _walk_instance(inst, template.__name__, counts, text_norm)
+        rows = [{"cls": c, "field": f, "n": a[0], "n_filled": a[1],
+                 "n_other": a[2], "n_string_vals": a[3], "n_grounded": a[4]}
+                for (c, f), a in sorted(counts.items())]
+        rows.append({"cls": "", "field": "__records__",
+                     "n": n_ok + n_fail, "n_filled": n_ok, "n_other": 0,
+                     "n_string_vals": 0, "n_grounded": 0})
+        return pa.Table.from_pylist(rows, schema=EVAL_SCHEMA)
+
+    partials = records.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby(["cls", "field"]).sum(
+        ["n", "n_filled", "n_other", "n_string_vals", "n_grounded"])
+    return summed.map_batches(
+        lambda t: t.rename_columns(
+            ["cls", "field", "n", "n_filled", "n_other",
+             "n_string_vals", "n_grounded"]).cast(EVAL_SCHEMA),
+        batch_format="pyarrow",
+    )
+
+
 def verify_template_source(source: str) -> dict[str, type]:
     """Parse + execute the rendered source in a scratch namespace and
     return its BaseModel classes — the accept gate

@@ -704,3 +704,65 @@ def test_reverse_spec_lenient_findings():
     )
     classes = verify_template_source(render_template(spec))
     assert "Weird" in classes
+
+
+def test_evaluate_template_empirical(ray_session):
+    """Trial-run report (reference templategen/evaluate.py): fill rates,
+    enum OTHER-rate (members don't match the data), grounding precision
+    of extracted strings against the source text."""
+    from docling_graph_ray.templategen import (
+        evaluate_template, render_template, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Doc",
+        "enums": [{"name": "Tone", "members": ["formal", "casual"],
+                   "include_other": True}],
+        "models": [
+            {"name": "Doc", "kind": "root", "identity": ["ref"],
+             "docstring": "", "fields": [
+                 {"name": "ref", "type": "str", "is_list": False,
+                  "optional": False, "role": "identity",
+                  "edge_label": None, "reference": False},
+                 {"name": "tone", "type": "Tone", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False},
+                 {"name": "summary", "type": "str", "is_list": False,
+                  "optional": True, "role": "property",
+                  "edge_label": None, "reference": False}]},
+        ],
+    }
+    doc_cls = verify_template_source(render_template(spec))["Doc"]
+
+    recs = [
+        {"record": {"ref": "r1", "tone": "formal",
+                    "summary": "alpha beta"},
+         "text": "intro alpha beta outro"},
+        {"record": {"ref": "r2", "tone": "shouty",    # unmapped → OTHER
+                    "summary": "gamma delta"},
+         "text": "unrelated body"},
+        {"record": {"ref": "r3"}, "text": "x"},       # tone absent → OTHER
+        {"record": "not json at all {", "text": "y"},
+    ]
+    import ray.data
+
+    ds = ray.data.from_items(recs)
+    rep = evaluate_template(doc_cls, ds, json_col="record",
+                            text_col="text").to_pandas()
+    rep = rep.set_index(["cls", "field"]).sort_index()
+
+    rec_row = rep.loc[("", "__records__")]
+    # "not json at all {" is a str record → json.loads fails → counted failed
+    assert int(rec_row.n) == 4 and int(rec_row.n_filled) == 3
+
+    tone = rep.loc[("Doc", "tone")]
+    assert int(tone.n) == 3
+    assert int(tone.n_other) == 2            # unmapped + absent
+    assert int(tone.n_filled) == 1           # only 'formal' is a real member
+
+    summary = rep.loc[("Doc", "summary")]
+    assert int(summary.n_string_vals) == 2
+    assert int(summary.n_grounded) == 1      # 'alpha beta' found in text
+
+    ref = rep.loc[("Doc", "ref")]
+    assert int(ref.n_filled) == 3            # identity coverage
