@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
+        # LM-training sequence packing (oracle-checked: window cumsum)
+        "doc_pack_sequences": t.doc_pack_sequences,
         # rows-only (non-SQL-expressible)
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
@@ -1306,6 +1308,30 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 2, 0, COUNT(*) FROM documents
             ) ORDER BY pass
+        """,
+        # LM-training sequence packing (stages/packing.py): placement is
+        # a pure function of (doc_id, token count) — one window cumsum
+        # per doc_id%16 packing stream
+        "doc_pack_sequences": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 16 AS bucket,
+                     len(string_split(trim(text), ' ')) AS n_tokens
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+              FROM d
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(off // 64 AS BIGINT) AS seq_first,
+                   CAST((off + n_tokens - 1) // 64 AS BIGINT) AS seq_last,
+                   CAST(off % 64 AS BIGINT) AS offset_in_first
+            FROM c
         """,
         # rendered-template trial-run: the evaluate_template walk reduces
         # to per-field counting on this corpus (enum gate membership,

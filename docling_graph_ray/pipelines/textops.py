@@ -729,6 +729,17 @@ def template_field_profile(sf_dir: str):
     })
 
 
+def doc_pack_sequences(sf_dir: str, seq_len: int = 64):
+    """LM-training sequence packing over the documents table
+    (stages/packing.py): per-doc placement into fixed-length token
+    sequences within deterministic doc_id%16 packing streams.  The
+    DuckDB twin recomputes the placement with one window cumsum."""
+    from docling_graph_ray.stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]),
+                          seq_len=seq_len)
+
+
 _TRIAL_SPEC = {
     "name": "trial", "docstring": "Trial-eval template.", "root": "TrialDoc",
     "enums": [{"name": "Lang", "members": ["en", "de", "fr"],
