@@ -28,6 +28,17 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _docs_rows(sf_dir: str) -> int | None:
+    """Cheap row count from parquet METADATA (never count() an
+    unexecuted plan) — the rows_hint for interior pool sizing."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    except Exception:
+        return None
+
+
 def _embs(sf_dir: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
@@ -207,8 +218,10 @@ def doc_lm_score(sf_dir: str):
         batch_format="pyarrow",
         # autoscaling pool up to a cluster-derived max: a hardcoded 4
         # starved a 32-CPU cluster (round-3 verdict), min 1 keeps tiny
-        # inputs from paying a full-pool spin-up
-        concurrency=auto_pool(),
+        # inputs from paying a full-pool spin-up; the metadata row count
+        # further caps actors at the batches the input can fill
+        concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
+                              batch_size=1024),
     )
 
 
@@ -429,7 +442,9 @@ def media_pipeline(sf_dir: str):
 
     tbl = make_media_table(64)
     ds = ray.data.from_arrow(tbl)
-    feats = media_features(ds, concurrency=auto_pool(), batch_size=8)
+    feats = media_features(
+        ds, concurrency=auto_pool(rows_hint=tbl.num_rows, batch_size=8),
+        batch_size=8)
     return feats.map_batches(
         lambda t: pa.table(
             {
@@ -1161,7 +1176,12 @@ def doc_bpe_apply(sf_dir: str, merges: int = 20):
         BPETokenizer,
         fn_constructor_kwargs={"merges": learned},
         batch_format="pyarrow",
-        concurrency=auto_pool(),
+        # rows_hint: the apply stage at sf-scale fills a handful of
+        # batches — spinning the full cluster pool only buys spin-up
+        # wall (measured +2 s at sf0.1, BASELINE.md round-4 A/B); at
+        # corpus scale the hint is huge and the cluster bound rules
+        concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
+                              batch_size=1024),
     )
 
 

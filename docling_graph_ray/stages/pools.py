@@ -30,6 +30,18 @@ def auto_pool_max(*, cap: int | None = None) -> int:
     return n
 
 
-def auto_pool(*, cap: int | None = None) -> tuple[int, int]:
-    """``concurrency=`` tuple for an autoscaling interior-stage pool."""
-    return (1, auto_pool_max(cap=cap))
+def auto_pool(*, cap: int | None = None, rows_hint: int | None = None,
+              batch_size: int = 256) -> tuple[int, int]:
+    """``concurrency=`` tuple for an autoscaling interior-stage pool.
+
+    ``rows_hint`` (a CHEAP count — parquet metadata or a materialized
+    dataset, never ``count()`` on an unexecuted plan) additionally caps
+    the pool at the number of batches the input can actually fill:
+    spinning 24 actors for a 5k-row apply stage only buys spin-up wall
+    (measured +2 s on doc_bpe_apply at sf0.1 — BASELINE.md round-4
+    A/B), while at corpus scale the hint is huge and the cluster bound
+    rules."""
+    n = auto_pool_max(cap=cap)
+    if rows_hint is not None:
+        n = max(1, min(n, -(-int(rows_hint) // max(1, batch_size))))
+    return (1, n)
