@@ -232,7 +232,13 @@ def cmd_lint(args: argparse.Namespace) -> int:
         # semantics: cwd temporarily importable)
         spec_ns: dict = {}
         source = Path(module_path).read_text(encoding="utf-8")
-        spec_ns = verify_template_source(source)
+        # user-supplied file: the V1b import allowlist runs BEFORE exec
+        # (linting executes the module — reference verify.py gate order)
+        try:
+            spec_ns = verify_template_source(source, check_imports=True)
+        except (ValueError, SyntaxError) as err:
+            print(f"lint: refused — {err}", file=sys.stderr)
+            return 2
         cls = spec_ns.get(class_name)
     else:
         _sys.path.insert(0, ".")

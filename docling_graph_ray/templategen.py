@@ -1553,12 +1553,55 @@ def evaluate_template(template, records, *, json_col: str = "record",
     )
 
 
-def verify_template_source(source: str) -> dict[str, type]:
+#: module roots a template module may import (reference verify.py:57-63
+#: gate V1b) — templates are declarative; anything else fails BEFORE exec
+ALLOWED_IMPORT_ROOTS = frozenset(
+    {"typing", "typing_extensions", "pydantic", "datetime", "enum", "re",
+     "logging"})
+FORBIDDEN_NAMES = frozenset({"exec", "eval", "open", "__import__",
+                             "compile"})
+
+
+def check_template_imports(source: str) -> list[str]:
+    """Import allowlist + forbidden-builtin scan (reference verify.py
+    _check_v1b_imports): linting/verifying EXECUTES the module, so the
+    AST gate runs first and names every violation."""
+    tree = ast.parse(source)
+    violations: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                if alias.name.split(".")[0] not in ALLOWED_IMPORT_ROOTS:
+                    violations.append(
+                        f"line {node.lineno}: import {alias.name}")
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                violations.append(f"line {node.lineno}: relative import")
+                continue
+            if (node.module or "").split(".")[0] not in ALLOWED_IMPORT_ROOTS:
+                violations.append(
+                    f"line {node.lineno}: from {node.module} import ...")
+        elif isinstance(node, ast.Name) and node.id in FORBIDDEN_NAMES:
+            violations.append(f"line {node.lineno}: use of {node.id!r}")
+    return violations
+
+
+def verify_template_source(source: str, *,
+                           check_imports: bool = False) -> dict[str, type]:
     """Parse + execute the rendered source in a scratch namespace and
     return its BaseModel classes — the accept gate
     (templategen/verify.py): a render that cannot execute, or that
-    lost a class, never reaches the user."""
+    lost a class, never reaches the user.  ``check_imports=True`` runs
+    the V1b allowlist first — REQUIRED when the source is user-supplied
+    (the lint CLI), optional for our own renderer's output (which only
+    ever emits allowlisted imports)."""
     ast.parse(source)  # clear SyntaxError before exec
+    if check_imports:
+        violations = check_template_imports(source)
+        if violations:
+            raise ValueError(
+                "template module fails the import allowlist (V1b): "
+                + "; ".join(violations))
     namespace: dict = {}
     # dont_inherit: compile() otherwise inherits THIS module's
     # `from __future__ import annotations`, turning the rendered

@@ -766,3 +766,31 @@ def test_evaluate_template_empirical(ray_session):
 
     ref = rep.loc[("Doc", "ref")]
     assert int(ref.n_filled) == 3            # identity coverage
+
+
+def test_import_allowlist_gate():
+    """V1b (reference verify.py:57-63, 357-375): user-supplied template
+    modules fail BEFORE exec on non-allowlisted imports, relative
+    imports, or forbidden builtins."""
+    import pytest
+
+    from docling_graph_ray.templategen import (
+        check_template_imports, verify_template_source,
+    )
+
+    bad = (
+        "import os\n"
+        "from . import sibling\n"
+        "from subprocess import run\n"
+        "x = eval('1+1')\n"
+    )
+    v = check_template_imports(bad)
+    assert len(v) == 4
+    with pytest.raises(ValueError, match="import allowlist"):
+        verify_template_source(bad, check_imports=True)
+    # allowlisted module passes the gate (and exec)
+    ok = ("from enum import Enum\n"
+          "from pydantic import BaseModel\n"
+          "class M(BaseModel):\n    x: int | None = None\n")
+    assert check_template_imports(ok) == []
+    assert "M" in verify_template_source(ok, check_imports=True)
