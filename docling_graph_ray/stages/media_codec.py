@@ -30,13 +30,125 @@ WAV_MAGIC = b"RIFF"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → samples/pixel
 
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
 def sniff_format(payload: bytes) -> str:
-    """Magic-byte format sniff: 'png' | 'wav' | 'unknown'."""
+    """Magic-byte format sniff:
+    'png' | 'wav' | 'jpeg' | 'gif' | 'webp' | 'mp4' | 'unknown'.
+    Never trusts metadata columns — bytes only."""
     if payload.startswith(PNG_MAGIC):
         return "png"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(JPEG_MAGIC):
+        return "jpeg"
+    if payload[:6] in GIF_MAGICS:
+        return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
+
+
+# SOF markers that carry frame dimensions (ITU-T T.81 §B.2.2) — all of
+# C0-CF except DHT (C4), JPG (C8) and DAC (CC)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def probe_jpeg(data: bytes) -> tuple[int, int, int] | None:
+    """JPEG header walk → (width, height, components) WITHOUT entropy
+    decode: skip marker segments until a start-of-frame carries the
+    dimensions.  Returns None when no SOF is found (truncated)."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1  # tolerate stray fill bytes
+            continue
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9:  # standalone RST/SOI/EOI: no length
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker in _JPEG_SOF and pos + 9 <= n:
+            h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+            comps = data[pos + 9] if pos + 9 < n else 0
+            return (int(w), int(h), int(comps))
+        pos += 2 + seg_len
+    return None
+
+
+def probe_gif(data: bytes) -> tuple[int, int] | None:
+    """GIF logical-screen descriptor → (width, height)."""
+    if len(data) < 10:
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    return (int(w), int(h))
+
+
+def probe_webp(data: bytes) -> tuple[int, int] | None:
+    """WebP dimensions from the first chunk: VP8X (canvas), VP8L
+    (lossless) or VP8 (lossy key frame)."""
+    if len(data) < 30:
+        return None
+    tag = data[12:16]
+    if tag == b"VP8X":
+        w = int.from_bytes(data[24:27], "little") + 1
+        h = int.from_bytes(data[27:30], "little") + 1
+        return (w, h)
+    if tag == b"VP8L" and data[20] == 0x2F:
+        bits = int.from_bytes(data[21:25], "little")
+        return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+    if tag == b"VP8 ":
+        w, h = struct.unpack("<HH", data[26:30])
+        return (w & 0x3FFF, h & 0x3FFF)
+    return None
+
+
+def probe_media(payload: bytes) -> dict:
+    """Typed intrinsic metadata from an opaque binary column WITHOUT a
+    full decode — the cheap first pass a 100 TB multimodal table runs
+    before any decode stage is scheduled (header peeks only; entropy
+    data never touched).  Returns
+    ``{format, width, height, channels, sample_rate, n_samples}`` with
+    None for the fields the format does not carry or a truncated header
+    cannot prove."""
+    data = payload or b""
+    fmt = sniff_format(data)
+    out = {"format": fmt, "width": None, "height": None, "channels": None,
+           "sample_rate": None, "n_samples": None}
+    try:
+        if fmt == "png" and len(data) >= 26:
+            w, h, _depth, ctype = struct.unpack(">IIBB", data[16:26])
+            out.update(width=int(w), height=int(h),
+                       channels=_CHANNELS.get(ctype))
+        elif fmt == "jpeg":
+            dims = probe_jpeg(data)
+            if dims:
+                out.update(width=dims[0], height=dims[1], channels=dims[2])
+        elif fmt == "gif":
+            dims = probe_gif(data)
+            if dims:
+                out.update(width=dims[0], height=dims[1])
+        elif fmt == "webp":
+            dims = probe_webp(data)
+            if dims:
+                out.update(width=dims[0], height=dims[1])
+        elif fmt == "wav":
+            with wave.open(io.BytesIO(data)) as wf:
+                out.update(channels=wf.getnchannels(),
+                           sample_rate=wf.getframerate(),
+                           n_samples=wf.getnframes())
+    except Exception:
+        pass  # truncated/corrupt header: format stays, metrics stay None
+    return out
 
 
 def decode_png(data: bytes) -> np.ndarray:

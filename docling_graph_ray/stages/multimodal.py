@@ -120,6 +120,32 @@ class MediaFeatureActor:
         )
 
 
+PROBE_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("format", pa.string()),
+    ("width", pa.int64()),
+    ("height", pa.int64()),
+    ("channels", pa.int64()),
+    ("sample_rate", pa.int64()),
+    ("n_samples", pa.int64()),
+])
+
+
+def media_probe_batch(batch: pa.Table) -> pa.Table:
+    """Header-only metadata probe over an opaque binary media column
+    (media_codec.probe_media): magic-byte format + intrinsic dimensions
+    without decoding entropy data.  STATELESS — run it as a plain task
+    pool; at 100 TB this pass routes payloads to the right decode actor
+    pool (and right batch_size) before any pixels are touched."""
+    from docling_graph_ray.stages.media_codec import probe_media
+
+    rows = []
+    ids = batch.column("media_id").to_pylist()
+    for mid, p in zip(ids, batch.column("payload").to_pylist()):
+        rows.append({"media_id": int(mid), **probe_media(p or b"")})
+    return pa.Table.from_pylist(rows, schema=PROBE_SCHEMA)
+
+
 def media_features(ds, *, concurrency=(1, 4), batch_size: int = 8):
     """pages-of-media Dataset (media_id, payload, meta) → features."""
     return ds.map_batches(

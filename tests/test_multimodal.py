@@ -162,3 +162,80 @@ def test_decode_pixels_real_vs_stub_dispatch():
     assert (decode_pixels(encode_png(img)) == img).all()  # real decode
     fake = decode_pixels(b"\xff\xd8\xff not-a-real-jpeg")
     assert fake.shape == (16, 16, 3)  # stub path
+
+
+def _jpeg_header(width, height, comps=3):
+    """Structurally valid JPEG header (SOI, APP0, SOF0, EOI) — enough
+    for the probe, which never touches entropy data."""
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"
+    sof_body = b"\x08" + struct.pack(">HH", height, width) \
+        + bytes([comps]) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"[:comps * 3]
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_probe_media_formats():
+    import struct
+
+    from docling_graph_ray.stages.media_codec import (
+        encode_png, encode_wav, probe_media,
+    )
+    import numpy as np
+
+    png = encode_png(np.zeros((7, 9, 3), dtype=np.uint8))
+    p = probe_media(png)
+    assert (p["format"], p["width"], p["height"], p["channels"]) == \
+        ("png", 9, 7, 3)
+
+    wav = encode_wav(np.zeros(320, dtype=np.int16), rate=8000)
+    w = probe_media(wav)
+    assert (w["format"], w["sample_rate"], w["n_samples"], w["channels"]) \
+        == ("wav", 8000, 320, 1)
+
+    j = probe_media(_jpeg_header(640, 480))
+    assert (j["format"], j["width"], j["height"], j["channels"]) == \
+        ("jpeg", 640, 480, 3)
+    # progressive (SOF2) dims also probe
+    prog = _jpeg_header(31, 17).replace(b"\xff\xc0", b"\xff\xc2")
+    j2 = probe_media(prog)
+    assert (j2["width"], j2["height"]) == (31, 17)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    g = probe_media(gif)
+    assert (g["format"], g["width"], g["height"]) == ("gif", 320, 200)
+
+    # lossy WebP key-frame header
+    vp8 = (b"RIFF" + struct.pack("<I", 40) + b"WEBP" + b"VP8 "
+           + struct.pack("<I", 20) + b"\x00" * 3
+           + b"\x9d\x01\x2a" + struct.pack("<HH", 200, 100) + b"\x00" * 8)
+    wp = probe_media(vp8)
+    assert (wp["format"], wp["width"], wp["height"]) == ("webp", 200, 100)
+
+    mp4 = struct.pack(">I", 24) + b"ftypisom" + b"\x00" * 16
+    assert probe_media(mp4)["format"] == "mp4"
+
+    # truncated/corrupt headers never raise
+    for junk in (b"", b"\xff\xd8\xff", b"GIF89a\x01", png[:20], b"RIFF1234"):
+        out = probe_media(junk)
+        assert isinstance(out["format"], str)
+
+
+def test_media_probe_batch(ray_session):
+    import ray.data
+
+    from docling_graph_ray.stages.multimodal import (
+        make_media_table, media_probe_batch,
+    )
+
+    ds = ray.data.from_arrow(make_media_table(12)).map_batches(
+        media_probe_batch, batch_format="pyarrow")
+    df = ds.to_pandas().set_index("media_id").sort_index()
+    # rows 0,3,6,9 are real PNGs (24x16); 1,4,7,10 real WAVs
+    assert (df.loc[[0, 3, 6, 9], "format"] == "png").all()
+    assert (df.loc[[0, 3, 6, 9], "width"] == 24).all()
+    assert (df.loc[[1, 4, 7, 10], "format"] == "wav").all()
+    assert (df.loc[[1, 4, 7, 10], "sample_rate"] == 16000).all()
+    # fake video payloads sniff unknown (bytes, not metadata, decide)
+    assert (df.loc[[2, 5, 8, 11], "format"] == "unknown").all()
