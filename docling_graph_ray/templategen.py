@@ -451,6 +451,98 @@ def _identity_rank(field: dict, position: int) -> tuple:
     return (0 if has_digit else 1, shortest, position)
 
 
+# --- structural rule machinery (reference linter.py R24/R9/R15/R14/R23
+# re-derived over the dict spec; this engine's renderer REFUSES model
+# cycles — no forward-ref escape hatch — so the reference's
+# flip-to-reference cycle rung becomes identity-severance here) --------------
+
+MAX_NESTING_DEPTH = 4
+
+_VERB_PREFIXES = ("has", "is", "was", "owns", "uses", "contains",
+                  "includes", "employs", "manages", "belongs", "refers",
+                  "links", "derives", "produces", "located")
+
+
+def _upper_snake(value: str) -> str:
+    parts = re.findall(r"[A-Z]+(?=[A-Z][a-z])|[A-Z]?[a-z0-9]+|[A-Z]+",
+                       str(value or ""))
+    return "_".join(p.upper() for p in parts if p)
+
+
+def _derive_edge_label(field_name: str, target: str) -> str:
+    """Deterministic label for a label-less/banned edge (reference
+    naming.derive_edge_label semantics): the field name as an
+    UPPER_SNAKE verb phrase when it reads like one, else HAS_<TARGET>."""
+    label = _upper_snake(field_name)
+    if label and label.split("_")[0].lower() in _VERB_PREFIXES:
+        return label
+    return f"HAS_{_upper_snake(target) or 'TARGET'}"
+
+
+def _model_map(spec: dict) -> dict[str, dict]:
+    return {m["name"]: m for m in spec.get("models", [])}
+
+
+def _nesting_items(spec: dict):
+    """(parent model, field) pairs that NEST a model type: edge fields
+    and model-typed property fields — exactly what the node-catalog walk
+    traverses (dense/catalog.build_node_catalog)."""
+    models = _model_map(spec)
+    for m in spec.get("models", []):
+        for f in m.get("fields", []):
+            if f.get("type") in models and (
+                    f.get("role") == "edge" or f.get("role") == "property"):
+                yield m, f
+
+
+def _edge_depths(spec: dict, *, include_reference: bool = False) -> dict:
+    """BFS nesting depth from the root over non-reference nesting
+    fields; unreachable models are absent from the result."""
+    models = _model_map(spec)
+    root = spec.get("root")
+    if root not in models:
+        return {}
+    depths = {root: 0}
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for name in frontier:
+            for f in models[name].get("fields", []):
+                if f.get("type") in models and (
+                        include_reference or not f.get("reference")):
+                    if f.get("role") not in ("edge", "property"):
+                        continue
+                    t = f["type"]
+                    if t not in depths:
+                        depths[t] = depths[name] + 1
+                        nxt.append(t)
+        frontier = nxt
+    return depths
+
+
+def _nonref_inbound(spec: dict) -> dict:
+    counts: dict[str, int] = {m["name"]: 0 for m in spec.get("models", [])}
+    for _m, f in _nesting_items(spec):
+        if not f.get("reference"):
+            counts[f["type"]] += 1
+    return counts
+
+
+def _sever_to_identity(f: dict, target: str) -> None:
+    """Replace a nesting field with a plain str carrying the target's
+    identity — the cycle/component-edge severance (reference R24
+    severance; also this engine's R15 rung, since the renderer refuses
+    cycles outright instead of emitting forward refs)."""
+    f["role"] = "property"
+    f["type"] = "str"
+    f["edge_label"] = None
+    f["reference"] = False
+    f.pop("closed_catalog", None)
+    f.pop("normalizer", None)
+    if not f.get("description"):
+        f["description"] = f"The identity of the related {target}."
+
+
 def lint_spec(spec: dict) -> list[dict]:
     """Deterministic findings (code, where, message) — the reference
     linter's rule families that apply to a dict spec (linter.py):
@@ -602,6 +694,83 @@ def lint_spec(spec: dict) -> list[dict]:
         finding("W12", str(root),
                 "identity-less root — repair synthesizes a "
                 "'document_reference' identity field")
+
+    # --- structural rules (R24/R9/R15/R14/R23 families) -----------------
+    models_by = _model_map(spec)
+    # W13 / R24: components embed — they cannot own labeled edges
+    for m in spec.get("models", []):
+        if m.get("kind") != "component":
+            continue
+        for f in m.get("fields", []):
+            if f.get("role") == "edge":
+                finding("W13", f"{m['name']}.{f['name']}",
+                        "edge on a component — components embed into "
+                        "their parent node and cannot own graph edges "
+                        "(repair severs to the target identity / nested "
+                        "property)")
+    # W14 / R9: edge labels are UPPER_SNAKE, consistent per
+    # (field name, target) template-wide
+    chosen: dict[tuple[str, str], str] = {}
+    for m, f in _nesting_items(spec):
+        if f.get("role") != "edge":
+            continue
+        raw = f.get("edge_label") or ""
+        norm = _upper_snake(raw) or _derive_edge_label(f["name"], f["type"])
+        if norm != raw:
+            finding("W14", f"{m['name']}.{f['name']}",
+                    f"edge label {raw!r} normalizes to {norm!r}")
+        key = (f["name"], f["type"])
+        first = chosen.setdefault(key, norm)
+        if norm != first:
+            finding("W14", f"{m['name']}.{f['name']}",
+                    f"inconsistent label {norm!r} for field "
+                    f"{f['name']!r} -> {f['type']}; first occurrence "
+                    f"{first!r} wins on repair")
+    # W16 / R15: self-references and mutual full-nesting cycles — this
+    # renderer refuses cycles (no forward-ref emission), so they must
+    # sever on repair
+    for m, f in _nesting_items(spec):
+        if f.get("reference"):
+            continue
+        if f["type"] == m["name"]:
+            finding("W16", f"{m['name']}.{f['name']}",
+                    "self-referencing nesting — the renderer refuses "
+                    "cycles; repair severs to the identity string")
+    names = list(models_by)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ab = [f for f in models_by[a].get("fields", [])
+                  if f.get("type") == b and not f.get("reference")
+                  and f.get("role") in ("edge", "property")]
+            ba = [f for f in models_by[b].get("fields", [])
+                  if f.get("type") == a and not f.get("reference")
+                  and f.get("role") in ("edge", "property")]
+            if ab and ba:
+                finding("W16", f"{a} <-> {b}",
+                        "mutual nesting cycle — repair severs the back "
+                        "edge (deeper-from-root side) to the identity "
+                        "string")
+    # W15 / R14: nesting depth from the root stays within the budget
+    depths = _edge_depths(spec)
+    for m, f in _nesting_items(spec):
+        if f.get("reference"):
+            continue
+        pd = depths.get(m["name"])
+        if pd is not None and pd >= MAX_NESTING_DEPTH:
+            finding("W15", f"{m['name']}.{f['name']}",
+                    f"'{f['type']}' nested at depth {pd + 1} "
+                    f"(> {MAX_NESTING_DEPTH}) — repair flips to a "
+                    "reference edge when the target keeps another full "
+                    "home")
+    # W17 / R23: every entity needs a discovery path from the root
+    # (meaningless when the root itself is undeclared — E09 covers that)
+    if root in models_by:
+        for m in spec.get("models", []):
+            if m.get("kind") == "entity" and m["name"] not in depths:
+                finding("W17", m["name"],
+                        "entity has no discovery path from the root "
+                        "(unreachable island) — repair attaches the "
+                        "island head to the root as a full list edge")
 
     # identity-less root list fields → dedup validator scheduled (R19)
     root_m = next((m for m in spec.get("models", []) if m["name"] == root),
@@ -811,6 +980,129 @@ def repair_spec(spec: dict) -> tuple[dict, list[str]]:
                     actions.append(
                         f"renamed digit-free number-named identity "
                         f"{m['name']}.{old!r} -> {new!r}")
+
+    # --- structural repairs (reference linter.py R24/R9/R15/R14/R23;
+    # cycle repairs SEVER instead of flipping to forward refs — this
+    # engine's renderer refuses cycles) ----------------------------------
+    models_by = _model_map(spec)
+    # W13 / R24: component-owned edges
+    for m in spec.get("models", []):
+        if m.get("kind") != "component":
+            continue
+        for f in m.get("fields", []):
+            if f.get("role") != "edge":
+                continue
+            target = models_by.get(f.get("type"))
+            if target is not None and target.get("kind") != "component":
+                name = f["type"]
+                _sever_to_identity(f, name)
+                actions.append(f"severed component edge {m['name']}."
+                               f"{f['name']} to the {name} identity str")
+            else:
+                f["role"] = "property"
+                f["edge_label"] = None
+                f["reference"] = False
+                f.pop("closed_catalog", None)
+                actions.append(f"demoted component edge {m['name']}."
+                               f"{f['name']} to a nested property")
+    # W14 / R9: edge-label normalization + per-(field, target) consistency
+    chosen: dict[tuple[str, str], str] = {}
+    for m, f in _nesting_items(spec):
+        if f.get("role") != "edge":
+            continue
+        raw = f.get("edge_label") or ""
+        norm = _upper_snake(raw) or _derive_edge_label(f["name"], f["type"])
+        first = chosen.setdefault((f["name"], f["type"]), norm)
+        if first != raw:  # first-wins consistency + normalization
+            f["edge_label"] = first
+            actions.append(f"edge label {m['name']}.{f['name']}: "
+                           f"{raw!r} -> {first!r}")
+    # W16 / R15: self-loops sever; mutual cycles sever the back edge
+    # (the side deeper from the root; ties by declaration order)
+    for m, f in list(_nesting_items(spec)):
+        if not f.get("reference") and f.get("type") == m["name"]:
+            _sever_to_identity(f, m["name"])
+            actions.append(f"severed self-referencing field "
+                           f"{m['name']}.{f['name']} (renderer refuses "
+                           "cycles)")
+    depths0 = _edge_depths(spec)
+    names = list(models_by)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            ab = [f for f in models_by[a].get("fields", [])
+                  if f.get("type") == b and not f.get("reference")
+                  and f.get("role") in ("edge", "property")]
+            ba = [f for f in models_by[b].get("fields", [])
+                  if f.get("type") == a and not f.get("reference")
+                  and f.get("role") in ("edge", "property")]
+            if not ab or not ba:
+                continue
+            da = depths0.get(a, float("inf"))
+            db = depths0.get(b, float("inf"))
+            back_fields, target = (ba, a) if da <= db else (ab, b)
+            owner = b if da <= db else a
+            for f in back_fields:
+                _sever_to_identity(f, target)
+                actions.append(f"severed mutual-cycle back edge "
+                               f"{owner}.{f['name']} -> {target} "
+                               "(renderer refuses cycles)")
+    # W15 / R14: depth overflow flips to reference when safe (target has
+    # identity and keeps another full home)
+    depths = _edge_depths(spec)
+    inbound = _nonref_inbound(spec)
+    for m, f in _nesting_items(spec):
+        if f.get("reference"):
+            continue
+        pd = depths.get(m["name"])
+        if pd is None or pd < MAX_NESTING_DEPTH:
+            continue
+        target = models_by[f["type"]]
+        if target.get("identity") and inbound.get(f["type"], 0) >= 2:
+            f["reference"] = True
+            if f.get("role") != "edge":
+                f["role"] = "edge"
+            if not f.get("edge_label"):
+                f["edge_label"] = _derive_edge_label(f["name"], f["type"])
+            inbound[f["type"]] -= 1
+            actions.append(f"flipped depth-{pd + 1} nesting {m['name']}."
+                           f"{f['name']} to a reference edge (R14)")
+    # W17 / R23: attach unreachable-island heads to the root
+    root_decl = models_by.get(spec.get("root"))
+    if root_decl is not None:
+        for _ in range(len(spec.get("models", []))):
+            reach = set(_edge_depths(spec))
+            unreachable = [m for m in spec.get("models", [])
+                           if m.get("kind") == "entity"
+                           and m["name"] not in reach]
+            if not unreachable:
+                break
+            un_names = {m["name"] for m in unreachable}
+            nested_inside = {
+                f["type"] for m in unreachable
+                for f in m.get("fields", [])
+                if f.get("type") in un_names and not f.get("reference")
+                and f.get("role") in ("edge", "property")
+            }
+            heads = [m for m in unreachable
+                     if m["name"] not in nested_inside] or unreachable[:1]
+            taken = {f["name"] for f in root_decl.get("fields", [])}
+            for head in heads:
+                fname = re.sub(r"(?<!^)(?=[A-Z])", "_",
+                               head["name"]).lower()
+                while fname in taken:
+                    fname += "_"
+                taken.add(fname)
+                root_decl["fields"].append({
+                    "name": fname, "type": head["name"], "is_list": True,
+                    "optional": True, "role": "edge",
+                    "edge_label": _derive_edge_label(fname, head["name"]),
+                    "reference": False,
+                    "description": f"Every {head['name']} the document "
+                    "describes.",
+                })
+                actions.append(f"attached unreachable entity "
+                               f"{head['name']} to the root as list edge "
+                               f"{fname!r} (R23)")
 
     root_m = next((m for m in spec.get("models", [])
                    if m["name"] == spec.get("root")), None)

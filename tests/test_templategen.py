@@ -130,8 +130,9 @@ def test_lint_findings():
         ],
     }
     codes = sorted({f["code"] for f in lint_spec(bad)})
+    # W13: the second model is a component owning an edge field (R24)
     assert codes == ["E01", "E04", "E05", "E06", "E07", "E08", "E09",
-                     "E10", "W01"]
+                     "E10", "W01", "W13"]
 
 
 def test_repair_spec_renames_follow():
@@ -794,3 +795,115 @@ def test_import_allowlist_gate():
           "class M(BaseModel):\n    x: int | None = None\n")
     assert check_template_imports(ok) == []
     assert "M" in verify_template_source(ok, check_imports=True)
+
+
+def _field(name, type_, role="property", **kw):
+    f = {"name": name, "type": type_, "is_list": kw.pop("is_list", False),
+         "optional": True, "role": role,
+         "edge_label": kw.pop("edge_label", None),
+         "reference": kw.pop("reference", False)}
+    f.update(kw)
+    return f
+
+
+def test_structural_rules_and_repairs():
+    """R24/R9/R15/R14/R23 tier (reference linter.py:518-1002) adapted to
+    this engine: cycle repairs SEVER to identity strings because the
+    renderer refuses cycles outright."""
+    from docling_graph_ray.templategen import (
+        lint_spec, render_template, repair_spec, verify_template_source,
+    )
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Root", "enums": [],
+        "models": [
+            {"name": "Root", "kind": "root", "identity": ["rid"],
+             "docstring": "", "fields": [
+                 _field("rid", "str", role="identity"),
+                 _field("box", "Box"),
+                 # inconsistent labels for the same (field, target)
+                 _field("part", "Part", role="edge",
+                        edge_label="hasPart"),
+             ]},
+            # component owning an edge to an entity → severed to str
+            {"name": "Box", "kind": "component", "identity": [],
+             "docstring": "", "fields": [
+                 _field("owner", "Part", role="edge",
+                        edge_label="OWNED_BY"),
+             ]},
+            # self-loop + duplicate (field,target) with different label
+            {"name": "Part", "kind": "entity", "identity": ["pid"],
+             "docstring": "", "fields": [
+                 _field("pid", "str", role="identity"),
+                 _field("part", "Part", role="edge",
+                        edge_label="CONTAINS_PART"),
+             ]},
+            # unreachable island: Orphan nests Leaf; Orphan is the head
+            {"name": "Orphan", "kind": "entity", "identity": ["oid"],
+             "docstring": "", "fields": [
+                 _field("oid", "str", role="identity"),
+                 _field("leaf", "Leaf"),
+             ]},
+            {"name": "Leaf", "kind": "entity", "identity": ["lid"],
+             "docstring": "", "fields": [
+                 _field("lid", "str", role="identity"),
+             ]},
+        ],
+    }
+    codes = {f["code"] for f in lint_spec(spec)}
+    assert {"W13", "W14", "W16", "W17"} <= codes
+
+    fixed, actions = repair_spec(spec)
+    by = {m["name"]: m for m in fixed["models"]}
+    # component edge severed to identity str
+    owner = {f["name"]: f for f in by["Box"]["fields"]}["owner"]
+    assert owner["type"] == "str" and owner["role"] == "property"
+    # self-loop severed
+    selfp = {f["name"]: f for f in by["Part"]["fields"]}["part"]
+    assert selfp["type"] == "str"
+    # label normalized camelCase -> UPPER_SNAKE
+    root_part = {f["name"]: f for f in by["Root"]["fields"]}["part"]
+    assert root_part["edge_label"] == "HAS_PART"
+    # island head attached to the root as a list edge
+    root_fields = {f["name"] for f in by["Root"]["fields"]}
+    assert "orphan" in root_fields
+    # repaired spec renders + verifies (cycle-free) and lints clean of
+    # structural warns
+    classes = verify_template_source(render_template(fixed))
+    assert {"Root", "Part", "Orphan", "Leaf"} <= set(classes)
+    left = {f["code"] for f in lint_spec(fixed)}
+    assert not ({"W13", "W16", "W17"} & left)
+
+
+def test_nesting_depth_flip():
+    """R14: a nesting field at depth > 4 flips to a reference edge when
+    the target keeps another full home."""
+    from docling_graph_ray.templategen import lint_spec, repair_spec
+
+    # chain Root -> A -> B -> C -> C2 (depth 4) -> D, with D ALSO fully
+    # nested at depth 1 (the second home) — the deep nesting flips
+    def model(name, kind, fields):
+        return {"name": name, "kind": kind,
+                "identity": [] if kind == "component" else [f"{name.lower()}_id"],
+                "docstring": "", "fields": (
+                    [] if kind == "component" else
+                    [_field(f"{name.lower()}_id", "str", role="identity")]
+                ) + fields}
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Root", "enums": [],
+        "models": [
+            model("Root", "root", [_field("a", "A"), _field("d0", "D")]),
+            model("A", "entity", [_field("b", "B")]),
+            model("B", "entity", [_field("c", "C")]),
+            model("C", "entity", [_field("c2", "C2")]),
+            model("C2", "entity", [_field("d", "D")]),
+            model("D", "entity", []),
+        ],
+    }
+    assert any(f["code"] == "W15" for f in lint_spec(spec))
+    fixed, actions = repair_spec(spec)
+    c2_d = {f["name"]: f for f in
+            {m["name"]: m for m in fixed["models"]}["C2"]["fields"]}["d"]
+    assert c2_d["reference"] is True and c2_d["role"] == "edge"
+    assert any("R14" in a for a in actions)
