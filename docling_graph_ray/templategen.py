@@ -762,6 +762,29 @@ def lint_spec(spec: dict) -> list[dict]:
                     f"(> {MAX_NESTING_DEPTH}) — repair flips to a "
                     "reference edge when the target keeps another full "
                     "home")
+    # W18 / R11: references need identity targets and a canonical home
+    # elsewhere; identity-only shared targets are exempt (the Person
+    # pattern: references on every path are their design)
+    inbound = _nonref_inbound(spec)
+    for m, f in _nesting_items(spec):
+        if not f.get("reference") or f.get("role") != "edge":
+            continue
+        target = models_by.get(f["type"])
+        if target is None:
+            continue
+        if not target.get("identity"):
+            finding("W18", f"{m['name']}.{f['name']}",
+                    f"reference to {f['type']!r} which declares no "
+                    "identity — the marker is ignored at runtime; repair "
+                    "un-references the edge")
+        elif (target.get("kind") != "root"
+              and any(ff.get("role") != "identity"
+                      for ff in target.get("fields", []))
+              and inbound.get(f["type"], 0) == 0):
+            finding("W18", f"{m['name']}.{f['name']}",
+                    f"reference on the only full path to {f['type']!r} — "
+                    "the node would carry nothing but its identity; "
+                    "repair flips the reference off")
     # W17 / R23: every entity needs a discovery path from the root
     # (meaningless when the root itself is undeclared — E09 covers that)
     if root in models_by:
@@ -1046,6 +1069,31 @@ def repair_spec(spec: dict) -> tuple[dict, list[str]]:
                 actions.append(f"severed mutual-cycle back edge "
                                f"{owner}.{f['name']} -> {target} "
                                "(renderer refuses cycles)")
+    # W18 / R11: un-reference identity-less targets; flip off references
+    # that are a rich target's only path
+    inbound_r11 = _nonref_inbound(spec)
+    for m, f in _nesting_items(spec):
+        if not f.get("reference") or f.get("role") != "edge":
+            continue
+        target = models_by.get(f["type"])
+        if target is None:
+            continue
+        if not target.get("identity"):
+            f["reference"] = False
+            f.pop("closed_catalog", None)
+            inbound_r11[f["type"]] = inbound_r11.get(f["type"], 0) + 1
+            actions.append(f"un-referenced {m['name']}.{f['name']} "
+                           f"(target {f['type']} has no identity; marker "
+                           "ignored at runtime)")
+        elif (target.get("kind") != "root"
+              and any(ff.get("role") != "identity"
+                      for ff in target.get("fields", []))
+              and inbound_r11.get(f["type"], 0) == 0):
+            f["reference"] = False
+            f.pop("closed_catalog", None)
+            inbound_r11[f["type"]] = inbound_r11.get(f["type"], 0) + 1
+            actions.append(f"flipped reference off on the only full path "
+                           f"{m['name']}.{f['name']} -> {f['type']}")
     # W15 / R14: depth overflow flips to reference when safe (target has
     # identity and keeps another full home)
     depths = _edge_depths(spec)

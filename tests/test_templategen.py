@@ -907,3 +907,82 @@ def test_nesting_depth_flip():
             {m["name"]: m for m in fixed["models"]}["C2"]["fields"]}["d"]
     assert c2_d["reference"] is True and c2_d["role"] == "edge"
     assert any("R14" in a for a in actions)
+
+
+def test_reference_target_rules():
+    """R11 (reference linter.py:733-778): references to identity-less
+    targets un-reference; a reference that is a rich target's ONLY full
+    path flips off; identity-only shared targets are exempt."""
+    from docling_graph_ray.templategen import lint_spec, repair_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Root", "enums": [],
+        "models": [
+            {"name": "Root", "kind": "root", "identity": ["rid"],
+             "docstring": "", "fields": [
+                 _field("rid", "str", role="identity"),
+                 # reference to a component (no identity) → un-referenced
+                 _field("box", "Box", role="edge", edge_label="HAS_BOX",
+                        reference=True),
+                 # only full path to a rich entity → flipped off
+                 _field("part", "Part", role="edge", edge_label="HAS_PART",
+                        reference=True),
+                 # identity-only shared target: reference is its design
+                 _field("person", "Person", role="edge",
+                        edge_label="HAS_PERSON", reference=True),
+             ]},
+            {"name": "Box", "kind": "component", "identity": [],
+             "docstring": "", "fields": [_field("v", "str")]},
+            {"name": "Part", "kind": "entity", "identity": ["pid"],
+             "docstring": "", "fields": [
+                 _field("pid", "str", role="identity"),
+                 _field("weight", "float")]},
+            {"name": "Person", "kind": "entity", "identity": ["name"],
+             "docstring": "", "fields": [
+                 _field("name", "str", role="identity")]},
+        ],
+    }
+    w18 = [f for f in lint_spec(spec) if f["code"] == "W18"]
+    assert {f["where"] for f in w18} == {"Root.box", "Root.part"}
+
+    fixed, actions = repair_spec(spec)
+    root = {f["name"]: f for f in fixed["models"][0]["fields"]}
+    assert root["box"]["reference"] is False
+    assert root["part"]["reference"] is False
+    assert root["person"]["reference"] is True  # exempt, untouched
+    assert not [f for f in lint_spec(fixed) if f["code"] == "W18"]
+
+
+def test_lint_cli_subprocess(tmp_path):
+    """End-to-end CLI: lint a hand-written module, write the repaired
+    re-render, refuse a module with disallowed imports."""
+    import subprocess
+    import sys as _sys
+
+    good = tmp_path / "tpl.py"
+    good.write_text(
+        "from pydantic import BaseModel, ConfigDict, Field\n"
+        "class Org(BaseModel):\n"
+        "    '''An org. At most 2 expected per document.'''\n"
+        "    model_config = ConfigDict(is_entity=True,\n"
+        "                              graph_id_fields=['name'],\n"
+        "                              graph_max_instances=4)\n"
+        "    name: str = Field(..., examples=['ACME', 'Init'])\n",
+        encoding="utf-8")
+    out = tmp_path / "re.py"
+    r = subprocess.run(
+        [_sys.executable, "-m", "docling_graph_ray", "lint",
+         f"{good}:Org", "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert out.exists() and "class Org(BaseModel):" in out.read_text()
+
+    evil = tmp_path / "evil.py"
+    evil.write_text("import socket\nfrom pydantic import BaseModel\n"
+                    "class E(BaseModel):\n    x: int = 1\n",
+                    encoding="utf-8")
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "docling_graph_ray", "lint",
+         f"{evil}:E"], capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 2
+    assert "import allowlist" in r2.stderr
