@@ -762,6 +762,29 @@ def lint_spec(spec: dict) -> list[dict]:
                     f"(> {MAX_NESTING_DEPTH}) — repair flips to a "
                     "reference edge when the target keeps another full "
                     "home")
+    # W19 / R10: a rich entity nests in full at exactly ONE canonical
+    # home; extra full inbound edges should flip to references.  Shape
+    # exception: all-single edges from ONE parent (seller/buyer Party) —
+    # every role keeps its data
+    for target in spec.get("models", []):
+        if target.get("kind") != "entity":
+            continue
+        inbound_edges = [
+            (p, f) for p, f in _nesting_items(spec)
+            if f.get("role") == "edge" and f["type"] == target["name"]
+            and not f.get("reference") and p["name"] != target["name"]
+        ]
+        if len(inbound_edges) < 2:
+            continue
+        parents = {p["name"] for p, _ in inbound_edges}
+        if len(parents) == 1 and all(not f.get("is_list")
+                                     for _, f in inbound_edges):
+            continue
+        finding("W19", target["name"],
+                f"nested in full at {len(inbound_edges)} paths — repair "
+                "keeps one canonical home (marked, else nearest the "
+                "root) and flips the others to reference edges")
+
     # W18 / R11: references need identity targets and a canonical home
     # elsewhere; identity-only shared targets are exempt (the Person
     # pattern: references on every path are their design)
@@ -1069,6 +1092,53 @@ def repair_spec(spec: dict) -> tuple[dict, list[str]]:
                 actions.append(f"severed mutual-cycle back edge "
                                f"{owner}.{f['name']} -> {target} "
                                "(renderer refuses cycles)")
+    # W19 / R10: keep ONE canonical full home per multi-homed entity —
+    # the marked canonical_home, else the inbound edge whose parent is
+    # nearest the root (BFS depth incl. references; ties by model then
+    # field declaration order); the rest flip to references.  The
+    # same-parent all-single shape (seller/buyer) keeps every role full.
+    depths_r10 = _edge_depths(spec, include_reference=True)
+    model_index = {m["name"]: i for i, m in enumerate(spec.get("models", []))}
+    for target in spec.get("models", []):
+        if target.get("kind") != "entity":
+            continue
+        inbound_edges = []
+        for p in spec.get("models", []):
+            if p["name"] == target["name"]:
+                continue  # self-reference: the cycle rung owns it
+            for fi, f in enumerate(p.get("fields", [])):
+                if (f.get("role") == "edge" and f.get("type") ==
+                        target["name"] and not f.get("reference")):
+                    inbound_edges.append((p, f, fi))
+        if len(inbound_edges) < 2:
+            continue
+        parents = {p["name"] for p, _, _ in inbound_edges}
+        if len(parents) == 1 and all(not f.get("is_list")
+                                     for _, f, _ in inbound_edges):
+            continue
+        canonical = None
+        home = target.get("canonical_home")
+        if isinstance(home, str) and "." in home:
+            hp, _, hf = home.partition(".")
+            canonical = next((t for t in inbound_edges
+                              if t[0]["name"] == hp and t[1]["name"] == hf),
+                             None)
+        if canonical is None:
+            canonical = min(
+                inbound_edges,
+                key=lambda t: (depths_r10.get(t[0]["name"], float("inf")),
+                               model_index[t[0]["name"]], t[2]))
+            target["canonical_home"] = (f"{canonical[0]['name']}."
+                                        f"{canonical[1]['name']}")
+        for p, f, _fi in inbound_edges:
+            if f is canonical[1]:
+                continue
+            f["reference"] = True
+            actions.append(
+                f"flipped {p['name']}.{f['name']} -> {target['name']} to a "
+                f"reference edge (canonical home "
+                f"{target['canonical_home']}, R10)")
+
     # W18 / R11: un-reference identity-less targets; flip off references
     # that are a rich target's only path
     inbound_r11 = _nonref_inbound(spec)

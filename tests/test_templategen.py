@@ -986,3 +986,60 @@ def test_lint_cli_subprocess(tmp_path):
          f"{evil}:E"], capture_output=True, text=True, cwd="/root/repo")
     assert r2.returncode == 2
     assert "import allowlist" in r2.stderr
+
+
+def test_canonical_home_rule():
+    """R10 (reference linter.py:643-702): a rich entity nests in full at
+    ONE canonical home (marked, else nearest the root); extra full
+    inbound edges flip to references; the same-parent all-single shape
+    (seller/buyer Party) keeps every role full."""
+    from docling_graph_ray.templategen import lint_spec, repair_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "Root", "enums": [],
+        "models": [
+            {"name": "Root", "kind": "root", "identity": ["rid"],
+             "docstring": "", "fields": [
+                 _field("rid", "str", role="identity"),
+                 _field("dept", "Dept", role="edge",
+                        edge_label="HAS_DEPT"),
+                 _field("item", "Item", role="edge", is_list=True,
+                        edge_label="HAS_ITEM"),
+                 # seller/buyer shape: two single edges, same parent
+                 _field("seller", "Party", role="edge",
+                        edge_label="SOLD_BY"),
+                 _field("buyer", "Party", role="edge",
+                        edge_label="BOUGHT_BY"),
+             ]},
+            # Item also nested (deeper) under Dept → Dept edge flips
+            {"name": "Dept", "kind": "entity", "identity": ["did"],
+             "docstring": "", "fields": [
+                 _field("did", "str", role="identity"),
+                 _field("items", "Item", role="edge", is_list=True,
+                        edge_label="HAS_ITEM"),
+             ]},
+            {"name": "Item", "kind": "entity", "identity": ["iid"],
+             "docstring": "", "fields": [
+                 _field("iid", "str", role="identity"),
+                 _field("weight", "float")]},
+            {"name": "Party", "kind": "entity", "identity": ["name"],
+             "docstring": "", "fields": [
+                 _field("name", "str", role="identity"),
+                 _field("vat", "str")]},
+        ],
+    }
+    w19 = [f for f in lint_spec(spec) if f["code"] == "W19"]
+    assert {f["where"] for f in w19} == {"Item"}  # Party shape exempt
+
+    fixed, _ = repair_spec(spec)
+    by = {m["name"]: m for m in fixed["models"]}
+    assert by["Item"]["canonical_home"] == "Root.item"  # nearest root
+    dept_items = {f["name"]: f for f in by["Dept"]["fields"]}["items"]
+    assert dept_items["reference"] is True
+    root_item = {f["name"]: f for f in by["Root"]["fields"]}["item"]
+    assert root_item["reference"] is False
+    # seller/buyer untouched
+    root_f = {f["name"]: f for f in by["Root"]["fields"]}
+    assert not root_f["seller"]["reference"]
+    assert not root_f["buyer"]["reference"]
+    assert not [f for f in lint_spec(fixed) if f["code"] == "W19"]
