@@ -209,7 +209,7 @@ def cmd_lint(args: argparse.Namespace) -> int:
     crashes), and report what the rulebook would change (reference
     ``docling-graph template lint`` / reverse.py spec_from_dotted_path).
     Driver-side; no Ray session."""
-    import importlib
+    import importlib.util
     import sys as _sys
     from pathlib import Path
 
@@ -241,9 +241,30 @@ def cmd_lint(args: argparse.Namespace) -> int:
             return 2
         cls = spec_ns.get(class_name)
     else:
+        from docling_graph_ray.templategen import check_template_imports
+
         _sys.path.insert(0, ".")
         try:
+            # dotted-module targets execute module code on import — run
+            # the same V1b allowlist over the located source FIRST so
+            # both target forms are gated (reference verify.py order)
+            spec = importlib.util.find_spec(module_path)
+            origin = getattr(spec, "origin", None) if spec else None
+            if origin and origin.endswith(".py"):
+                violations = check_template_imports(
+                    Path(origin).read_text(encoding="utf-8"))
+                if violations:
+                    print("lint: refused — import allowlist: "
+                          + "; ".join(violations), file=sys.stderr)
+                    return 2
+            elif origin != "built-in":
+                print(f"lint: refused — cannot locate python source for "
+                      f"{module_path!r} to gate imports", file=sys.stderr)
+                return 2
             mod = importlib.import_module(module_path)
+        except (ImportError, SyntaxError, OSError) as err:
+            print(f"lint: refused — {err}", file=sys.stderr)
+            return 2
         finally:
             _sys.path.pop(0)
         cls = getattr(mod, class_name, None)

@@ -373,7 +373,7 @@ def content_hash_dedup(nodes, edges, *, key_col: str, attr_cols: list[str],
 
 
 def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
-                      rank_keys: list[tuple[str, str]]):
+                      rank_keys: list[tuple[str, str]], validate: bool = True):
     """Per-class top-K keep (grouped top-k): rank by ``rank_keys``
     (column, 'ascending'|'descending'), keep the first ``max_per_class``
     with their exact 1-based rank, mark the rest demoted with rank null
@@ -389,9 +389,16 @@ def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
     ``rank_keys`` to be a TOTAL order within a class (include a unique
     tiebreaker, as the reference's converter does) and non-null rank-key
     values; ties crossing the rank-K boundary would otherwise make
-    survivor membership ambiguous.  The input plan executes twice
-    (partial pass + remainder pass) — materialize upstream first when it
-    is expensive to recompute."""
+    survivor membership ambiguous.  With ``validate=True`` (default)
+    that contract is ENFORCED, not just documented: null rank-key
+    values raise in the partial pass, and a projected eq-count scan
+    verifies each class's rank-K boundary tuple occurs exactly once in
+    the input (a duplicate boundary tuple means rank_keys is not a
+    total order and a tied row would silently land in neither output
+    half) — raising with a fix-it message instead of dropping rows.
+    The input plan executes twice (partial pass + remainder pass; a
+    third projected class+rank-key scan under validate) — materialize
+    upstream first when it is expensive to recompute."""
     import ray
 
     k = int(max_per_class)
@@ -408,9 +415,18 @@ def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
 
     sort_keys = [(class_col, "ascending"), *rank_keys]
 
+    do_validate = bool(validate)
+
     def partial_topk(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
+        if do_validate:
+            for c in key_cols:
+                if batch.column(c).null_count:
+                    raise ValueError(
+                        f"cardinality_bound: rank-key column {c!r} has "
+                        "null values — nulls have no total-order rank; "
+                        "fill or filter them upstream")
         g = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
         g = g.combine_chunks()
         return g.filter(pa.array(_class_ranks(g) <= k))
@@ -446,6 +462,39 @@ def cardinality_bound(nodes, *, class_col: str, max_per_class: int,
         [pa.array([boundary[c][i] for c in classes])
          for i in range(len(key_cols))],
     ))
+
+    if do_validate:
+        # Total-order check: each class's boundary tuple must occur
+        # EXACTLY once in the input (it is an input row).  >1 means a
+        # tie crosses the rank-K boundary and membership is ambiguous —
+        # the row tying the boundary would land in neither half.
+        def eq_partial(batch: pa.Table) -> pa.Table:
+            classes_arr, thr_cols = ray.get(thr_ref)
+            ci = pc.index_in(batch.column(class_col), value_set=classes_arr)
+            eq = np.ones(batch.num_rows, dtype=bool)
+            for (col, _), thr in zip(rank_keys, thr_cols):
+                e = pc.fill_null(pc.equal(batch.column(col), thr.take(ci)),
+                                 False)
+                eq &= e.to_numpy(zero_copy_only=False)
+            g = (batch.filter(pa.array(eq))
+                 .group_by(class_col).aggregate([([], "count_all")]))
+            return pa.table({class_col: g.column(class_col),
+                             "n_eq": g.column("count_all").cast(pa.int64())})
+
+        dup = (nodes.select_columns([class_col, *key_cols])
+               .map_batches(eq_partial, batch_format="pyarrow")
+               .groupby(class_col).sum("n_eq")
+               .filter(lambda r: r["sum(n_eq)"] > 1)
+               .take(5))
+        if dup:
+            bad = ", ".join(repr(r[class_col]) for r in dup)
+            raise ValueError(
+                "cardinality_bound: rank_keys is not a total order within "
+                f"class(es) {bad} — the rank-{k} boundary tuple is "
+                "duplicated, so survivor membership is ambiguous.  Include "
+                "a unique tiebreaker column (the reference converter ranks "
+                "by (richness, node_id)) or pass validate=False to accept "
+                "drop-on-tie.")
 
     null_rank = pa.nulls(0, pa.int64())  # schema anchor
 

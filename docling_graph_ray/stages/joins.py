@@ -359,6 +359,13 @@ def broadcast_lookup_join(left, lookup, *, on: str,
     back to the shuffle path instead of pinning it."""
     import ray
 
+    if not value_cols:
+        # the canonical key order is derived from the first value
+        # column's fold — a degenerate no-value lookup has nothing to
+        # attach and would KeyError below; refuse it explicitly
+        raise ValueError(
+            "broadcast_lookup_join: value_cols must be non-empty "
+            "(use semi_join for existence-only probes)")
     key_col = key_col or on
     left_schema = out_schema or as_arrow_schema(left.schema())
     names = list(left_schema.names)

@@ -676,7 +676,11 @@ def lint_spec(spec: dict) -> list[dict]:
         if (m.get("max_instances") and m.get("kind") != "component"
                 and not any(_is_cardinality_sentence(s)
                             for s in _sentences(doc))):
-            documented = max(1, int(m["max_instances"]) // 2) \
+            # mirror the R13 repair rung exactly: when documented is
+            # unset, repair stores documented = max_instances (then
+            # doubles the stored bound) — the injected sentence quotes
+            # the CURRENT max_instances, not max_instances // 2
+            documented = int(m["max_instances"]) \
                 if m.get("max_instances_documented") is None \
                 else int(m["max_instances_documented"])
             finding("W11", where,

@@ -112,6 +112,43 @@ def test_cardinality_bound_hot_class_across_blocks(ray_session):
         cold["rank"].tolist()) == [1, 2]
 
 
+def test_cardinality_bound_rejects_boundary_tie(ray_session):
+    """rank_keys that are NOT a total order (duplicate tuple crossing
+    the rank-K boundary) must raise, not silently drop the tied row
+    (ADVICE r4: the demoted pass excludes eq rows, so a boundary twin
+    would land in neither output half)."""
+    nodes = _nodes_ds([
+        {"cls": "C", "nid": 1, "score": 9.0},
+        {"cls": "C", "nid": 2, "score": 5.0},   # rank-2 boundary ...
+        {"cls": "C", "nid": 3, "score": 5.0},   # ... duplicated
+        {"cls": "C", "nid": 4, "score": 1.0},
+    ])
+    with pytest.raises(ValueError, match="not a total order"):
+        cardinality_bound(
+            nodes, class_col="cls", max_per_class=2,
+            rank_keys=[("score", "descending")],
+        ).to_pandas()
+    # the same data with a unique tiebreaker is fine and exact
+    out = cardinality_bound(
+        nodes, class_col="cls", max_per_class=2,
+        rank_keys=[("score", "descending"), ("nid", "ascending")],
+    ).to_pandas()
+    assert len(out) == 4
+    assert sorted(out[~out["demoted"]]["nid"].tolist()) == [1, 2]
+
+
+def test_cardinality_bound_rejects_null_rank_key(ray_session):
+    nodes = _nodes_ds([
+        {"cls": "C", "nid": 1, "score": 9.0},
+        {"cls": "C", "nid": 2, "score": None},
+    ])
+    with pytest.raises(Exception, match="null"):
+        cardinality_bound(
+            nodes, class_col="cls", max_per_class=1,
+            rank_keys=[("score", "descending"), ("nid", "ascending")],
+        ).to_pandas()
+
+
 def test_content_hash_dedup_redirects_edges(ray_session):
     nodes = _nodes_ds([
         {"node_id": "n1", "p": "same", "q": 1},

@@ -91,6 +91,15 @@ def test_lookup_broadcast_matches_shuffle(ray_session):
     assert a["val"].isna().any()
 
 
+def test_lookup_empty_value_cols_refused(ray_session):
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    lk = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="value_cols"):
+        broadcast_lookup_join(left, lk, on="k", value_cols=[])
+
+
 def test_lookup_string_keys(ray_session):
     import ray.data
 

@@ -969,7 +969,7 @@ def test_lint_cli_subprocess(tmp_path):
         "                              graph_max_instances=4)\n"
         "    name: str = Field(..., examples=['ACME', 'Init'])\n",
         encoding="utf-8")
-    out = tmp_path / "re.py"
+    out = tmp_path / "rerender.py"
     r = subprocess.run(
         [_sys.executable, "-m", "docling_graph_ray", "lint",
          f"{good}:Org", "--out", str(out)],
@@ -986,6 +986,24 @@ def test_lint_cli_subprocess(tmp_path):
          f"{evil}:E"], capture_output=True, text=True, cwd="/root/repo")
     assert r2.returncode == 2
     assert "import allowlist" in r2.stderr
+
+    # dotted-module form runs the SAME allowlist over the located
+    # source BEFORE import — the module body must never execute
+    import os as _os
+
+    marker = tmp_path / "executed.marker"
+    (tmp_path / "evilmod.py").write_text(
+        "import socket\nopen(r'%s', 'w').close()\n"
+        "from pydantic import BaseModel\n"
+        "class E(BaseModel):\n    x: int = 1\n" % marker,
+        encoding="utf-8")
+    env = dict(_os.environ, PYTHONPATH="/root/repo")
+    r3 = subprocess.run(
+        [_sys.executable, "-m", "docling_graph_ray", "lint", "evilmod:E"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env)
+    assert r3.returncode == 2
+    assert "import allowlist" in r3.stderr
+    assert not marker.exists()
 
 
 def test_canonical_home_rule():
