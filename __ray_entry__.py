@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # second table) and the rows-only queries follow — still runnable
     # via tools/check_oracles.py (VERDICT r3 next-steps #6/#10).
     return {
+        # the flagship composite itself, oracle-checked (r5): the
+        # pipeline's per-partition lineage rollup vs a DuckDB recompute
+        # over the partition parquet the pipeline emitted
+        "pages_flagship_lineage": t.pages_flagship_lineage,
         # relational operator coverage (oracle-checked)
         "q1_pricing_summary": r.q1_pricing_summary,
         "top_filtered_orders": r.top_filtered_orders,
@@ -228,6 +232,32 @@ probes AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Recompute the flagship's lineage rollup from the partition
+        # parquet the pipeline emitted (queries()["pages_flagship_lineage"]
+        # runs first and writes it).  content_hash is the order-independent
+        # xor of the first 16 bytes of each url's text_sha256
+        # (functions/hashing.py:xor_rollup_hex) — two bit_xor'd UBIGINT
+        # halves re-hexed; validated bit-identical vs the python fold.
+        "pages_flagship_lineage": """
+            SELECT CAST(part_id AS INTEGER) AS part_id,
+                   COUNT(*) AS n_urls,
+                   CAST(SUM(CASE WHEN parse_status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   CAST(SUM(CASE WHEN parse_status = 'salvaged' THEN 1 ELSE 0 END) AS BIGINT) AS n_salvaged,
+                   CAST(SUM(CASE WHEN parse_status = 'fallback_text' THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
+                   CAST(SUM(CASE WHEN parse_status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(SUM(CASE WHEN parse_status = 'image_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+                   CAST(SUM(n_blocks_kept) AS BIGINT) AS blocks_kept,
+                   CAST(SUM(n_blocks_dropped) AS BIGINT) AS blocks_dropped,
+                   CAST(SUM(bytes_in) AS BIGINT) AS bytes_in,
+                   CAST(SUM(bytes_out) AS BIGINT) AS bytes_out,
+                   lower(lpad(to_hex(bit_xor(('0x' || substr(text_sha256, 1, 16))::UBIGINT)), 16, '0')
+                      || lpad(to_hex(bit_xor(('0x' || substr(text_sha256, 17, 16))::UBIGINT)), 16, '0'))
+                       AS content_hash
+            FROM read_parquet(
+                '/tmp/graft_oracle_flagship_lineage/part_id=*/data.parquet',
+                hive_partitioning = 1)
+            GROUP BY part_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

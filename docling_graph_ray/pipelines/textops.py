@@ -379,6 +379,41 @@ def emb_lsh_topk(sf_dir: str, k: int = 10):
 _SF_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000}
 
 
+# Fixed emitted-parquet location shared with the static oracle SQL in
+# __ray_entry__ (the runner executes the Ray query — which writes here —
+# before its DuckDB twin reads it back).
+FLAGSHIP_LINEAGE_OUT = "/tmp/graft_oracle_flagship_lineage"
+
+
+def pages_flagship_lineage(sf_dir: str):
+    """The FULL flagship composite (``run_extract_pipeline`` with
+    ``out_dir``: extract → url-hash partition dedup → atomic partition
+    Parquet + manifest commit) returning its per-partition lineage
+    rollup.  The DuckDB oracle recomputes every lineage field — url
+    counts, per-status counts, block/byte sums and the 128-bit xor
+    rollup of text_sha256 — from the parquet the pipeline itself
+    emitted, closing the loop between the lineage the pipeline CLAIMS
+    and the data it WROTE (VERDICT r4 next-step #1; reference run-stats
+    ledger: core/extractors/contracts/dense/orchestrator.py:2010-2180)."""
+    import shutil
+
+    from docling_graph_ray.fixtures.pages import pages_parquet_dir
+    from docling_graph_ray.pipelines.extract import (
+        read_pages_parquet,
+        run_extract_pipeline,
+    )
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    src = pages_parquet_dir(n, profile="t1")
+    shutil.rmtree(FLAGSHIP_LINEAGE_OUT, ignore_errors=True)
+    return run_extract_pipeline(
+        read_pages_parquet(src),
+        out_dir=FLAGSHIP_LINEAGE_OUT,
+        num_partitions=16,
+    )
+
+
 def pages_flagship(sf_dir: str):
     """Flagship extraction on the deterministic synthetic pages table;
     row count keyed to the sf tier.  Returns deduped extracted rows
