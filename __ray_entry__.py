@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
+        # per-label edge fanout (oracle-checked r5: two-level GROUP BY)
+        "graph_edge_fanout": g.graph_edge_fanout,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # rows-only (non-SQL-expressible)
@@ -257,6 +259,18 @@ def oracle_sql() -> dict[str, str]:
                 '/tmp/graft_oracle_flagship_lineage/part_id=*/data.parquet',
                 hive_partitioning = 1)
             GROUP BY part_id
+        """,
+        "graph_edge_fanout": """
+            SELECT label,
+                   CAST(SUM(n) AS BIGINT) AS total,
+                   COUNT(*) AS sources,
+                   CAST(MAX(n) AS BIGINT) AS top_source_edges
+            FROM (
+                SELECT o_orderstatus AS label, o_custkey,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1, 2
+            )
+            GROUP BY label
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -775,6 +775,19 @@ def graph_connected_components(sf_dir: str):
     return connected_components(edges, label_blocks=8)
 
 
+def graph_edge_fanout(sf_dir: str):
+    """Per-label edge fanout stats (total edges, distinct sources,
+    busiest source's count) over orders viewed as edges: label =
+    o_orderstatus, src = o_custkey.  Exercises the r5 partial-aggregate
+    ``edge_fanout`` (no whole-label group) against a plain two-level
+    GROUP BY oracle (16_extraction_evaluation.py:368-389)."""
+    from docling_graph_ray.stages.evaluate import edge_fanout
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+    return edge_fanout(orders, label_col="o_orderstatus",
+                       src_col="o_custkey")
+
+
 def graph_pagerank(sf_dir: str, iters: int = 5):
     """PageRank over the supplier→nation→region hierarchy (suppliers
     endorse their nation, nations their region; regions are dangling).

@@ -185,3 +185,27 @@ def test_edge_fanout(ray_session):
     assert (int(out.loc["L", "total"]), int(out.loc["L", "sources"]),
             int(out.loc["L", "top_source_edges"])) == (3, 2, 2)
     assert int(out.loc["M", "top_source_edges"]) == 1
+
+
+def test_edge_fanout_hot_label_across_blocks(ray_session):
+    """A hot label whose (label, src) pairs span many blocks must still
+    get exact global stats: pair counts merge across blocks before the
+    distinct-source count and the per-source max (r5 partial-aggregate
+    rewrite — no whole-label group)."""
+    import numpy as np
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    srcs = rng.integers(0, 50, 5000)
+    t = pa.table({
+        "label": pa.array(["HOT"] * 5000 + ["COLD"], pa.string()),
+        "src": pa.array([f"s{i}" for i in srcs] + ["z"], pa.string()),
+    })
+    out = (edge_fanout(ray.data.from_arrow(t).repartition(23))
+           .to_pandas().set_index("label"))
+    import collections
+    counts = collections.Counter(f"s{i}" for i in srcs)
+    assert int(out.loc["HOT", "total"]) == 5000
+    assert int(out.loc["HOT", "sources"]) == len(counts)
+    assert int(out.loc["HOT", "top_source_edges"]) == max(counts.values())
+    assert int(out.loc["COLD", "total"]) == 1
