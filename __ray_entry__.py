@@ -248,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN parse_status = 'fallback_text' THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback,
                    CAST(SUM(CASE WHEN parse_status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
                    CAST(SUM(CASE WHEN parse_status = 'image_only' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_only,
+                   CAST(SUM(CASE WHEN parse_status = 'ocr_recovered' THEN 1 ELSE 0 END) AS BIGINT) AS n_ocr_recovered,
                    CAST(SUM(n_blocks_kept) AS BIGINT) AS blocks_kept,
                    CAST(SUM(n_blocks_dropped) AS BIGINT) AS blocks_dropped,
                    CAST(SUM(bytes_in) AS BIGINT) AS bytes_in,

@@ -66,6 +66,7 @@ LINEAGE_SCHEMA = pa.schema(
         ("n_fallback", pa.int64()),
         ("n_failed", pa.int64()),
         ("n_image_only", pa.int64()),
+        ("n_ocr_recovered", pa.int64()),
         ("blocks_kept", pa.int64()),
         ("blocks_dropped", pa.int64()),
         ("bytes_in", pa.int64()),
@@ -149,7 +150,8 @@ class ExtractActor(PdfParseActor):
 
     giant_parse_cap = GIANT_PARSE_CAP_BYTES
 
-    def __init__(self, shuffle_codec: str | None = None) -> None:
+    def __init__(self, shuffle_codec: str | None = None,
+                 ocr_backend: type | None = None) -> None:
         """``shuffle_codec="zlib"`` compresses ``extracted_text`` AT FLUSH,
         inside the actor, so the uncompressed text never enters the object
         store.  A separate compress ``map_batches`` stage downstream is NOT
@@ -165,6 +167,11 @@ class ExtractActor(PdfParseActor):
         if shuffle_codec not in (None, "zlib"):
             raise ValueError(f"unknown shuffle_codec: {shuffle_codec!r}")
         self.shuffle_codec = shuffle_codec
+        # ``ocr_backend`` is a CLASS (OcrBackend protocol) instantiated
+        # here so the OCR model loads once per actor alongside the warm
+        # parser stack — image_only rows route through it while the raw
+        # bytes are still in hand (no second ship of the binary payload)
+        self.ocr = ocr_backend() if ocr_backend is not None else None
 
     def __call__(self, batch: pa.Table):
         urls = batch.column("url")
@@ -229,6 +236,19 @@ class ExtractActor(PdfParseActor):
                 # whole-payload copy here is fine — the lane is rare and
                 # the parse itself dominates
                 t, st, spans = self._parse_one(bytes(raw))
+                if st == "image_only" and self.ocr is not None:
+                    # scanned-PDF recovery via the injected OcrBackend;
+                    # a backend failure keeps the row quantified as
+                    # image_only rather than failing the partition
+                    try:
+                        ocr_text = self.ocr.recognize(bytes(raw))
+                    except Exception:
+                        ocr_text = None
+                    if ocr_text:
+                        t, st = ocr_text, "ocr_recovered"
+                        spans = [{"span_id": 0, "start": 0,
+                                  "end": len(ocr_text), "kind": "ocr",
+                                  "path": "pdf", "block_class": "ocr"}]
                 r = {"extracted_text": t, "spans": spans,
                      "n_blocks_kept": len(spans), "n_blocks_dropped": 0,
                      "parse_status": st}
@@ -320,6 +340,9 @@ def _lineage_record(part_id: int, deduped: pa.Table) -> dict:
         # (reference closes it with RapidOCR,
         # document_processor.py:199-230 — out of scope here)
         "n_image_only": _count("image_only"),
+        # rows an injected OcrBackend recovered text for (r5: the OCR
+        # gap is pluggable, not just quantified)
+        "n_ocr_recovered": _count("ocr_recovered"),
         "blocks_kept": int(pc.sum(deduped.column("n_blocks_kept")).as_py() or 0),
         "blocks_dropped": int(pc.sum(deduped.column("n_blocks_dropped")).as_py() or 0),
         "bytes_in": int(pc.sum(deduped.column("bytes_in")).as_py() or 0),
@@ -432,19 +455,36 @@ def _auto_concurrency() -> tuple[int, int]:
     return (n, n)
 
 
-def _resolve_parser(parser_cls, shuffle_codec: str | None):
+def _resolve_parser(parser_cls, shuffle_codec: str | None,
+                    ocr_backend: type | None = None):
     """Duck-typed backend injection (the reference's
     ``PipelineConfig.llm_client`` protocol injection, config.py:161-165 +
     protocols.py:239-283, re-expressed for the actor stage): a custom
     class slots in where ``ExtractActor`` goes, validated structurally
     WITHOUT instantiating on the driver (its ``__init__`` may load a
-    model stack).  Returns ``(cls, fn_constructor_kwargs)``."""
+    model stack).  ``ocr_backend`` (state.protocols.OcrBackend class) is
+    validated the same way and handed to the parser's constructor — each
+    actor instantiates it next to its warm parser state.  Returns
+    ``(cls, fn_constructor_kwargs)``."""
     import inspect
 
-    from docling_graph_ray.state.protocols import stage_class_defines_call
+    from docling_graph_ray.state.protocols import (
+        ocr_backend_class_defines_recognize,
+        stage_class_defines_call,
+    )
 
+    if ocr_backend is not None and not ocr_backend_class_defines_recognize(
+            ocr_backend):
+        raise TypeError(
+            f"{getattr(ocr_backend, '__name__', ocr_backend)!r} is not an "
+            "OCR backend: it must be a class defining recognize(raw) "
+            "(see state.protocols.OcrBackend)"
+        )
     if parser_cls is None:
-        return ExtractActor, {"shuffle_codec": shuffle_codec}
+        kwargs = {"shuffle_codec": shuffle_codec}
+        if ocr_backend is not None:
+            kwargs["ocr_backend"] = ocr_backend
+        return ExtractActor, kwargs
     if not stage_class_defines_call(parser_cls):
         raise TypeError(
             f"{getattr(parser_cls, '__name__', parser_cls)!r} is not a "
@@ -452,27 +492,37 @@ def _resolve_parser(parser_cls, shuffle_codec: str | None):
             "(see state.protocols.BatchStage)"
         )
     params = inspect.signature(parser_cls.__init__).parameters
+    kwargs: dict = {}
     if "shuffle_codec" in params:
-        return parser_cls, {"shuffle_codec": shuffle_codec}
-    if shuffle_codec:
+        kwargs["shuffle_codec"] = shuffle_codec
+    elif shuffle_codec:
         raise TypeError(
             f"{parser_cls.__name__} does not accept shuffle_codec= but "
             f"the pipeline was asked for {shuffle_codec!r} payload "
             "compression — add the kwarg (compress at flush, see "
             "ExtractActor.__init__) or pass shuffle_codec=None"
         )
-    return parser_cls, {}
+    if ocr_backend is not None:
+        if "ocr_backend" not in params:
+            raise TypeError(
+                f"{parser_cls.__name__} does not accept ocr_backend= but "
+                "an OCR backend was injected — add the kwarg "
+                "(instantiate in __init__, route image_only rows; see "
+                "ExtractActor) or drop the backend"
+            )
+        kwargs["ocr_backend"] = ocr_backend
+    return parser_cls, kwargs
 
 
 def _lanes(classified, pdf_concurrency, shuffle_codec: str | None = None,
-           parser_cls=None):
+           parser_cls=None, ocr_backend: type | None = None):
     """The extraction stage: one warm-actor pool, one pass, one parse per
     row.  ``batch_size`` bounds per-call input (~64 rows × ~0.25 MB avg
     html ≈ 8 MB on the heavy profile); small batches keep the task tail
     short — one coarse straggler task can dominate the whole run."""
     if pdf_concurrency is None:
         pdf_concurrency = _auto_concurrency()
-    cls, ctor_kwargs = _resolve_parser(parser_cls, shuffle_codec)
+    cls, ctor_kwargs = _resolve_parser(parser_cls, shuffle_codec, ocr_backend)
     return classified.map_batches(
         cls,
         batch_format="pyarrow",
@@ -524,6 +574,7 @@ def extract_pages_dataset(
     pdf_concurrency=None,
     shuffle_codec: str | None = None,
     parser_cls=None,
+    ocr_backend: type | None = None,
 ):
     """pages Dataset → extracted Dataset (NOT deduped; no shuffle).
 
@@ -538,7 +589,8 @@ def extract_pages_dataset(
     classified = pages.map_batches(
         make_classifier(num_partitions, giant_bytes), batch_format="pyarrow"
     )
-    return _lanes(classified, pdf_concurrency, shuffle_codec, parser_cls)
+    return _lanes(classified, pdf_concurrency, shuffle_codec, parser_cls,
+                  ocr_backend)
 
 
 def run_extract_pipeline(
@@ -551,6 +603,7 @@ def run_extract_pipeline(
     resume: bool = True,
     shuffle_codec: str | None = "zlib",
     parser_cls=None,
+    ocr_backend: type | None = None,
 ):
     """Full pipeline; returns the lineage Dataset (one row per partition).
 
@@ -576,7 +629,8 @@ def run_extract_pipeline(
 
     if shuffle_codec not in (None, "zlib"):
         raise ValueError(f"unknown shuffle_codec: {shuffle_codec!r}")
-    extracted = _lanes(classified, pdf_concurrency, shuffle_codec, parser_cls)
+    extracted = _lanes(classified, pdf_concurrency, shuffle_codec, parser_cls,
+                       ocr_backend)
     finalizer = PartitionFinalizer(out_dir)
 
     def finalize_partition(group: pa.Table) -> pa.Table:

@@ -40,6 +40,20 @@ class DocumentParser(Protocol):
 
 
 @runtime_checkable
+class OcrBackend(Protocol):
+    """An OCR recognizer for image-only (scanned) documents: raw
+    document bytes in, recovered plain text out (None/"" = nothing
+    recovered).  The class is instantiated INSIDE each extraction actor
+    (warm model state, once per actor); ``recognize`` runs per
+    image-only row — the reference's RapidOCR lane
+    (docling_graph/core/extractors/document_processor.py:199-230) as a
+    pluggable protocol.  This container has no OCR model; a real
+    cluster injects one without touching pipeline code."""
+
+    def recognize(self, raw: bytes) -> str | None: ...
+
+
+@runtime_checkable
 class Exporter(Protocol):
     """A graph/document exporter: Dataset in, artifact paths out."""
 
@@ -70,6 +84,15 @@ def get_stage_kind(obj: Any) -> str:
     if is_batch_stage(obj):
         return "batch_stage"
     return "unknown"
+
+
+def ocr_backend_class_defines_recognize(cls: type) -> bool:
+    """Class-level structural probe for the ``OcrBackend`` contract
+    that does NOT instantiate (the backend's ``__init__`` loads the OCR
+    model — that belongs inside the actor, never on the driver)."""
+    return isinstance(cls, type) and any(
+        "recognize" in vars(k) for k in cls.__mro__ if k is not object
+    )
 
 
 def stage_class_defines_call(cls: type) -> bool:

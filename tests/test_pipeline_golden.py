@@ -4,6 +4,7 @@ The north-rule invariant (BASELINE.json): extracted text must be
 byte-identical per url, for any parallelism."""
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 from docling_graph_ray.fixtures.pages import pages_dataset
@@ -169,3 +170,118 @@ def test_codec_and_plain_paths_write_identical_partitions(ray_session, tmp_path)
     import pyarrow as pa
 
     assert pa.types.is_large_string(outs["zlib"].schema.field("extracted_text").type)
+
+
+def _ocr_pages_table():
+    import datetime
+
+    from docling_graph_ray.fixtures.pages import PAGES_SCHEMA
+    from docling_graph_ray.fixtures.pdf_writer import (
+        build_image_pdf,
+        simple_text_pdf,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"url": "http://x.test/scan", "warc_ts": ts,
+         "html": build_image_pdf(n_pages=2), "text": None, "lang": "en"},
+        {"url": "http://x.test/pdf", "warc_ts": ts,
+         "html": simple_text_pdf(["hello pdf world"]), "text": None,
+         "lang": "en"},
+        {"url": "http://x.test/html", "warc_ts": ts,
+         "html": b"<html><body><p>plain html body text here</p></body></html>",
+         "text": None, "lang": "en"},
+    ]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def _fake_ocr_cls():
+    """OcrBackend protocol stand-in, built INSIDE the caller so
+    cloudpickle ships it by value (a module-level test class would be
+    pickled by reference and the worker cannot import test modules).
+    Deterministic text keyed to payload size — no OCR model in this
+    container; the plumbing is what the tests pin: routing, spans,
+    sha, lineage counter."""
+
+    class FakeOcr:
+        def recognize(self, raw: bytes) -> str:
+            return f"ocr recovered {len(raw)} bytes"
+
+    return FakeOcr
+
+
+def _broken_ocr_cls():
+    class BrokenOcr:
+        def recognize(self, raw: bytes) -> str:
+            raise RuntimeError("model exploded")
+
+    return BrokenOcr
+
+
+def test_ocr_backend_recovers_image_only(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from docling_graph_ray.pipelines.extract import extract_pages_dataset
+
+    ds = ray.data.from_arrow(_ocr_pages_table())
+    out = (extract_pages_dataset(ds, num_partitions=4,
+                                 ocr_backend=_fake_ocr_cls())
+           .to_pandas().set_index("url"))
+    scan = out.loc["http://x.test/scan"]
+    assert scan["parse_status"] == "ocr_recovered"
+    assert scan["extracted_text"].startswith("ocr recovered ")
+    assert scan["text_sha256"] == hashlib.sha256(
+        scan["extracted_text"].encode()).hexdigest()
+    assert [s["kind"] for s in scan["spans"]] == ["ocr"]
+    # non-image rows are untouched by the backend
+    assert out.loc["http://x.test/pdf", "parse_status"] == "ok"
+    assert out.loc["http://x.test/html", "parse_status"] == "ok"
+
+
+def test_ocr_backend_absent_and_broken_keep_image_only(ray_session):
+    import ray.data
+
+    from docling_graph_ray.pipelines.extract import extract_pages_dataset
+
+    for backend in (None, _broken_ocr_cls()):
+        ds = ray.data.from_arrow(_ocr_pages_table())
+        out = (extract_pages_dataset(ds, num_partitions=4,
+                                     ocr_backend=backend)
+               .to_pandas().set_index("url"))
+        scan = out.loc["http://x.test/scan"]
+        assert scan["parse_status"] == "image_only"
+        assert scan["extracted_text"] == ""
+
+
+def test_ocr_lineage_counter(ray_session, tmp_path):
+    import ray.data
+
+    lineage = run_extract_pipeline(
+        ray.data.from_arrow(_ocr_pages_table()),
+        out_dir=str(tmp_path / "out"), num_partitions=2,
+        ocr_backend=_fake_ocr_cls(),
+    ).to_pandas()
+    assert int(lineage["n_ocr_recovered"].sum()) == 1
+    assert int(lineage["n_image_only"].sum()) == 0
+    # without a backend the gap stays quantified, not recovered
+    lineage2 = run_extract_pipeline(
+        ray.data.from_arrow(_ocr_pages_table()),
+        out_dir=str(tmp_path / "out2"), num_partitions=2,
+    ).to_pandas()
+    assert int(lineage2["n_ocr_recovered"].sum()) == 0
+    assert int(lineage2["n_image_only"].sum()) == 1
+
+
+def test_ocr_backend_validation(ray_session):
+    import ray.data
+
+    from docling_graph_ray.pipelines.extract import extract_pages_dataset
+
+    class NotABackend:
+        pass
+
+    with pytest.raises(TypeError, match="OCR backend"):
+        extract_pages_dataset(ray.data.from_arrow(_ocr_pages_table()),
+                              ocr_backend=NotABackend)
