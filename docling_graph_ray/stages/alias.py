@@ -54,11 +54,21 @@ def is_containment_alias(short: str, long: str) -> bool:
 # (stages/dedup.py max_bucket_verify).
 ALIAS_MAX_SURVIVOR_SCAN = 1024
 
+# Group-size guard (VERDICT r4 next-step #8): ``map_groups`` hands one
+# whole class to one worker, and the exact path's ``to_pylist`` costs
+# ~10x the Arrow bytes in Python objects.  Above this row cap only the
+# top-richness-K rows go through exact reconciliation; the rest pass
+# through VECTORIZED (Arrow-level, no Python dicts) as their own
+# survivors, counted in ``audit_col`` — memory stays bounded by K, not
+# by the hot class.
+ALIAS_MAX_GROUP_ROWS = 200_000
+
 
 def reconcile_group(group: pa.Table, *, name_col: str,
                     count_col: str | None = None,
                     max_survivor_scan: int = ALIAS_MAX_SURVIVOR_SCAN,
-                    audit_col: str | None = None) -> pa.Table:
+                    audit_col: str | None = None,
+                    max_group_rows: int = ALIAS_MAX_GROUP_ROWS) -> pa.Table:
     """Merge containment aliases inside one class partition.
 
     Deterministic: rows ordered by (token count desc, name asc) so richer
@@ -73,7 +83,19 @@ def reconcile_group(group: pa.Table, *, name_col: str,
     would have chosen.  Typical cost is near-linear in group size; the
     pathological shared-token class is bounded by ``max_survivor_scan``
     verified candidates per row, with rows that hit the cap unresolved
-    counted in ``audit_col`` (opt-in, keeps the default schema stable)."""
+    counted in ``audit_col`` (opt-in, keeps the default schema stable).
+
+    Memory shape: a group larger than ``max_group_rows`` reconciles
+    exactly among its top-richness-K rows only (whitespace-token count
+    desc, name asc — richer names are the absorbers, so the kept head
+    is where merges happen); the remainder passes through vectorized as
+    its own survivors with the unreconciled count in ``audit_col``.
+    Worker memory is bounded by K whatever the class size."""
+    if group.num_rows > max_group_rows:
+        return _reconcile_capped(
+            group, name_col=name_col, count_col=count_col,
+            max_survivor_scan=max_survivor_scan, audit_col=audit_col,
+            max_group_rows=max_group_rows)
     idx = pc.sort_indices(group, sort_keys=[(name_col, "ascending")])
     rows = group.take(idx).to_pylist()
     meta = []
@@ -143,18 +165,75 @@ def reconcile_group(group: pa.Table, *, name_col: str,
     if audit_col is not None:
         for s in survivors:
             s[audit_col] = n_overflow
-    return pa.Table.from_pylist(survivors)
+    out = pa.Table.from_pylist(survivors)
+    if out.num_rows and "aliases" in out.column_names:
+        # all-empty alias lists infer list<null>; pin list<string> so
+        # schemas agree across groups and with the capped passthrough
+        i = out.schema.get_field_index("aliases")
+        out = out.set_column(
+            i, "aliases", out.column("aliases").cast(pa.list_(pa.string())))
+    return out
+
+
+def _reconcile_capped(group: pa.Table, *, name_col: str,
+                      count_col: str | None, max_survivor_scan: int,
+                      audit_col: str | None,
+                      max_group_rows: int) -> pa.Table:
+    """Top-richness-K fallback for a class exceeding ``max_group_rows``:
+    exact reconciliation among the K richest names (the absorbers), an
+    Arrow-level passthrough for the rest — no Python dict is ever built
+    for a capped-out row, so worker memory is bounded by K."""
+    import numpy as np
+
+    names = group.column(name_col).cast(pa.string())
+    richness = pc.list_value_length(pc.utf8_split_whitespace(names))
+    order = pc.sort_indices(
+        pa.table({"r": richness, "n": names}),
+        sort_keys=[("r", "descending"), ("n", "ascending")])
+    g = group.take(order)
+    head, rest = g.slice(0, max_group_rows), g.slice(max_group_rows)
+    out_head = reconcile_group(
+        head, name_col=name_col, count_col=count_col,
+        max_survivor_scan=max_survivor_scan, audit_col=audit_col,
+        max_group_rows=group.num_rows + 1)
+    n_rest = rest.num_rows
+    total_audit = n_rest
+    if audit_col is not None:
+        if out_head.num_rows:
+            total_audit += int(out_head.column(audit_col)[0].as_py() or 0)
+            hi = out_head.schema.get_field_index(audit_col)
+            out_head = out_head.set_column(
+                hi, audit_col,
+                pa.array([total_audit] * out_head.num_rows, pa.int64()))
+
+    rest = rest.combine_chunks()
+    empty_aliases = pa.ListArray.from_arrays(
+        pa.array(np.zeros(n_rest + 1, dtype=np.int32)),
+        pa.array([], pa.string()))
+    rest = rest.append_column("aliases", empty_aliases)
+    if count_col is None:
+        rest = rest.append_column(
+            "n_merged", pa.array(np.ones(n_rest, dtype=np.int64)))
+    if audit_col is not None:
+        rest = rest.append_column(
+            audit_col, pa.array(
+                np.full(n_rest, total_audit, dtype=np.int64)))
+    rest = rest.select(out_head.column_names)
+    out = pa.concat_tables([out_head, rest], promote_options="permissive")
+    return out.take(pc.sort_indices(out, sort_keys=[(name_col, "ascending")]))
 
 
 def alias_reconcile(nodes, *, class_col: str, name_col: str,
                     count_col: str | None = None,
                     max_survivor_scan: int = ALIAS_MAX_SURVIVOR_SCAN,
-                    audit_col: str | None = None):
+                    audit_col: str | None = None,
+                    max_group_rows: int = ALIAS_MAX_GROUP_ROWS):
     """Dataset-level operator: ``groupby(class).map_groups(reconcile)``."""
 
     def fn(group: pa.Table) -> pa.Table:
         return reconcile_group(group, name_col=name_col, count_col=count_col,
                                max_survivor_scan=max_survivor_scan,
-                               audit_col=audit_col)
+                               audit_col=audit_col,
+                               max_group_rows=max_group_rows)
 
     return nodes.groupby(class_col).map_groups(fn, batch_format="pyarrow")

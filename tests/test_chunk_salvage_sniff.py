@@ -304,6 +304,52 @@ def test_reconcile_group_hot_class_bounded():
     assert "n_scan_overflow" not in small.schema.names
 
 
+def test_reconcile_group_row_cap_fallback():
+    """A class above max_group_rows reconciles only its top-richness-K
+    head; the rest passes through vectorized as own-survivors with the
+    unreconciled count in the audit column (VERDICT r4 next-step #8).
+    Schema and survivor semantics must match the exact path."""
+    g = pa.Table.from_pylist([
+        {"cls": "C", "name": "Acme Corp International", "n": 1, "attr": None},
+        {"cls": "C", "name": "Acme Corp", "n": 2, "attr": "filled"},
+        {"cls": "C", "name": "Zeta Group North", "n": 1, "attr": None},
+        {"cls": "C", "name": "Zeta", "n": 5, "attr": None},
+        {"cls": "C", "name": "Other Co", "n": 1, "attr": None},
+    ])
+    # cap=3 keeps the 3 richest (Acme Corp International, Zeta Group
+    # North, and one 2-token name); the remaining rows pass through
+    out = reconcile_group(g, name_col="name", count_col="n",
+                          audit_col="n_unreconciled",
+                          max_group_rows=3).to_pylist()
+    exact = reconcile_group(g, name_col="name", count_col="n",
+                            audit_col="n_unreconciled").to_pylist()
+    assert exact[0]["n_unreconciled"] == 0
+    # capped mode: nothing dropped — counts are conserved
+    assert sum(r["n"] for r in out) == 10
+    assert all(r["n_unreconciled"] == out[0]["n_unreconciled"] for r in out)
+    assert out[0]["n_unreconciled"] == 2  # rows beyond the head
+    assert {type(r["aliases"]) for r in out} == {list}
+    # an in-head alias still folds (Acme Corp is 2 tokens: richness
+    # order is International(3), North(3), then 'Acme Corp' (tie at 2,
+    # name asc) — in the head, so it merges)
+    by_name = {r["name"]: r for r in out}
+    assert by_name["Acme Corp International"]["aliases"] == ["Acme Corp"]
+    assert by_name["Acme Corp International"]["n"] == 3
+
+
+def test_reconcile_group_cap_schema_matches_exact():
+    g = pa.Table.from_pylist([
+        {"cls": "C", "name": f"name {i} unit", "n": 1} for i in range(8)
+    ])
+    capped = reconcile_group(g, name_col="name", count_col="n",
+                             max_group_rows=4)
+    exact = reconcile_group(g, name_col="name", count_col="n")
+    assert capped.schema.names == exact.schema.names
+    assert capped.num_rows == exact.num_rows == 8
+    assert capped.schema.field("aliases").type == pa.list_(pa.string())
+    assert exact.schema.field("aliases").type == pa.list_(pa.string())
+
+
 # ---------------------------------------------------------------------- registry
 
 def test_registry_compose(ray_session):
