@@ -131,9 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
-        # LM quality scoring (rows-only: iterative model fit + broadcast)
+        # LM quality scoring (oracle-checked r5: deterministic bigram
+        # model => exact bits-per-byte recompute in SQL)
         "doc_lm_score": t.doc_lm_score,
-        # distributed k-means (rows-only: iterative model fit + broadcast)
+        # distributed k-means (oracle-checked r5: the fitted codebook is
+        # emitted and every assignment recomputed via cross join+argmax;
+        # the iterative fit itself stays python)
         "emb_kmeans": t.emb_kmeans,
         # distributed PCA (rows-only: eigendecomposition + broadcast)
         "emb_pca": t.emb_pca,
@@ -141,7 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_vocab": t.doc_bpe_vocab,
         # BPE train+tokenize composite (rows-only: stateful actor cache)
         "doc_bpe_apply": t.doc_bpe_apply,
-        # HyperLogLog distinct estimate (rows-only: approximate sketch)
+        # HyperLogLog distinct estimate (oracle-checked r5: sha256 hash
+        # family => registers AND estimate exactly recomputable in SQL)
         "doc_distinct_estimate": t.doc_distinct_estimate,
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
@@ -158,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl -> extract -> langid -> curate composite (rows-only)
         "pages_curation": t.pages_curation,
         "media_features": t.media_pipeline,
+        # header-only probe vs the fixture's declared metadata
+        # (oracle-checked r5)
+        "media_probe": t.media_probe,
     }
 
 
@@ -260,6 +267,108 @@ def oracle_sql() -> dict[str, str]:
                 '/tmp/graft_oracle_flagship_lineage/part_id=*/data.parquet',
                 hive_partitioning = 1)
             GROUP BY part_id
+        """,
+        # CCNet bigram LM scoring: the model is deterministic add-one
+        # smoothed corpus bigram counts, so bits-per-byte is an exact
+        # SQL recompute (documents are ASCII => ord(char) == byte).
+        "doc_lm_score": """
+            WITH pairs AS (
+              SELECT doc_id,
+                     ord(substr(text, i, 1)) * 256
+                       + ord(substr(text, i + 1, 1)) AS pair
+              FROM documents,
+                   LATERAL unnest(range(1, length(text))) AS u(i)
+              WHERE text IS NOT NULL AND length(text) >= 2
+            ),
+            model AS (SELECT pair, COUNT(*)::DOUBLE AS n
+                      FROM pairs GROUP BY pair),
+            rowtot AS (SELECT pair // 256 AS prev, SUM(n) AS tot
+                       FROM model GROUP BY 1),
+            logp AS (
+              SELECT m.pair, log2((m.n + 1.0) / (r.tot + 256.0)) AS lp
+              FROM model m JOIN rowtot r ON m.pair // 256 = r.prev
+            ),
+            scored AS (
+              SELECT p.doc_id, -avg(l.lp) AS bpb
+              FROM pairs p JOIN logp l ON p.pair = l.pair
+              GROUP BY p.doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   round(coalesce(s.bpb, 8.0), 6) AS bits_per_byte
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        # k-means assignment recompute against the emitted codebook
+        # (queries()["emb_kmeans"] writes it first)
+        "emb_kmeans": """
+            WITH cents AS (
+              SELECT cluster, centroid
+              FROM read_parquet('/tmp/graft_oracle_kmeans_centroids.parquet')
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cluster,
+                     list_cosine_similarity(e.embedding, c.centroid) AS s
+              FROM embeddings e, cents c
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, cluster
+            FROM (SELECT vec_id, cluster,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY s DESC, cluster ASC)
+                           AS rn
+                  FROM sims)
+            WHERE rn = 1
+        """,
+        # HyperLogLog registers + Flajolet estimate recomputed from the
+        # same sha256-first-8-bytes hash family (stages/sketch.py): idx
+        # = top 12 bits, rho = 53 - bit_length(low 52 bits), estimate
+        # with the linear-counting small-range branch.
+        "doc_distinct_estimate": """
+            WITH vals AS (SELECT DISTINCT coalesce(text, '') AS v
+                          FROM documents),
+            h AS (SELECT ('0x' || substr(sha256(v), 1, 16))::UBIGINT AS h64
+                  FROM vals),
+            regs AS (
+              SELECT CAST(h64 >> 52 AS BIGINT) AS idx,
+                     MAX(CASE WHEN low = 0 THEN 53
+                              ELSE 53 - length(bin(low)) END) AS rho
+              FROM (SELECT h64,
+                           h64 & ((1::UBIGINT << 52) - 1) AS low FROM h)
+              GROUP BY 1
+            ),
+            agg AS (
+              SELECT SUM(power(2.0, -rho)) AS s_present,
+                     4096 - COUNT(*) AS zeros
+              FROM regs
+            )
+            SELECT round(CASE WHEN est <= 2.5 * 4096 AND zeros > 0
+                              THEN 4096 * ln(4096.0 / zeros)
+                              ELSE est END, 4) AS estimate,
+                   CAST(12 AS BIGINT) AS p
+            FROM (SELECT (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                         / (s_present + zeros) AS est, zeros
+                  FROM agg)
+        """,
+        # probe fields derived from the fixture contract over the
+        # emitted declared-metadata table (queries()["media_probe"]
+        # writes it first): PNG 24x16 RGB, WAV 16 kHz mono 400 samples,
+        # video payloads opaque
+        "media_probe": """
+            SELECT CAST(media_id AS BIGINT) AS media_id,
+                   CASE media_type WHEN 'image' THEN 'png'
+                                   WHEN 'audio' THEN 'wav'
+                                   ELSE 'unknown' END AS format,
+                   CAST(CASE media_type WHEN 'image' THEN 24
+                                        ELSE -1 END AS BIGINT) AS width,
+                   CAST(CASE media_type WHEN 'image' THEN 16
+                                        ELSE -1 END AS BIGINT) AS height,
+                   CAST(CASE media_type WHEN 'image' THEN 3
+                                        WHEN 'audio' THEN 1
+                                        ELSE -1 END AS BIGINT) AS channels,
+                   CAST(CASE media_type WHEN 'audio' THEN 16000
+                                        ELSE -1 END AS BIGINT)
+                       AS sample_rate,
+                   CAST(CASE media_type WHEN 'audio' THEN 400
+                                        ELSE -1 END AS BIGINT) AS n_samples
+            FROM read_parquet('/tmp/graft_oracle_media_meta.parquet')
         """,
         "graph_edge_fanout": """
             SELECT label,

@@ -471,6 +471,56 @@ def pages_warc_flagship(sf_dir: str):
     )
 
 
+# Fixed declared-metadata location shared with the static oracle SQL.
+MEDIA_META_OUT = "/tmp/graft_oracle_media_meta.parquet"
+
+
+def media_probe(sf_dir: str):
+    """Header-only media metadata probe (stages/media_codec.probe_media
+    — the cheap routing pass a 100 TB multimodal table runs before any
+    decode pool) over the deterministic synthetic media table.
+    Oracle-checked (r5): the fixture's DECLARED metadata is written to
+    ``MEDIA_META_OUT`` and the DuckDB twin derives every expected probe
+    field from it via the fixture contract (image rows are real 24×16
+    RGB PNGs, audio rows real 16 kHz mono 400-sample WAVs, video
+    payloads opaque bytes → 'unknown').  Fields a format does not carry
+    ride as -1 so both sides hash as exact int64."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.media_codec import probe_media
+    from docling_graph_ray.stages.multimodal import make_media_table
+
+    tbl = make_media_table(64)
+    pq.write_table(
+        pa.table({
+            "media_id": tbl.column("media_id").cast(pa.int64()),
+            "media_type": pc.struct_field(tbl.column("meta"), "media_type"),
+        }),
+        MEDIA_META_OUT,
+    )
+
+    def probe_batch(b: pa.Table) -> pa.Table:
+        rows = [probe_media(p.as_py()) for p in b.column("payload")]
+
+        def col(k: str) -> pa.Array:
+            return pa.array(
+                [r[k] if r[k] is not None else -1 for r in rows], pa.int64())
+
+        return pa.table({
+            "media_id": b.column("media_id").cast(pa.int64()),
+            "format": pa.array([r["format"] or "unknown" for r in rows],
+                               pa.string()),
+            "width": col("width"),
+            "height": col("height"),
+            "channels": col("channels"),
+            "sample_rate": col("sample_rate"),
+            "n_samples": col("n_samples"),
+        })
+
+    return ray.data.from_arrow(tbl).map_batches(
+        probe_batch, batch_format="pyarrow")
+
+
 def media_pipeline(sf_dir: str):
     """Multimodal plumbing: synthetic media table → actor-pool features."""
     from docling_graph_ray.stages.multimodal import make_media_table, media_features
@@ -907,17 +957,47 @@ def doc_tfidf_keywords(sf_dir: str, k: int = 5):
     return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=k)
 
 
+# Fixed codebook location shared with the static oracle SQL (the runner
+# executes the Ray query — which writes it — before its DuckDB twin).
+KMEANS_CENTROIDS_OUT = "/tmp/graft_oracle_kmeans_centroids.parquet"
+
+
 def emb_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     """Distributed k-means over the embeddings table (iterative
     broadcast-centroid passes; per-iteration reduce payload is k×dim
     partials, never the corpus) followed by a one-pass assignment —
-    rows (vec_id, cluster, sim).  Rows-only: iterative model fitting
-    has no SQL twin."""
-    from docling_graph_ray.stages.similarity import kmeans_assign, kmeans_fit
+    rows (vec_id, cluster, sim).  Oracle-checked (r5): the fitted
+    codebook (unit-normalized, exactly what ``kmeans_assign``
+    broadcasts) is written to ``KMEANS_CENTROIDS_OUT``; the DuckDB twin
+    recomputes EVERY assignment by cross-joining embeddings against it
+    (list_cosine_similarity + argmax window).  The iterative fit stays
+    Python; the claimed assignment — the part consumers act on — is
+    fully SQL-verified.  The float similarity itself is deliberately
+    NOT in the compared output: numpy and DuckDB agree on every
+    assignment but can disagree on the last ulp of the cosine, which a
+    fixed-decimal round cannot paper over at the boundary (measured: 1
+    row in 500 flips the 6th decimal at sf0.01)."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import (
+        _normalize,
+        kmeans_assign,
+        kmeans_fit,
+    )
 
     embs = _embs(sf_dir, ["vec_id", "embedding"])
     cent = kmeans_fit(embs, k=k, iters=iters)
-    return kmeans_assign(embs, cent)
+    norm = _normalize(np.asarray(cent, dtype=np.float64))
+    pq.write_table(
+        pa.table({
+            "cluster": pa.array(range(len(norm)), pa.int64()),
+            "centroid": pa.array([[float(x) for x in c] for c in norm],
+                                 pa.list_(pa.float64())),
+        }),
+        KMEANS_CENTROIDS_OUT,
+    )
+    return kmeans_assign(embs, cent).map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow")
 
 
 def doc_length_quantiles(sf_dir: str):
@@ -1225,18 +1305,21 @@ def doc_distinct_estimate(sf_dir: str, p: int = 12):
     (stages/sketch.py): every block reduces to a 4 KB register row,
     the driver max-merges.  The estimate is fully deterministic and
     partitioning-invariant (register merge is an elementwise max of
-    deterministic hashes).  Rows-only: DuckDB's approx_count_distinct
-    uses a different hash family, so the twin check is the pytest
-    accuracy/associativity suite."""
+    deterministic hashes).  Oracle-checked (r5): the hash is
+    sha256-first-8-bytes, a DuckDB builtin — the oracle recomputes the
+    registers (idx = top p bits, rho = 53 - bit_length(low 52 bits))
+    and the Flajolet estimate incl. the linear-counting small-range
+    branch in plain SQL.  (The former n_blocks column was block-layout
+    metadata, not a corpus property — dropped so the result is
+    SQL-defined.)"""
     from docling_graph_ray.stages.sketch import distinct_estimate
 
-    est, n_blocks = distinct_estimate(
+    est, _n_blocks = distinct_estimate(
         _docs(sf_dir, ["text"]), col="text", p=p
     )
     return pa.table({
         "estimate": pa.array([round(est, 4)], pa.float64()),
         "p": pa.array([p], pa.int64()),
-        "n_blocks": pa.array([n_blocks], pa.int64()),
     })
 
 

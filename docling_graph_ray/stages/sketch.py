@@ -10,7 +10,12 @@ Flajolet et al. 2007 bias correction and the small-range linear
 counting fallback; ~1.04/sqrt(2^p) relative error (1.6% at p=12).
 
 Beyond-reference operator (the docling-graph reference has no sketch
-machinery); hashes are blake2b-64, stable across runs and processes.
+machinery); hashes are the first 8 bytes of sha256, stable across runs
+and processes.  sha256 (rather than blake2b) is deliberate: any uniform
+64-bit hash gives HLL its accuracy guarantee, and sha256 is a DuckDB
+builtin — so the register array AND the estimate are exactly
+recomputable in SQL, which is what backs the ``doc_distinct_estimate``
+oracle (r5 promotion of the sketch to the hard correctness signal).
 """
 
 from __future__ import annotations
@@ -25,9 +30,9 @@ def _hash64(values: list) -> np.ndarray:
     return np.fromiter(
         (
             int.from_bytes(
-                hashlib.blake2b(
-                    (v or "").encode("utf-8", "surrogatepass"), digest_size=8
-                ).digest(),
+                hashlib.sha256(
+                    (v or "").encode("utf-8", "surrogatepass")
+                ).digest()[:8],
                 "big",
             )
             for v in values

@@ -270,11 +270,14 @@ def bigram_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def build_bigram_model(pair_counts) -> "object":
-    """(pair, n) rows → dense (256, 256) float32 log2-prob matrix with
+    """(pair, n) rows → dense (256, 256) float64 log2-prob matrix with
     add-one smoothing.  The input is ≤65,536 rows by construction (the
     model space, not the corpus), so collecting it on the driver is
-    scale-safe; the returned matrix (256 KB) is meant to be ``ray.put``
-    once and read by every scoring task."""
+    scale-safe; the returned matrix (512 KB) is meant to be ``ray.put``
+    once and read by every scoring task.  float64 rather than float32
+    on purpose: the log-probs are then exactly ``log2((n+1)/(rowtot+
+    256))`` — the expression the ``doc_lm_score`` DuckDB oracle
+    recomputes — instead of a quantized copy of it."""
     import numpy as np
 
     tbl = pair_counts if isinstance(pair_counts, pa.Table) else pair_counts.to_arrow()
@@ -283,8 +286,7 @@ def build_bigram_model(pair_counts) -> "object":
     ns = tbl.column("n").to_numpy(zero_copy_only=False)
     counts[pairs // 256, pairs % 256] = ns
     row_tot = counts.sum(axis=1, keepdims=True)
-    logp = np.log2((counts + 1.0) / (row_tot + 256.0))
-    return logp.astype(np.float32)
+    return np.log2((counts + 1.0) / (row_tot + 256.0))
 
 
 class BigramScorer:

@@ -119,7 +119,7 @@ def test_bigram_lm_scores_corpus_like_text_lower(ray_session):
     batch = pa.table({"doc_id": pa.array(range(20), pa.int64()),
                       "text": pa.array(corpus)})
     model = build_bigram_model(bigram_count_partial(batch))
-    assert model.shape == (256, 256) and model.dtype == np.float32
+    assert model.shape == (256, 256) and model.dtype == np.float64
 
     probe = pa.table({
         "doc_id": pa.array([0, 1, 2], pa.int64()),
