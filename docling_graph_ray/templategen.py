@@ -730,30 +730,36 @@ def lint_spec(spec: dict) -> list[dict]:
                     f"inconsistent label {norm!r} for field "
                     f"{f['name']!r} -> {f['type']}; first occurrence "
                     f"{first!r} wins on repair")
-    # W16 / R15: self-references and mutual full-nesting cycles — this
-    # renderer refuses cycles (no forward-ref emission), so they must
-    # sever on repair
-    for m, f in _nesting_items(spec):
-        if f.get("reference"):
-            continue
-        if f["type"] == m["name"]:
-            finding("W16", f"{m['name']}.{f['name']}",
-                    "self-referencing nesting — the renderer refuses "
-                    "cycles; repair severs to the identity string")
-    names = list(models_by)
-    for i, a in enumerate(names):
-        for b in names[i + 1:]:
-            ab = [f for f in models_by[a].get("fields", [])
-                  if f.get("type") == b and not f.get("reference")
-                  and f.get("role") in ("edge", "property")]
-            ba = [f for f in models_by[b].get("fields", [])
-                  if f.get("type") == a and not f.get("reference")
-                  and f.get("role") in ("edge", "property")]
-            if ab and ba:
-                finding("W16", f"{a} <-> {b}",
-                        "mutual nesting cycle — repair severs the back "
-                        "edge (deeper-from-root side) to the identity "
-                        "string")
+    # W16 / R15: self-references and mutual full-nesting cycles.  The
+    # renderer emits forward refs for cycles (r5), so retention is now
+    # a valid policy: ``cycle_policy: "forward_ref"`` keeps them (no
+    # finding, no repair — reference linter.py R9 retention choice);
+    # the default ``"sever"`` flags them for the severance repair.
+    if spec.get("cycle_policy", "sever") != "forward_ref":
+        for m, f in _nesting_items(spec):
+            if f.get("reference"):
+                continue
+            if f["type"] == m["name"]:
+                finding("W16", f"{m['name']}.{f['name']}",
+                        "self-referencing nesting — repair severs to "
+                        "the identity string (set cycle_policy: "
+                        "'forward_ref' to retain; renderer emits "
+                        "forward refs either way)")
+        names = list(models_by)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                ab = [f for f in models_by[a].get("fields", [])
+                      if f.get("type") == b and not f.get("reference")
+                      and f.get("role") in ("edge", "property")]
+                ba = [f for f in models_by[b].get("fields", [])
+                      if f.get("type") == a and not f.get("reference")
+                      and f.get("role") in ("edge", "property")]
+                if ab and ba:
+                    finding("W16", f"{a} <-> {b}",
+                            "mutual nesting cycle — repair severs the "
+                            "back edge (deeper-from-root side) to the "
+                            "identity string (set cycle_policy: "
+                            "'forward_ref' to retain)")
     # W15 / R14: nesting depth from the root stays within the budget
     depths = _edge_depths(spec)
     for m, f in _nesting_items(spec):
@@ -1068,34 +1074,38 @@ def repair_spec(spec: dict) -> tuple[dict, list[str]]:
             actions.append(f"edge label {m['name']}.{f['name']}: "
                            f"{raw!r} -> {first!r}")
     # W16 / R15: self-loops sever; mutual cycles sever the back edge
-    # (the side deeper from the root; ties by declaration order)
-    for m, f in list(_nesting_items(spec)):
-        if not f.get("reference") and f.get("type") == m["name"]:
-            _sever_to_identity(f, m["name"])
-            actions.append(f"severed self-referencing field "
-                           f"{m['name']}.{f['name']} (renderer refuses "
-                           "cycles)")
-    depths0 = _edge_depths(spec)
-    names = list(models_by)
-    for i, a in enumerate(names):
-        for b in names[i + 1:]:
-            ab = [f for f in models_by[a].get("fields", [])
-                  if f.get("type") == b and not f.get("reference")
-                  and f.get("role") in ("edge", "property")]
-            ba = [f for f in models_by[b].get("fields", [])
-                  if f.get("type") == a and not f.get("reference")
-                  and f.get("role") in ("edge", "property")]
-            if not ab or not ba:
-                continue
-            da = depths0.get(a, float("inf"))
-            db = depths0.get(b, float("inf"))
-            back_fields, target = (ba, a) if da <= db else (ab, b)
-            owner = b if da <= db else a
-            for f in back_fields:
-                _sever_to_identity(f, target)
-                actions.append(f"severed mutual-cycle back edge "
-                               f"{owner}.{f['name']} -> {target} "
-                               "(renderer refuses cycles)")
+    # (the side deeper from the root; ties by declaration order).
+    # Under cycle_policy "forward_ref" the cycle is RETAINED — the
+    # renderer emits quoted forward refs + model_rebuild (r5), the
+    # reference's R9 retention choice.
+    if spec.get("cycle_policy", "sever") != "forward_ref":
+        for m, f in list(_nesting_items(spec)):
+            if not f.get("reference") and f.get("type") == m["name"]:
+                _sever_to_identity(f, m["name"])
+                actions.append(f"severed self-referencing field "
+                               f"{m['name']}.{f['name']} (cycle_policy "
+                               "sever)")
+        depths0 = _edge_depths(spec)
+        names = list(models_by)
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                ab = [f for f in models_by[a].get("fields", [])
+                      if f.get("type") == b and not f.get("reference")
+                      and f.get("role") in ("edge", "property")]
+                ba = [f for f in models_by[b].get("fields", [])
+                      if f.get("type") == a and not f.get("reference")
+                      and f.get("role") in ("edge", "property")]
+                if not ab or not ba:
+                    continue
+                da = depths0.get(a, float("inf"))
+                db = depths0.get(b, float("inf"))
+                back_fields, target = (ba, a) if da <= db else (ab, b)
+                owner = b if da <= db else a
+                for f in back_fields:
+                    _sever_to_identity(f, target)
+                    actions.append(f"severed mutual-cycle back edge "
+                                   f"{owner}.{f['name']} -> {target} "
+                                   "(cycle_policy sever)")
     # W19 / R10: keep ONE canonical full home per multi-homed entity —
     # the marked canonical_home, else the inbound edge whose parent is
     # nearest the root (BFS depth incl. references; ties by model then
@@ -1375,11 +1385,21 @@ def render_template(spec: dict) -> str:
     ordering (enums alphabetical, models dependency-first with the root
     last), no timestamps — byte-identical re-renders, the reference's
     determinism discipline (renderer.py; merger.py:1-10 applied to
-    codegen)."""
+    codegen).
+
+    Cyclic specs RENDER (r5; reference renderer.py forward-ref
+    emission): a dependency back edge (self-reference or mutual
+    nesting) becomes a quoted forward-ref annotation, and every class
+    that used one gets a ``model_rebuild()`` call at module end — so
+    org charts / part hierarchies compile without the linter's
+    severance rung (which remains the default REPAIR policy; see
+    ``cycle_policy``)."""
     _assert_renderable(spec)
     model_by_name = {m["name"]: m for m in spec.get("models", [])}
 
-    # dependency-first model order (nested model types render before use)
+    # dependency-first model order (nested model types render before
+    # use; a back edge into the active trail is deferred to a quoted
+    # forward ref instead of refusing the spec)
     ordered: list[str] = []
     seen: set[str] = set()
 
@@ -1387,7 +1407,7 @@ def render_template(spec: dict) -> str:
         if name in seen or name not in model_by_name:
             return
         if name in trail:
-            raise ValueError(f"model dependency cycle at {name!r}")
+            return  # cycle back edge: rendered as a forward ref
         for f in model_by_name[name].get("fields", []):
             if f["type"] in model_by_name:
                 visit(f["type"], trail + (name,))
@@ -1416,9 +1436,9 @@ def render_template(spec: dict) -> str:
          '(deterministic).\n"""')
     emit("")
     # no `from __future__ import annotations`: the rendered module is
-    # exec'd in a scratch namespace where lazy string annotations cannot
-    # be resolved by pydantic; dependency-first ordering makes eager
-    # annotation evaluation safe (cycles are refused above).
+    # exec'd in a scratch namespace, so annotations evaluate eagerly in
+    # dependency-first order; ONLY cycle back edges are quoted forward
+    # refs, resolved by the model_rebuild() calls at module end.
     if has_validators:
         emit("import logging")
         emit("import re")
@@ -1493,6 +1513,8 @@ def render_template(spec: dict) -> str:
         if e.get("include_other", True) and "OTHER" not in used:
             emit('    OTHER = "OTHER"')
 
+    emitted: set[str] = set()
+    needs_rebuild: list[str] = []
     for name in ordered:
         m = model_by_name[name]
         emit("")
@@ -1517,8 +1539,15 @@ def render_template(spec: dict) -> str:
         emit(f"    model_config = ConfigDict({', '.join(cfg)})")
         emit("")
         validators: list[str] = []
+        has_forward_ref = False
         for f in m.get("fields", []):
             py = _SCALAR_PY.get(f["type"], f["type"])
+            if f["type"] in model_by_name and f["type"] not in emitted:
+                # cycle back edge (incl. self-reference): the target
+                # class is not defined yet — quote the annotation and
+                # schedule a model_rebuild for this class
+                py = f'"{py}"'
+                has_forward_ref = True
             ann = f"List[{py}]" if f["is_list"] else py
             optional = f.get("optional", True)
             enum_decl = enums_by_name.get(f["type"])
@@ -1581,6 +1610,16 @@ def render_template(spec: dict) -> str:
                 emit(vline)
         if not m.get("fields"):
             emit("    pass")
+        emitted.add(name)
+        if has_forward_ref:
+            needs_rebuild.append(m["name"])
+    if needs_rebuild:
+        emit("")
+        emit("")
+        emit("# resolve cycle forward refs (classes above reference "
+             "classes below)")
+        for nm in needs_rebuild:
+            emit(f"{nm}.model_rebuild()")
     emit("")
     return "\n".join(lines)
 
@@ -1596,9 +1635,13 @@ def render_template(spec: dict) -> str:
 _SCALAR_BY_TYPE = {str: "str", int: "int", float: "float", bool: "bool"}
 
 
-def _unwrap_annotation(annotation) -> tuple[object, bool, list[str]]:
+def _unwrap_annotation(annotation, resolve=None) -> tuple[object, bool, list[str]]:
     """Peel Optional/List/Union/Annotated layers (reverse.py:123-165):
-    returns (core type, is_list, notes about unrepresentable layers)."""
+    returns (core type, is_list, notes about unrepresentable layers).
+    ``resolve`` maps a forward-ref NAME to its class — cyclic templates
+    keep ``ForwardRef('X')`` in ``FieldInfo.annotation`` even after
+    ``model_rebuild()`` resolves the validation core, so the reverse
+    walk must resolve the name itself (r5 forward-ref round-trip)."""
     import types
     import typing
 
@@ -1606,6 +1649,19 @@ def _unwrap_annotation(annotation) -> tuple[object, bool, list[str]]:
     notes: list[str] = []
     current = annotation
     for _ in range(16):
+        ref_name = None
+        if isinstance(current, typing.ForwardRef):
+            ref_name = current.__forward_arg__
+        elif isinstance(current, str):
+            ref_name = current
+        if ref_name is not None:
+            target = resolve(ref_name) if resolve else None
+            if target is None:
+                notes.append(f"unresolved forward ref {ref_name!r} — "
+                             "carried as 'str'")
+                return (str, is_list, notes)
+            current = target
+            continue
         origin = typing.get_origin(current)
         if origin is not None and str(origin).endswith("Annotated"):
             current = typing.get_args(current)[0]
@@ -1678,6 +1734,8 @@ def reverse_spec(template) -> tuple[dict, list[str]]:
     scalar_by_type[date] = "date"
     scalar_by_type[datetime] = "datetime"
 
+    class_by_name: dict[str, type] = {}
+
     def assign_name(cls: type) -> str:
         key = id(cls)
         if key in names:
@@ -1692,6 +1750,10 @@ def reverse_spec(template) -> tuple[dict, list[str]]:
                             f"{name!r}")
         names[key] = name
         taken.add(name)
+        # forward refs are resolved by SOURCE name (what the quoted
+        # annotation says), first binding wins
+        class_by_name.setdefault(base, cls)
+        class_by_name.setdefault(name, cls)
         return name
 
     def enqueue(cls: type) -> str:
@@ -1726,9 +1788,9 @@ def reverse_spec(template) -> tuple[dict, list[str]]:
         return get(key, default) if callable(get) else default
 
     def reverse_field(model_name: str, fname: str, fi,
-                      identity: list[str]) -> dict:
+                      identity: list[str], resolve=None) -> dict:
         where = f"{model_name}.{fname}"
-        core, is_list, notes = _unwrap_annotation(fi.annotation)
+        core, is_list, notes = _unwrap_annotation(fi.annotation, resolve)
         findings.extend(f"{where}: {n}" for n in notes)
         if isinstance(core, type) and issubclass(core, BaseModel):
             type_name = enqueue(core)
@@ -1820,11 +1882,20 @@ def reverse_spec(template) -> tuple[dict, list[str]]:
             findings.append(f"{nm}: no graph_id_fields and not "
                             "is_entity=False — repair demotes to "
                             "component (never invent ids)")
+        import sys as _sys
+
+        _mod = _sys.modules.get(getattr(cls, "__module__", ""), None)
+        _modns = vars(_mod) if _mod is not None else {}
+
+        def _resolve(ref_name: str, _ns=_modns):
+            target = class_by_name.get(ref_name) or _ns.get(ref_name)
+            return target if isinstance(target, type) else None
+
         model = {
             "name": nm, "kind": kind,
             "docstring": " ".join((cls.__doc__ or "").split()),
             "identity": identity,
-            "fields": [reverse_field(nm, fn, fi, identity)
+            "fields": [reverse_field(nm, fn, fi, identity, _resolve)
                        for fn, fi in cls.model_fields.items()],
         }
         if not model["docstring"]:
@@ -1855,6 +1926,36 @@ def reverse_spec(template) -> tuple[dict, list[str]]:
         "enums": sorted(enums.values(), key=lambda e: e["name"]),
         "models": models,
     }
+    # a live template that ALREADY nests cyclically is the author's
+    # retention choice (it compiled — forward refs resolved): record it
+    # so repair_spec keeps the cycle instead of severing (r5)
+    nest: dict[str, set[str]] = {}
+    model_names = {m["name"] for m in models}
+    for m in models:
+        nest[m["name"]] = {f["type"] for f in m["fields"]
+                           if f["type"] in model_names
+                           and not f.get("reference")}
+
+    def _in_cycle(start: str) -> bool:
+        stack, seen_c = [(start, iter(nest.get(start, ())))], {start}
+        while stack:
+            node, it = stack[-1]
+            nxt = next(it, None)
+            if nxt is None:
+                stack.pop()
+                continue
+            if nxt == start:
+                return True
+            if nxt not in seen_c:
+                seen_c.add(nxt)
+                stack.append((nxt, iter(nest.get(nxt, ()))))
+        return False
+
+    if any(_in_cycle(n) for n in nest):
+        spec["cycle_policy"] = "forward_ref"
+        findings.append("cyclic nesting detected — retained "
+                        "(cycle_policy: forward_ref; the live template "
+                        "compiled with forward refs)")
     return spec, findings
 
 

@@ -875,6 +875,92 @@ def test_structural_rules_and_repairs():
     assert not ({"W13", "W16", "W17"} & left)
 
 
+def test_cyclic_template_renders_with_forward_refs():
+    """r5 (VERDICT r4 next-step #4): mutually-referencing models RENDER
+    via quoted forward refs + model_rebuild instead of being refused;
+    cycle_policy 'forward_ref' retains the cycle through lint/repair;
+    the rendered module exec-verifies, instantiates cyclic nesting, and
+    round-trips through the reverse flow."""
+    from docling_graph_ray.templategen import (
+        lint_spec, render_template, repair_spec, spec_from_template,
+        verify_template_source,
+    )
+
+    spec = {
+        "name": "orgchart", "docstring": "d", "root": "Org",
+        "cycle_policy": "forward_ref", "enums": [],
+        "models": [
+            {"name": "Org", "kind": "root", "identity": ["name"],
+             "docstring": "", "fields": [
+                 _field("name", "str", role="identity", optional=False),
+                 _field("members", "Person", role="edge", is_list=True,
+                        edge_label="HAS_MEMBER"),
+             ]},
+            {"name": "Person", "kind": "entity", "identity": ["name"],
+             "docstring": "", "fields": [
+                 _field("name", "str", role="identity", optional=False),
+                 # back edge: Person nests Org -> mutual cycle
+                 _field("employer", "Org", role="edge",
+                        edge_label="WORKS_AT"),
+                 # self-reference: manager chain
+                 _field("manager", "Person", role="edge",
+                        edge_label="REPORTS_TO"),
+             ]},
+        ],
+    }
+    # retention policy: no W16, repair does not sever
+    assert not [f for f in lint_spec(spec) if f["code"] == "W16"]
+    fixed, _actions = repair_spec(spec)
+    person = {m["name"]: m for m in fixed["models"]}["Person"]
+    assert {f["name"]: f["type"] for f in person["fields"]}["employer"] \
+        == "Org"
+
+    src = render_template(fixed)
+    assert src == render_template(fixed)  # byte-identical re-render
+    assert ".model_rebuild()" in src
+    assert '"Org"' in src or '"Person"' in src  # quoted forward ref
+    classes = verify_template_source(src)
+    org = classes["Org"](name="acme", members=[
+        {"name": "bo",
+         "manager": {"name": "cy", "employer": {"name": "acme2"}}},
+    ])
+    assert org.members[0].manager.employer.name == "acme2"
+    assert type(org.members[0].manager).__name__ == "Person"
+
+    # reverse flow: the live cyclic classes walk back into a spec that
+    # still carries the cycle
+    rspec, _notes = spec_from_template(classes["Org"])
+    rperson = {m["name"]: m for m in rspec["models"]}.get("Person")
+    assert rperson is not None
+    rtypes = {f["name"]: f["type"] for f in rperson["fields"]}
+    assert rtypes.get("employer") == "Org"
+    assert rtypes.get("manager") == "Person"
+
+
+def test_cyclic_default_policy_still_severs():
+    from docling_graph_ray.templategen import lint_spec, repair_spec
+
+    spec = {
+        "name": "t", "docstring": "d", "root": "A", "enums": [],
+        "models": [
+            {"name": "A", "kind": "root", "identity": ["aid"],
+             "docstring": "", "fields": [
+                 _field("aid", "str", role="identity"),
+                 _field("b", "B")]},
+            {"name": "B", "kind": "entity", "identity": ["bid"],
+             "docstring": "", "fields": [
+                 _field("bid", "str", role="identity"),
+                 _field("a", "A")]},
+        ],
+    }
+    assert [f for f in lint_spec(spec) if f["code"] == "W16"]
+    fixed, actions = repair_spec(spec)
+    back = {f["name"]: f for f in
+            {m["name"]: m for m in fixed["models"]}["B"]["fields"]}["a"]
+    assert back["type"] == "str"
+    assert any("cycle_policy sever" in a for a in actions)
+
+
 def test_nesting_depth_flip():
     """R14: a nesting field at depth > 4 flips to a reference edge when
     the target keeps another full home."""
