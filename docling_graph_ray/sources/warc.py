@@ -117,11 +117,20 @@ class _MemberGzipReader:
                 out += self._dec.flush()
                 break
             out += self._dec.decompress(self._pending, n - len(out))
-            self._pending = self._dec.unconsumed_tail
             if self._dec.eof:  # member boundary → re-arm
-                rest = self._dec.unused_data
+                # At eof zlib reports the next member's bytes in BOTH
+                # unconsumed_tail AND unused_data — unused_data is the
+                # authoritative remainder.  Concatenating the two (the
+                # pre-r5 code) duplicated every record whose member
+                # ended inside a chunk: the dup records were silently
+                # absorbed by the url dedup downstream (equal counts,
+                # double decode work) and could corrupt the stream
+                # outright under small read sizes ("invalid distance
+                # too far back").
+                self._pending = self._dec.unused_data
                 self._dec = zlib.decompressobj(wbits=47)
-                self._pending = rest + self._pending
+            else:
+                self._pending = self._dec.unconsumed_tail
         return bytes(out)
 
 
