@@ -215,7 +215,7 @@ def _records_to_table(records: list[dict]) -> pa.Table:
     )
 
 
-def read_warc(paths, *, batch_rows: int = 256, batch_bytes: int = 32 << 20,
+def read_warc(paths, *, batch_rows: int = 1024, batch_bytes: int = 32 << 20,
               **read_kwargs):
     """``ray.data.Dataset`` over WARC/WET files in the north-rule shape
     ``(url, warc_ts, html, text, lang)``.
@@ -223,7 +223,11 @@ def read_warc(paths, *, batch_rows: int = 256, batch_bytes: int = 32 << 20,
     One read task per file (Ray splits the file list, not the records —
     a WARC member stream has no random access); batches yield every
     ``batch_rows`` records or ``batch_bytes`` payload bytes, whichever
-    first, so giant-page skew cannot balloon a single block."""
+    first, so giant-page skew cannot balloon a single block.  1024 rows
+    (~17 MB on the bench profile, still under the 32 MB byte cap) keeps
+    read-output blocks comparable to the parquet lane's — 256-row
+    blocks cost the downstream shuffle 4x the per-block overhead
+    (r5 A/B in BASELINE.md)."""
     import ray.data
 
     return ray.data.read_datasource(
@@ -240,7 +244,7 @@ def _make_datasource_class():
     class _WarcDatasource(FileBasedDatasource):
         _FILE_EXTENSIONS = ["warc", "warc.gz", "wet", "wet.gz"]
 
-        def __init__(self, paths, *, batch_rows: int = 256,
+        def __init__(self, paths, *, batch_rows: int = 1024,
                      batch_bytes: int = 32 << 20, **kwargs) -> None:
             super().__init__(paths, file_extensions=self._FILE_EXTENSIONS,
                              **kwargs)
