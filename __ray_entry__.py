@@ -370,6 +370,27 @@ def oracle_sql() -> dict[str, str]:
                                         ELSE -1 END AS BIGINT) AS n_samples
             FROM read_parquet('/tmp/graft_oracle_media_meta.parquet')
         """,
+        # Content-kind routing counts recomputed from the fixture
+        # CONTRACT alone (fixtures/pages.py make_row): base_id remap for
+        # the dup rows (i%100 in 32/65/98 -> i-1, 99 -> i-4), then
+        # flavor = base_id % 50: 7 -> pdf, 13/17 -> gzip, else html.
+        # Independent of the sniffer: the Ray side classifies the
+        # generated bytes by magic; the oracle derives the expected
+        # distribution arithmetically.  Pinned at the sf0.01 row count
+        # (1500) the driver grades at.
+        "pages_content_kinds": """
+            WITH idx AS (
+              SELECT i, CASE WHEN i % 100 IN (32, 65, 98) THEN i - 1
+                             WHEN i % 100 = 99 THEN i - 4
+                             ELSE i END AS base_id
+              FROM (SELECT unnest(range(0, 1500)) AS i)
+            )
+            SELECT CASE base_id % 50 WHEN 7 THEN 'pdf'
+                        WHEN 13 THEN 'gzip' WHEN 17 THEN 'gzip'
+                        ELSE 'html' END AS content_kind,
+                   COUNT(*) AS n
+            FROM idx GROUP BY content_kind
+        """,
         "graph_edge_fanout": """
             SELECT label,
                    CAST(SUM(n) AS BIGINT) AS total,

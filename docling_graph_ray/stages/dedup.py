@@ -835,28 +835,48 @@ def intradoc_window_dedup_batch(*, text_col: str = "text",
         from docling_graph_ray.stages.text_analysis import explode_tokens
 
         flat, doc_ix, counts = explode_tokens(text)
-        flat = flat.to_pandas()
         starts = np.r_[0, np.cumsum(counts)[:-1]]
         pos = np.arange(len(flat)) - starts[doc_ix]
         widx = pos // window
 
-        df = pd.DataFrame({"d": doc_ix, "wx": widx, "w": flat})
-        segs = df.groupby(["d", "wx"], sort=True)["w"].agg(" ".join)
-        sdf = segs.reset_index()
-        dup = sdf.duplicated(subset=["d", "w"])  # first occurrence wins
-        kept = sdf[~dup]
-        clean = kept.groupby("d", sort=True)["w"].agg(" ".join)
-        dropped = dup.groupby(sdf["d"]).sum()
+        # Window strings assemble on the Arrow C path: single-threaded
+        # hash "list" aggregation appends values in row order within
+        # each group, so binary_join yields each window's tokens in
+        # original order — no token-level pandas frame or Python join.
+        tok = pa.table({
+            "d": pa.array(doc_ix), "wx": pa.array(widx),
+            "w": pa.chunked_array([flat])
+            if isinstance(flat, pa.Array) else flat,
+        }).combine_chunks()
+        segs = (
+            tok.group_by(["d", "wx"], use_threads=False)
+            .aggregate([("w", "list")])
+            .sort_by([("d", "ascending"), ("wx", "ascending")])
+            .combine_chunks()
+        )
+        seg_str = pc.binary_join(segs.column("w_list").combine_chunks(), " ")
+        dnp = segs.column("d").to_numpy()
+        # first occurrence wins: dictionary codes make the dup scan a
+        # two-int-column C-path pass (one row per window, not per token)
+        code = pc.dictionary_encode(seg_str).indices.to_numpy(
+            zero_copy_only=False)
+        dup = pd.DataFrame({"d": dnp, "c": code}).duplicated().to_numpy()
 
-        full = pd.RangeIndex(len(counts))
+        kept = (
+            pa.table({"d": dnp, "s": seg_str})
+            .filter(pa.array(~dup))
+            .group_by(["d"], use_threads=False)
+            .aggregate([("s", "list")])
+            .sort_by("d")
+        )
+        # every doc keeps its first window, so kept covers all docs
+        clean = pc.binary_join(kept.column("s_list").combine_chunks(), " ")
+        dropped = np.bincount(
+            dnp[dup], minlength=len(counts)).astype(np.int64)
         return pa.table({
             id_col: batch.column(id_col),
-            "clean_text": pa.array(
-                clean.reindex(full, fill_value="").tolist(), pa.string()
-            ),
-            "n_dropped_windows": pa.array(
-                dropped.reindex(full, fill_value=0).astype(np.int64).to_numpy()
-            ),
+            "clean_text": clean,
+            "n_dropped_windows": pa.array(dropped),
         })
 
     return fn
