@@ -239,6 +239,429 @@ probes AS (
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Near-dup family oracles (MinHash-LSH / SimHash / n-gram-Jaccard).
+#
+# The whole signature pipeline is recomputed in DuckDB from first
+# principles: CRC32 (IEEE, reflected) as a 256-entry table built by an
+# 8-step recursive CTE + a per-character recursive fold; the splitmix64
+# finalizer and the (a*h+b) mod 2^64 mod (2^61-1) permutation arithmetic
+# as pure-UBIGINT split multiplies with branch-based mod-2^64 adds and a
+# Mersenne fold (validated bit-identical vs the numpy uint64 wraparound
+# semantics in stages/dedup.py); band keys as the CRC32 of the
+# little-endian uint64 signature bytes, matching sig.tobytes().  Only the
+# permutation constants (a, b) ride in as literals -- they are INPUTS
+# fixed by PCG64(seed), not outputs of the operator under test.
+
+_ND_CRCTAB_SQL = r"""
+tbl0 AS (SELECT i AS idx, i::UBIGINT AS c, 0 AS step
+         FROM (SELECT unnest(range(0, 256)) AS i)),
+tblr AS (
+  SELECT idx, c, step FROM tbl0
+  UNION ALL
+  SELECT idx,
+         CASE WHEN c % 2 = 1
+              THEN xor(c // 2, CAST(3988292384 AS UBIGINT))
+              ELSE c // 2 END,
+         step + 1
+  FROM tblr WHERE step < 8
+),
+crctab AS (SELECT idx, c AS entry FROM tblr WHERE step = 8)
+"""
+
+_ND_SIMHASH_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+words AS (
+  SELECT doc_id, i AS wi, arr[i] AS w
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+        FROM documents WHERE text IS NOT NULL),
+       LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+  WHERE arr[i] <> ''
+),
+wfold AS (
+  SELECT doc_id, wi, w, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+  FROM words
+  UNION ALL
+  SELECT f.doc_id, f.wi, f.w, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM wfold f
+  JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256,
+                        ord(substr(f.w, f.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE f.pos <= length(f.w)
+),
+wcrc AS (
+  SELECT doc_id, wi, xor(crc, CAST(4294967295 AS UBIGINT)) AS h
+  FROM wfold WHERE pos = length(w) + 1
+),
+m1 AS (SELECT doc_id, wi, xor(h, h >> 30) AS h FROM wcrc),
+m2 AS (SELECT doc_id, wi,
+              CAST((  (h::HUGEINT % 4294967296) * 13787848793156543929 % 18446744073709551616
+              + ((h::HUGEINT // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS UBIGINT) AS h FROM m1),
+m3 AS (SELECT doc_id, wi, xor(h, h >> 27) AS h FROM m2),
+m4 AS (SELECT doc_id, wi,
+              CAST((  (h::HUGEINT % 4294967296) * 10723151780598845931 % 18446744073709551616
+              + ((h::HUGEINT // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS UBIGINT) AS h FROM m3),
+mix AS (SELECT doc_id, wi, xor(h, h >> 31) AS h FROM m4),
+bits AS (
+  SELECT doc_id, t.j,
+         SUM(CASE WHEN (h >> t.j::UBIGINT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM mix, LATERAL unnest(range(0, 64)) AS t(j)
+  GROUP BY doc_id, t.j
+),
+sig AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN vote >= 0 THEN CAST((1::HUGEINT << j) AS UBIGINT)
+                     ELSE CAST(0 AS UBIGINT) END) AS sig
+  FROM bits GROUP BY doc_id
+),
+bandrows AS (
+  SELECT doc_id, t.bi,
+         (sig >> (t.bi * 16)::UBIGINT) & CAST(65535 AS UBIGINT) AS band_key,
+         sig
+  FROM sig, LATERAL unnest(range(0, 4)) AS t(bi)
+),
+buckets AS (
+  SELECT bi, band_key, MIN(doc_id) AS rep_id
+  FROM bandrows GROUP BY bi, band_key
+),
+repsig AS (
+  SELECT b.bi, b.band_key, b.rep_id, s.sig AS rep_sig
+  FROM buckets b JOIN sig s ON s.doc_id = b.rep_id
+),
+assign AS (
+  SELECT r.doc_id,
+         CASE WHEN bit_count(CAST(xor(r.sig, p.rep_sig)
+                                  & CAST(9223372036854775807 AS UBIGINT)
+                                  AS BIGINT))
+                   + CAST(xor(r.sig, p.rep_sig) >> 63 AS INTEGER) <= 3
+              THEN p.rep_id ELSE r.doc_id END AS rep
+  FROM bandrows r
+  JOIN repsig p ON p.bi = r.bi AND p.band_key = r.band_key
+),
+banded AS (SELECT doc_id, MIN(rep) AS rep_id FROM assign GROUP BY doc_id),
+wordless AS (
+  SELECT doc_id FROM documents
+  WHERE NOT regexp_matches(coalesce(text, ''), '\S')
+),
+wl AS (
+  SELECT doc_id, (SELECT MIN(doc_id) FROM wordless) AS rep_id FROM wordless
+),
+allreps AS (SELECT * FROM banded UNION ALL SELECT * FROM wl)
+SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
+       rep_id <> doc_id AS is_dup
+FROM allreps
+"""
+
+_ND_MINHASH_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+perms(k, a, b) AS (VALUES {PERMS}),
+warr AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+wfil AS (
+  SELECT doc_id, list_filter(arr, w -> w <> '') AS arr FROM warr
+),
+shingles AS (
+  SELECT doc_id, si, s FROM (
+    SELECT doc_id, t.si,
+           CASE WHEN len(arr) < 3 THEN array_to_string(arr, ' ')
+                ELSE arr[t.si] || ' ' || arr[t.si + 1] || ' ' || arr[t.si + 2]
+           END AS s,
+           len(arr) AS nw
+    FROM wfil,
+         LATERAL unnest(range(1, CASE WHEN len(arr) < 3 THEN 2
+                                      ELSE len(arr) - 1 END)) AS t(si)
+  ) WHERE nw > 0
+),
+sfold AS (
+  SELECT doc_id, si, s, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+  FROM shingles
+  UNION ALL
+  SELECT f.doc_id, f.si, f.s, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM sfold f
+  JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256,
+                        ord(substr(f.s, f.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE f.pos <= length(f.s)
+),
+scrc AS MATERIALIZED (
+  SELECT doc_id, si, xor(crc, CAST(4294967295 AS UBIGINT)) AS h
+  FROM sfold WHERE pos = length(s) + 1
+),
+sig0 AS (
+  SELECT c.doc_id, p.k, p.b,
+         (p.a & CAST(4294967295 AS UBIGINT)) * c.h AS t1,
+         ((p.a >> CAST(32 AS UBIGINT)) * c.h % CAST(4294967296 AS UBIGINT))
+           * CAST(4294967296 AS UBIGINT) AS t2
+  FROM scrc c, perms p
+),
+sig1 AS (
+  SELECT doc_id, k, b,
+         CASE WHEN t1 > CAST(18446744073709551615 AS UBIGINT) - t2
+              THEN t1 - (CAST(18446744073709551615 AS UBIGINT) - t2) - 1
+              ELSE t1 + t2 END AS s1
+  FROM sig0
+),
+sig2 AS (
+  SELECT doc_id, k,
+         CASE WHEN s1 > CAST(18446744073709551615 AS UBIGINT) - b
+              THEN s1 - (CAST(18446744073709551615 AS UBIGINT) - b) - 1
+              ELSE s1 + b END AS s2
+  FROM sig1
+),
+sig3 AS (
+  SELECT doc_id, k,
+         (s2 >> CAST(61 AS UBIGINT))
+           + (s2 & CAST(2305843009213693951 AS UBIGINT)) AS m
+  FROM sig2
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, k,
+         MIN((CASE WHEN m >= CAST(2305843009213693951 AS UBIGINT)
+                   THEN m - CAST(2305843009213693951 AS UBIGINT)
+                   ELSE m END)
+             & CAST(4294967295 AS UBIGINT)) AS v
+  FROM sig3 GROUP BY doc_id, k
+),
+bvals AS MATERIALIZED (
+  SELECT doc_id, (k // 8) AS bi, list(v ORDER BY k) AS vs
+  FROM sig GROUP BY doc_id, (k // 8)
+),
+bbytes AS MATERIALIZED (
+  SELECT doc_id, bi,
+         flatten(list_transform(vs, v -> [
+           v & CAST(255 AS UBIGINT),
+           (v >> CAST(8 AS UBIGINT)) & CAST(255 AS UBIGINT),
+           (v >> CAST(16 AS UBIGINT)) & CAST(255 AS UBIGINT),
+           (v >> CAST(24 AS UBIGINT)) & CAST(255 AS UBIGINT),
+           CAST(0 AS UBIGINT), CAST(0 AS UBIGINT),
+           CAST(0 AS UBIGINT), CAST(0 AS UBIGINT)])) AS bs
+  FROM bvals
+),
+bfold AS (
+  SELECT doc_id, bi, bs, 0 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+  FROM bbytes
+  UNION ALL
+  SELECT f.doc_id, f.bi, f.bs, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM bfold f
+  JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256, f.bs[f.pos + 1]) AS INTEGER)
+  WHERE f.pos < 64
+),
+bandrows AS (
+  SELECT doc_id, bi, xor(crc, CAST(4294967295 AS UBIGINT)) AS band_key
+  FROM bfold WHERE pos = 64
+),
+buckets AS (
+  SELECT bi, band_key, MIN(doc_id) AS rep_id
+  FROM bandrows GROUP BY bi, band_key
+),
+assign AS (
+  SELECT r.doc_id, b.rep_id
+  FROM bandrows r JOIN buckets b
+    ON b.bi = r.bi AND b.band_key = r.band_key
+),
+banded AS (SELECT doc_id, MIN(rep_id) AS rep_id FROM assign GROUP BY doc_id),
+wordless AS (
+  SELECT doc_id FROM documents
+  WHERE NOT regexp_matches(coalesce(text, ''), '\S')
+),
+wl AS (
+  SELECT doc_id, (SELECT MIN(doc_id) FROM wordless) AS rep_id FROM wordless
+),
+allreps AS (SELECT * FROM banded UNION ALL SELECT * FROM wl)
+SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
+       rep_id <> doc_id AS is_dup
+FROM allreps
+"""
+
+_ND_JACCARD_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+perms(k, a, b) AS (VALUES {PERMS}),
+warr AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS arr
+  FROM documents WHERE text IS NOT NULL
+),
+wfil AS (SELECT doc_id, list_filter(arr, w -> w <> '') AS arr FROM warr),
+shingles AS (
+  SELECT doc_id, si, s FROM (
+    SELECT doc_id, t.si,
+           CASE WHEN len(arr) < 3 THEN array_to_string(arr, ' ')
+                ELSE arr[t.si] || ' ' || arr[t.si + 1] || ' ' || arr[t.si + 2]
+           END AS s,
+           len(arr) AS nw
+    FROM wfil,
+         LATERAL unnest(range(1, CASE WHEN len(arr) < 3 THEN 2
+                                      ELSE len(arr) - 1 END)) AS t(si)
+  ) WHERE nw > 0
+),
+sfold AS (
+  SELECT doc_id, si, s, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+  FROM shingles
+  UNION ALL
+  SELECT f.doc_id, f.si, f.s, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM sfold f
+  JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256,
+                        ord(substr(f.s, f.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE f.pos <= length(f.s)
+),
+scrc AS MATERIALIZED (
+  SELECT doc_id, si, xor(crc, CAST(4294967295 AS UBIGINT)) AS h
+  FROM sfold WHERE pos = length(s) + 1
+),
+sig0 AS (
+  SELECT c.doc_id, p.k, p.b,
+         (p.a & CAST(4294967295 AS UBIGINT)) * c.h AS t1,
+         ((p.a >> CAST(32 AS UBIGINT)) * c.h % CAST(4294967296 AS UBIGINT))
+           * CAST(4294967296 AS UBIGINT) AS t2
+  FROM scrc c, perms p
+),
+sig1 AS (
+  SELECT doc_id, k, b,
+         CASE WHEN t1 > CAST(18446744073709551615 AS UBIGINT) - t2
+              THEN t1 - (CAST(18446744073709551615 AS UBIGINT) - t2) - 1
+              ELSE t1 + t2 END AS s1
+  FROM sig0
+),
+sig2 AS (
+  SELECT doc_id, k,
+         CASE WHEN s1 > CAST(18446744073709551615 AS UBIGINT) - b
+              THEN s1 - (CAST(18446744073709551615 AS UBIGINT) - b) - 1
+              ELSE s1 + b END AS s2
+  FROM sig1
+),
+sig3 AS (
+  SELECT doc_id, k,
+         (s2 >> CAST(61 AS UBIGINT))
+           + (s2 & CAST(2305843009213693951 AS UBIGINT)) AS m
+  FROM sig2
+),
+sig AS MATERIALIZED (
+  SELECT doc_id, k,
+         MIN((CASE WHEN m >= CAST(2305843009213693951 AS UBIGINT)
+                   THEN m - CAST(2305843009213693951 AS UBIGINT)
+                   ELSE m END)
+             & CAST(4294967295 AS UBIGINT)) AS v
+  FROM sig3 GROUP BY doc_id, k
+),
+bvals AS MATERIALIZED (
+  SELECT doc_id, (k // 4) AS bi, list(v ORDER BY k) AS vs
+  FROM sig GROUP BY doc_id, (k // 4)
+),
+bbytes AS MATERIALIZED (
+  SELECT doc_id, bi,
+         flatten(list_transform(vs, v -> [
+           v & CAST(255 AS UBIGINT),
+           (v >> CAST(8 AS UBIGINT)) & CAST(255 AS UBIGINT),
+           (v >> CAST(16 AS UBIGINT)) & CAST(255 AS UBIGINT),
+           (v >> CAST(24 AS UBIGINT)) & CAST(255 AS UBIGINT),
+           CAST(0 AS UBIGINT), CAST(0 AS UBIGINT),
+           CAST(0 AS UBIGINT), CAST(0 AS UBIGINT)])) AS bs
+  FROM bvals
+),
+bfold AS (
+  SELECT doc_id, bi, bs, 0 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+  FROM bbytes
+  UNION ALL
+  SELECT f.doc_id, f.bi, f.bs, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM bfold f
+  JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256, f.bs[f.pos + 1]) AS INTEGER)
+  WHERE f.pos < 32
+),
+bandrows AS (
+  SELECT doc_id, bi, xor(crc, CAST(4294967295 AS UBIGINT)) AS band_key
+  FROM bfold WHERE pos = 32
+),
+buckets AS (
+  SELECT bi, band_key, MIN(doc_id) AS rep_id
+  FROM bandrows GROUP BY bi, band_key
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT r.doc_id, b.rep_id
+  FROM bandrows r JOIN buckets b
+    ON b.bi = r.bi AND b.band_key = r.band_key
+  WHERE r.doc_id <> b.rep_id
+),
+x1 AS (SELECT doc_id, si, xor(h, h >> 30) AS h FROM scrc),
+x2 AS (SELECT doc_id, si,
+              CAST((  (h::HUGEINT % 4294967296) * 13787848793156543929
+                        % 18446744073709551616
+              + ((h::HUGEINT // 4294967296) * 13787848793156543929
+                        % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS UBIGINT) AS h FROM x1),
+x3 AS (SELECT doc_id, si, xor(h, h >> 27) AS h FROM x2),
+x4 AS (SELECT doc_id, si,
+              CAST((  (h::HUGEINT % 4294967296) * 10723151780598845931
+                        % 18446744073709551616
+              + ((h::HUGEINT // 4294967296) * 10723151780598845931
+                        % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS UBIGINT) AS h FROM x3),
+msets AS MATERIALIZED (
+  SELECT DISTINCT doc_id, xor(h, h >> 31) AS mh FROM x4
+),
+setsz AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n FROM msets GROUP BY doc_id
+),
+inter AS (
+  SELECT p.doc_id, p.rep_id, COUNT(*) AS ni
+  FROM pairs p
+  JOIN msets s1 ON s1.doc_id = p.doc_id
+  JOIN msets s2 ON s2.doc_id = p.rep_id AND s2.mh = s1.mh
+  GROUP BY p.doc_id, p.rep_id
+),
+verified AS (
+  SELECT p.doc_id,
+         CASE WHEN COALESCE(i.ni, 0)::DOUBLE
+                   / (z1.n + z2.n - COALESCE(i.ni, 0)) >= 0.8
+              THEN p.rep_id ELSE p.doc_id END AS rep_id
+  FROM pairs p
+  JOIN setsz z1 ON z1.doc_id = p.doc_id
+  JOIN setsz z2 ON z2.doc_id = p.rep_id
+  LEFT JOIN inter i ON i.doc_id = p.doc_id AND i.rep_id = p.rep_id
+),
+selfrows AS (SELECT DISTINCT doc_id, doc_id AS rep_id FROM shingles),
+banded AS (
+  SELECT doc_id, MIN(rep_id) AS rep_id
+  FROM (SELECT * FROM selfrows UNION ALL SELECT * FROM verified)
+  GROUP BY doc_id
+),
+wordless AS (
+  SELECT doc_id FROM documents
+  WHERE NOT regexp_matches(coalesce(text, ''), '\S')
+),
+wl AS (
+  SELECT doc_id, (SELECT MIN(doc_id) FROM wordless) AS rep_id FROM wordless
+),
+allreps AS (SELECT * FROM banded UNION ALL SELECT * FROM wl)
+SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
+       rep_id <> doc_id AS is_dup
+FROM allreps
+"""
+
+
+def _nd_perm_literals(num_perm: int, seed: int = 42) -> str:
+    """(k, a, b) VALUES literals for the minhash permutation family --
+    the same _perm_params(num_perm, seed) stream the stage draws
+    (stages/dedup.py); PCG64 bit-stream stability is a numpy API
+    guarantee, so the literals are deterministic inputs."""
+    from docling_graph_ray.stages.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    return ", ".join(
+        f"({k}, {int(a[k])}::UBIGINT, {int(b[k])}::UBIGINT)"
+        for k in range(num_perm)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # Recompute the flagship's lineage rollup from the partition
@@ -391,6 +814,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM idx GROUP BY content_kind
         """,
+        "doc_minhash_dedup": _ND_MINHASH_SQL.format(
+            CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
+        "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
+            CRCTAB=_ND_CRCTAB_SQL),
+        "doc_ngram_jaccard_dedup": _ND_JACCARD_SQL.format(
+            CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(64)),
         "graph_edge_fanout": """
             SELECT label,
                    CAST(SUM(n) AS BIGINT) AS total,
