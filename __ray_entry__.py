@@ -814,6 +814,110 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n
             FROM idx GROUP BY content_kind
         """,
+        # Five float64 PageRank power iterations unrolled as CTE stages
+        # (same per-op arithmetic as stages/graphalgo.py:pagerank incl.
+        # the 1-sent dangling redistribution and (1-0.85)/n base); both
+        # sides round to 8 digits, absorbing float-sum-order drift.
+        "graph_pagerank": """
+WITH edges AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS a,
+         CAST(s_nationkey AS BIGINT) + 1000000 AS b
+  FROM supplier
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) + 1000000,
+         CAST(n_regionkey AS BIGINT) + 2000000
+  FROM nation
+),
+nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY a),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+i1 AS (
+  SELECT e.b AS node, SUM(r.rank / d.deg) AS m
+  FROM edges e
+  JOIN r0 r ON r.node = e.a
+  JOIN deg d ON d.node = e.a
+  GROUP BY e.b
+),
+s1 AS (SELECT COALESCE(SUM(m), 0) AS sent FROM i1),
+r1 AS (
+  SELECT n.node,
+         (COALESCE(i.m, 0)
+          + greatest(0, 1 - (SELECT sent FROM s1)) / (SELECT n FROM nn))
+           * 0.85
+         + (1 - 0.85) / (SELECT n FROM nn) AS rank
+  FROM nodes n LEFT JOIN i1 i ON i.node = n.node
+),
+i2 AS (
+  SELECT e.b AS node, SUM(r.rank / d.deg) AS m
+  FROM edges e
+  JOIN r1 r ON r.node = e.a
+  JOIN deg d ON d.node = e.a
+  GROUP BY e.b
+),
+s2 AS (SELECT COALESCE(SUM(m), 0) AS sent FROM i2),
+r2 AS (
+  SELECT n.node,
+         (COALESCE(i.m, 0)
+          + greatest(0, 1 - (SELECT sent FROM s2)) / (SELECT n FROM nn))
+           * 0.85
+         + (1 - 0.85) / (SELECT n FROM nn) AS rank
+  FROM nodes n LEFT JOIN i2 i ON i.node = n.node
+),
+i3 AS (
+  SELECT e.b AS node, SUM(r.rank / d.deg) AS m
+  FROM edges e
+  JOIN r2 r ON r.node = e.a
+  JOIN deg d ON d.node = e.a
+  GROUP BY e.b
+),
+s3 AS (SELECT COALESCE(SUM(m), 0) AS sent FROM i3),
+r3 AS (
+  SELECT n.node,
+         (COALESCE(i.m, 0)
+          + greatest(0, 1 - (SELECT sent FROM s3)) / (SELECT n FROM nn))
+           * 0.85
+         + (1 - 0.85) / (SELECT n FROM nn) AS rank
+  FROM nodes n LEFT JOIN i3 i ON i.node = n.node
+),
+i4 AS (
+  SELECT e.b AS node, SUM(r.rank / d.deg) AS m
+  FROM edges e
+  JOIN r3 r ON r.node = e.a
+  JOIN deg d ON d.node = e.a
+  GROUP BY e.b
+),
+s4 AS (SELECT COALESCE(SUM(m), 0) AS sent FROM i4),
+r4 AS (
+  SELECT n.node,
+         (COALESCE(i.m, 0)
+          + greatest(0, 1 - (SELECT sent FROM s4)) / (SELECT n FROM nn))
+           * 0.85
+         + (1 - 0.85) / (SELECT n FROM nn) AS rank
+  FROM nodes n LEFT JOIN i4 i ON i.node = n.node
+),
+i5 AS (
+  SELECT e.b AS node, SUM(r.rank / d.deg) AS m
+  FROM edges e
+  JOIN r4 r ON r.node = e.a
+  JOIN deg d ON d.node = e.a
+  GROUP BY e.b
+),
+s5 AS (SELECT COALESCE(SUM(m), 0) AS sent FROM i5),
+r5 AS (
+  SELECT n.node,
+         (COALESCE(i.m, 0)
+          + greatest(0, 1 - (SELECT sent FROM s5)) / (SELECT n FROM nn))
+           * 0.85
+         + (1 - 0.85) / (SELECT n FROM nn) AS rank
+  FROM nodes n LEFT JOIN i5 i ON i.node = n.node
+)
+SELECT node, round(rank, 8) AS rank FROM r5
+        """,
         "doc_minhash_dedup": _ND_MINHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(

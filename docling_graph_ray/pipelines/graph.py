@@ -791,8 +791,10 @@ def graph_edge_fanout(sf_dir: str):
 def graph_pagerank(sf_dir: str, iters: int = 5):
     """PageRank over the supplier→nation→region hierarchy (suppliers
     endorse their nation, nations their region; regions are dangling).
-    Rows-only: fixed-iteration float power iteration has no SQL twin —
-    pytest compares the operator against a dense numpy reference.
+    Oracle: the five float64 power iterations unrolled as DuckDB CTE
+    stages (identical per-op arithmetic incl. the 1-sent dangling
+    redistribution; 8-digit rounding absorbs sum-order drift); pytest
+    additionally compares the operator against a dense numpy reference.
     Node ids: suppkey | 10^6 + nationkey | 2*10^6 + regionkey."""
     from docling_graph_ray.stages.graphalgo import pagerank
 
@@ -817,4 +819,7 @@ def graph_pagerank(sf_dir: str, iters: int = 5):
     edges = sup.map_batches(sup_edges, batch_format="pyarrow").union(
         nat.map_batches(nat_edges, batch_format="pyarrow")
     )
-    return pagerank(edges, iters=iters)
+    # ndigits=8 (not the default 10): the DuckDB oracle recomputes the
+    # same five float64 power iterations but with different summation
+    # order; 8 digits absorbs the ~1e-15 sum-order drift on both sides
+    return pagerank(edges, iters=iters, ndigits=8)
