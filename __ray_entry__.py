@@ -918,6 +918,59 @@ r5 AS (
 )
 SELECT node, round(rank, 8) AS rank FROM r5
         """,
+        # Crawl->training-set composite: recompute the whole curation
+        # chain (>=30-word gate -> exact dedup keep-min -> language
+        # temperature mix -> mix32 split) over the post-extract docs
+        # table the query dumps (queries()["pages_curation"] writes it
+        # first); doc_id is a 63-bit blake2b url hash, so the mix32
+        # twins mask to 32 bits up front exactly as stages/sampling.py.
+        "pages_curation": """
+WITH src AS (
+  SELECT doc_id, text, lang
+  FROM read_parquet('/tmp/graft_oracle_pages_docs/*.parquet')
+),
+passers AS (
+  SELECT doc_id, lang, text FROM src
+  WHERE CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) >= 30
+),
+surv AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           MIN(doc_id) OVER (PARTITION BY text) AS keeper
+    FROM passers
+  ) WHERE doc_id = keeper
+),
+c AS (SELECT lang, COUNT(*) AS n FROM surv GROUP BY lang),
+m AS (SELECT MIN(n) AS n_min FROM c),
+t AS (SELECT lang, n AS n_source,
+             CAST(floor(pow(CAST(n_min AS DOUBLE)
+                            / CAST(n AS DOUBLE), 0.5)
+                        * 4294967296) AS BIGINT) AS thr
+      FROM c, m),
+m0 AS (SELECT doc_id, lang, doc_id % 4294967296 AS x FROM surv),
+m1 AS (SELECT doc_id, lang,
+              xor(x >> 16, x) * 73244475 % 4294967296 AS x FROM m0),
+m2 AS (SELECT doc_id, lang,
+              xor(x >> 16, x) * 73244475 % 4294967296 AS x FROM m1),
+h AS (SELECT doc_id, lang, xor(x >> 16, x) AS _h FROM m2),
+mixed AS (
+  SELECT h.doc_id, h.lang, t.n_source, t.thr
+  FROM h JOIN t USING (lang)
+  WHERE h._h < t.thr
+),
+s0 AS (SELECT *, xor(doc_id, 668265261) % 4294967296 AS s FROM mixed),
+s1 AS (SELECT *, xor(s >> 16, s) * 73244475 % 4294967296 AS y FROM s0),
+s2 AS (SELECT * EXCLUDE (y),
+              xor(y >> 16, y) * 73244475 % 4294967296 AS y FROM s1),
+sb AS (SELECT * EXCLUDE (s, y),
+              xor(y >> 16, y) % 100 AS bucket FROM s2)
+SELECT doc_id, lang, n_source, thr,
+       CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM sb
+""",
         "doc_minhash_dedup": _ND_MINHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(

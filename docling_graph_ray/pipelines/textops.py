@@ -1330,8 +1330,9 @@ def pages_curation(sf_dir: str):
     mix → split).  The end-to-end pipeline a user of this engine runs
     to turn a crawl into a training corpus; every stage streams, the
     only wide ops are the curation hash shuffle and the extraction
-    lane's own plumbing.  Rows-only (synthetic pages have no DuckDB
-    view); each stage is oracle- or golden-checked individually."""
+    lane's own plumbing.  Oracle: the query dumps the post-extract docs
+    table and DuckDB recomputes the whole curation chain over it (each
+    stage is additionally oracle- or golden-checked individually)."""
     import hashlib
 
     from docling_graph_ray.fixtures.pages import pages_parquet_dir
@@ -1372,5 +1373,15 @@ def pages_curation(sf_dir: str):
             pc.not_equal(pc.utf8_trim_whitespace(batch.column("text")), ""),
         )
 
-    docs = extracted.map_batches(to_docs, batch_format="pyarrow")
+    docs = extracted.map_batches(to_docs, batch_format="pyarrow").materialize()
+    # dump the post-extract docs table so the DuckDB oracle can recompute
+    # the whole curation chain (gate -> dedup -> mix -> split) over
+    # exactly the rows the distributed chain consumed (the emb_kmeans /
+    # flagship-lineage emitted-side-table pattern); materialize() above
+    # also keeps the extract lane from executing twice
+    import shutil
+
+    dump = "/tmp/graft_oracle_pages_docs"
+    shutil.rmtree(dump, ignore_errors=True)
+    docs.write_parquet(dump)
     return curate_documents(docs, quality_mask=min_words_mask)
