@@ -971,6 +971,18 @@ SELECT doc_id, lang, n_source, thr,
             ELSE 'test' END AS split
 FROM sb
 """,
+        # Cross-lane equality for the WARC ingestion path: the query
+        # dumps the Parquet-lane extraction of the same logical corpus
+        # (queries()["pages_warc_flagship"] writes it first); equal row
+        # hashes assert both I/O paths decode identical bytes per url --
+        # the invariant the r5 gzip member-boundary bug violated.
+        "pages_warc_flagship": """
+            SELECT url, text_sha256,
+                   CAST(n_blocks_kept AS INTEGER) AS n_blocks_kept,
+                   CAST(n_blocks_dropped AS INTEGER) AS n_blocks_dropped,
+                   parse_status
+            FROM read_parquet('/tmp/graft_oracle_warc_twin/*.parquet')
+        """,
         "doc_minhash_dedup": _ND_MINHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(

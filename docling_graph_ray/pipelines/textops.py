@@ -448,27 +448,48 @@ def pages_warc_flagship(sf_dir: str):
     containers (sources/warc.py) instead of Parquet — the raw-crawl
     ingestion lane.  Output shape matches ``pages_flagship`` so the two
     lanes are directly comparable (byte-identical text per url ⇒ equal
-    text_sha256 multisets).  Rows-only (input is a crawl container, not
-    a SQL-visible table); equivalence vs the Parquet lane is pytest-
-    checked in tests/test_warc.py."""
+    text_sha256 multisets).  Oracle (r5): cross-lane equality — the
+    query ALSO runs the Parquet ingestion lane over the same logical
+    corpus and dumps its rows; the DuckDB twin reads that dump, so the
+    driver's hash compare asserts the two independent I/O paths decode
+    identical bytes per url (exactly the invariant the r5 gzip
+    member-boundary bug violated — duplicated records hidden by url
+    dedup).  The WARC container itself is not SQL-visible, so a
+    recompute-from-input oracle cannot exist; lane equivalence is
+    additionally pytest-checked in tests/test_warc.py."""
+    from docling_graph_ray.fixtures.pages import pages_parquet_dir
     from docling_graph_ray.pipelines.extract import (
         dedup_extracted,
         extract_pages_dataset,
+        read_pages_parquet,
     )
     from docling_graph_ray.sources.warc import read_warc, warc_fixture_dir
 
+    cols = ["url", "text_sha256", "n_blocks_kept", "n_blocks_dropped",
+            "parse_status"]
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
     tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     n = _SF_ROWS.get(tier, 300)
+
+    import shutil
+
+    twin_dump = "/tmp/graft_oracle_warc_twin"
+    shutil.rmtree(twin_dump, ignore_errors=True)
+    dedup_extracted(
+        extract_pages_dataset(
+            read_pages_parquet(pages_parquet_dir(n, profile="t1")),
+            num_partitions=16,
+        )
+    ).map_batches(project, batch_format="pyarrow").write_parquet(twin_dump)
+
     src = warc_fixture_dir(n, profile="t1", files=8)
     ded = dedup_extracted(
         extract_pages_dataset(read_warc(src), num_partitions=16)
     )
-    return ded.map_batches(
-        lambda t: t.select(
-            ["url", "text_sha256", "n_blocks_kept", "n_blocks_dropped", "parse_status"]
-        ),
-        batch_format="pyarrow",
-    )
+    return ded.map_batches(project, batch_format="pyarrow")
 
 
 # Fixed declared-metadata location shared with the static oracle SQL.
