@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same corpus ingested from WARC containers (rows-only; byte-
         # equivalence vs the Parquet lane is pytest-checked)
         "pages_warc_flagship": t.pages_warc_flagship,
+        "pages_jsonl_flagship": t.pages_jsonl_flagship,
         # crawl -> extract -> langid -> curate composite (rows-only)
         "pages_curation": t.pages_curation,
         "media_features": t.media_pipeline,
@@ -917,6 +918,15 @@ r5 AS (
   FROM nodes n LEFT JOIN i5 i ON i.node = n.node
 )
 SELECT node, round(rank, 8) AS rank FROM r5
+        """,
+        # Same cross-lane pattern for the JSONL ingestion lane: asserts
+        # the json + base64 + ISO-timestamp decode is byte-faithful.
+        "pages_jsonl_flagship": """
+            SELECT url, text_sha256,
+                   CAST(n_blocks_kept AS INTEGER) AS n_blocks_kept,
+                   CAST(n_blocks_dropped AS INTEGER) AS n_blocks_dropped,
+                   parse_status
+            FROM read_parquet('/tmp/graft_oracle_jsonl_twin/*.parquet')
         """,
         # Crawl->training-set composite: recompute the whole curation
         # chain (>=30-word gate -> exact dedup keep-min -> language

@@ -1344,6 +1344,53 @@ def doc_distinct_estimate(sf_dir: str, p: int = 12):
     })
 
 
+def pages_jsonl_flagship(sf_dir: str):
+    """Flagship extraction reading the SAME synthetic corpus from
+    gzipped JSONL (sources/jsonl.py) — the dataset-dump ingestion lane
+    (html rides base64; line-oriented files split by byte range for
+    free, unlike WARC member streams).  Oracle: cross-lane equality via
+    the same emitted-twin pattern as ``pages_warc_flagship`` — the query
+    dumps the Parquet-lane rows and the DuckDB twin reads them, so the
+    driver's hash compare asserts the JSONL decode (json + base64 + ISO
+    timestamp round-trip) is byte-faithful per url."""
+    from docling_graph_ray.fixtures.pages import pages_parquet_dir
+    from docling_graph_ray.pipelines.extract import (
+        dedup_extracted,
+        extract_pages_dataset,
+        read_pages_parquet,
+    )
+    from docling_graph_ray.sources.jsonl import (
+        jsonl_fixture_dir,
+        read_jsonl_pages,
+    )
+
+    cols = ["url", "text_sha256", "n_blocks_kept", "n_blocks_dropped",
+            "parse_status"]
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+
+    import shutil
+
+    twin_dump = "/tmp/graft_oracle_jsonl_twin"
+    shutil.rmtree(twin_dump, ignore_errors=True)
+    dedup_extracted(
+        extract_pages_dataset(
+            read_pages_parquet(pages_parquet_dir(n, profile="t1")),
+            num_partitions=16,
+        )
+    ).map_batches(project, batch_format="pyarrow").write_parquet(twin_dump)
+
+    src = jsonl_fixture_dir(n, profile="t1", files=8)
+    ded = dedup_extracted(
+        extract_pages_dataset(read_jsonl_pages(src), num_partitions=16)
+    )
+    return ded.map_batches(project, batch_format="pyarrow")
+
+
 def pages_curation(sf_dir: str):
     """Full web-to-training-set composite: synthetic crawl pages →
     flagship HTML/PDF extraction (warm-actor pool) → language-ID →

@@ -47,5 +47,5 @@ def test_oracle_count_floor():
     tools/check_oracles.py; pin the floor so removals are deliberate."""
     m = _entry()
     qs, sqls = m.queries(), m.oracle_sql()
-    assert len(sqls) >= 74, len(sqls)
-    assert len(qs) >= 83, len(qs)
+    assert len(sqls) >= 75, len(sqls)
+    assert len(qs) >= 84, len(qs)
