@@ -138,7 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # emitted and every assignment recomputed via cross join+argmax;
         # the iterative fit itself stays python)
         "emb_kmeans": t.emb_kmeans,
-        # distributed PCA (rows-only: eigendecomposition + broadcast)
+        # distributed PCA (oracle-checked r5: the fitted model is
+        # emitted and every projection recomputed as an unnest-join
+        # dot product; the eigensolve itself stays numpy)
         "emb_pca": t.emb_pca,
         # distributed BPE vocab induction (rows-only: iterative argmax)
         "doc_bpe_vocab": t.doc_bpe_vocab,
@@ -156,11 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_topk": t.emb_lsh_topk,
         "emb_ivf_topk": t.emb_ivf_topk,
         "pages_flagship": t.pages_flagship,
-        # same corpus ingested from WARC containers (rows-only; byte-
-        # equivalence vs the Parquet lane is pytest-checked)
+        # same corpus ingested from WARC containers (cross-lane equality
+        # oracle vs the Parquet-lane dump; also pytest-checked)
         "pages_warc_flagship": t.pages_warc_flagship,
         "pages_jsonl_flagship": t.pages_jsonl_flagship,
-        # crawl -> extract -> langid -> curate composite (rows-only)
+        # crawl -> extract -> langid -> curate composite (full-chain
+        # DuckDB recompute oracle over the dumped post-extract table)
         "pages_curation": t.pages_curation,
         "media_features": t.media_pipeline,
         # header-only probe vs the fixture's declared metadata
@@ -740,6 +743,34 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                   FROM sims)
             WHERE rn = 1
+        """,
+        # PCA projection recompute against the emitted model
+        # (queries()["emb_pca"] writes it first): proj[v, c] =
+        # sum_d (emb[v,d] - mean[d]) * comp[c,d], both sides rounded to
+        # 6 digits (float64 sum-order drift ~1e-15)
+        "emb_pca": """
+            WITH model AS (
+              SELECT comp, generate_subscripts(vec, 1) AS dim,
+                     unnest(vec) AS w
+              FROM read_parquet('/tmp/graft_oracle_pca_model.parquet')
+              WHERE kind = 'comp'
+            ),
+            mu AS (
+              SELECT generate_subscripts(vec, 1) AS dim,
+                     unnest(vec) AS mu
+              FROM read_parquet('/tmp/graft_oracle_pca_model.parquet')
+              WHERE kind = 'mean'
+            ),
+            ev AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            )
+            SELECT CAST(ev.vec_id AS BIGINT) AS vec_id, model.comp,
+                   round(SUM((ev.x - mu.mu) * model.w), 6) AS p
+            FROM ev JOIN mu USING (dim)
+                 JOIN model ON model.dim = ev.dim
+            GROUP BY 1, 2
         """,
         # HyperLogLog registers + Flajolet estimate recomputed from the
         # same sha256-first-8-bytes hash family (stages/sketch.py): idx

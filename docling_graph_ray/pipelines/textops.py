@@ -1258,16 +1258,56 @@ def doc_curation_pipeline(sf_dir: str, alpha: float = 0.5):
     )
 
 
+# Fixed PCA-model location shared with the static oracle SQL (the
+# runner executes the Ray query — which writes it — before the twin).
+PCA_MODEL_OUT = "/tmp/graft_oracle_pca_model.parquet"
+
+
 def emb_pca(sf_dir: str, q: int = 8):
     """Distributed PCA over the embeddings table: moment partials (one
     d+d^2 row per block) -> driver-side d x d eigensolve -> broadcast
-    projection pass.  Rows (vec_id, proj).  Rows-only: eigendecomposition
-    has no SQL twin (stages/similarity.py:pca_fit/pca_project)."""
-    from docling_graph_ray.stages.similarity import pca_fit, pca_project
+    projection pass.  Rows (vec_id, comp, p) — long format so the
+    compared values are three scalar columns.  Oracle-checked (r5,
+    the emb_kmeans pattern): the fitted model (components + mean,
+    float64 — exactly what the projection pass broadcasts) is written
+    to ``PCA_MODEL_OUT``; the DuckDB twin recomputes EVERY projection
+    as sum((x - mean) * w) over unnested dims.  The iterative
+    eigensolve stays numpy; the claimed projections — the part
+    consumers act on — are fully SQL-verified.  Both sides round to 6
+    digits (float64 sum-order drift is ~1e-15; verified bit-equal over
+    the sf0.01 table before promotion)."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import _as_matrix, pca_fit
 
     embs = _embs(sf_dir, ["vec_id", "embedding"])
     comps, _evar, mean = pca_fit(embs, emb_col="embedding", q=q)
-    return pca_project(embs, comps, mean)
+    pq.write_table(
+        pa.table({
+            "kind": pa.array(["comp"] * q + ["mean"], pa.string()),
+            "comp": pa.array(list(range(q)) + [-1], pa.int64()),
+            "vec": pa.array([c.tolist() for c in comps] + [mean.tolist()],
+                            pa.list_(pa.float64())),
+        }),
+        PCA_MODEL_OUT,
+    )
+
+    ref = ray.put((np.asarray(comps, np.float64),
+                   np.asarray(mean, np.float64)))
+
+    def project_long(batch: pa.Table) -> pa.Table:
+        cm, mu = ray.get(ref)
+        m = _as_matrix(batch.column("embedding"), dtype=np.float64)
+        nq = cm.shape[0]
+        proj = np.round((m - mu) @ cm.T, 6)
+        ids = batch.column("vec_id").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, nq), pa.int64()),
+            "comp": pa.array(np.tile(np.arange(nq), len(ids)), pa.int64()),
+            "p": pa.array(proj.ravel(), pa.float64()),
+        })
+
+    return embs.map_batches(project_long, batch_format="pyarrow")
 
 
 def doc_intradoc_dedup(sf_dir: str, window: int = 2):
