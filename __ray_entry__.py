@@ -155,6 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         "emb_near_dedup": t.emb_near_dedup,
+        # LSH / IVF approximate top-k (oracle-checked r5: the emitted
+        # hyperplanes / codebook let SQL recompute bucket bits, list
+        # assignments, probe sets and the final rounded-cos ranking;
+        # the float32 scale defaults stay — the queries pass float64)
         "emb_lsh_topk": t.emb_lsh_topk,
         "emb_ivf_topk": t.emb_ivf_topk,
         "pages_flagship": t.pages_flagship,
@@ -771,6 +775,116 @@ def oracle_sql() -> dict[str, str]:
             FROM ev JOIN mu USING (dim)
                  JOIN model ON model.dim = ev.dim
             GROUP BY 1, 2
+        """,
+        # LSH bucket recompute against the emitted hyperplanes
+        # (queries()["emb_lsh_topk"] writes them first): bucket bit j =
+        # sign(dot(emb, plane_j)) — computed on the UN-normalized
+        # embedding (sign is invariant under positive scaling); allowed
+        # buckets = query buckets + their 1-bit-flip xor neighborhood;
+        # final rank by round(cos, 6) DESC, vec_id (the Ray side stores
+        # rounded cos and tiebreaks the same way)
+        "emb_lsh_topk": """
+            WITH planes AS (
+              SELECT plane, generate_subscripts(vec, 1) AS dim,
+                     unnest(vec) AS w
+              FROM read_parquet('/tmp/graft_oracle_lsh_planes.parquet')
+            ),
+            ev AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT ev.vec_id, p.plane, SUM(ev.x * p.w) AS dot
+              FROM ev JOIN planes p USING (dim)
+              GROUP BY 1, 2
+            ),
+            buckets AS (
+              SELECT vec_id,
+                     SUM(CASE WHEN dot >= 0
+                              THEN (1::BIGINT << plane) ELSE 0 END)
+                       AS bucket
+              FROM dots GROUP BY 1
+            ),
+            qids AS (SELECT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT 4),
+            qbuckets AS (
+              SELECT b.bucket FROM buckets b
+              JOIN qids q ON b.vec_id = q.vec_id
+            ),
+            allowed AS (
+              SELECT DISTINCT bucket FROM qbuckets
+              UNION
+              SELECT DISTINCT xor(bucket, (1::BIGINT << j))
+              FROM qbuckets, range(8) t(j)
+            ),
+            cand AS (
+              SELECT b.vec_id FROM buckets b
+              JOIN allowed a ON b.bucket = a.bucket
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            )
+            SELECT query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(
+                         e.embedding::DOUBLE[], qe), 6) AS cos
+            FROM q CROSS JOIN
+                 (SELECT em.* FROM embeddings em
+                  JOIN cand c ON em.vec_id = c.vec_id) e
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY ROUND(list_cosine_similarity(
+                         e.embedding::DOUBLE[], qe), 6) DESC,
+                         e.vec_id) <= 10
+        """,
+        # IVF routing recompute against the emitted codebook
+        # (queries()["emb_ivf_topk"] writes it first): every vector's
+        # inverted list = argmax cosine over centroids (cluster-asc
+        # tiebreak = numpy argmax lowest index); each query probes its
+        # 4 closest lists; final rank by round(cos, 6) DESC, vec_id
+        "emb_ivf_topk": """
+            WITH cents AS (
+              SELECT cluster, centroid
+              FROM read_parquet('/tmp/graft_oracle_ivf_centroids.parquet')
+            ),
+            assign AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                                  e.embedding::DOUBLE[], c.centroid)
+                                  DESC, c.cluster ASC) AS rn
+                FROM embeddings e, cents c)
+              WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cluster,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(qe, c.centroid)
+                                  DESC, c.cluster ASC) AS rn
+                FROM q, cents c)
+              WHERE rn <= 4
+            )
+            SELECT q.query_id, e.vec_id,
+                   ROUND(list_cosine_similarity(
+                         e.embedding::DOUBLE[], qe), 6) AS cos
+            FROM q
+            JOIN probes p ON p.query_id = q.query_id
+            JOIN assign a ON a.cluster = p.cluster
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY ROUND(list_cosine_similarity(
+                         e.embedding::DOUBLE[], qe), 6) DESC,
+                         e.vec_id) <= 10
         """,
         # HyperLogLog registers + Flajolet estimate recomputed from the
         # same sha256-first-8-bytes hash family (stages/sketch.py): idx

@@ -366,10 +366,40 @@ def emb_topk(sf_dir: str, k: int = 10):
     )
 
 
+# Fixed hyperplane location shared with the static oracle SQL (the
+# runner executes the Ray query — which writes it — before the twin).
+LSH_PLANES_OUT = "/tmp/graft_oracle_lsh_planes.parquet"
+
+
 def emb_lsh_topk(sf_dir: str, k: int = 10):
+    """LSH-bucketed approximate cosine top-k.  Oracle-checked (r5, the
+    emitted-model pattern): the exact hyperplane matrix the bucketing
+    uses (float64) is written to ``LSH_PLANES_OUT``; the DuckDB twin
+    recomputes every bucket bit as sign(unnest-join dot), expands the
+    1-bit-flip neighborhood of the query buckets with xor, and re-ranks
+    the surviving candidates by round(cosine, 6) with the same vec_id
+    tiebreak.  Bucket bits are computed on the UN-normalized embedding
+    in SQL (sign is invariant under positive scaling), so normalization
+    drift cannot flip a bit; f64 dot signs agree to ~1e-16."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import lsh_planes
+
     q, qids = _query_matrix(sf_dir)
+    planes = lsh_planes(dim=q.shape[1], n_planes=8, seed=42,
+                        dtype=np.float64)
+    pq.write_table(
+        pa.table({
+            "plane": pa.array(range(planes.shape[1]), pa.int64()),
+            "vec": pa.array([planes[:, j].tolist()
+                             for j in range(planes.shape[1])],
+                            pa.list_(pa.float64())),
+        }),
+        LSH_PLANES_OUT,
+    )
     return lsh_bucket_topk(
-        _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids
+        _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids,
+        dtype=np.float64, planes=planes,
     )
 
 
@@ -809,14 +839,43 @@ def doc_geometry(sf_dir: str):
     )
 
 
+# Fixed codebook location shared with the static oracle SQL.
+IVF_CENTROIDS_OUT = "/tmp/graft_oracle_ivf_centroids.parquet"
+
+
 def emb_ivf_topk(sf_dir: str, k: int = 10):
     """IVF-partitioned approximate cosine top-k (the tunable scale path:
-    codebook broadcast once, each query probes n_probe inverted lists)."""
-    from docling_graph_ray.stages.similarity import ivf_topk
+    codebook broadcast once, each query probes n_probe inverted lists).
+    Oracle-checked (r5, the emitted-model pattern): the trained codebook
+    (unit-normalized, cast to float64 — exactly what the assignment pass
+    broadcasts) is written to ``IVF_CENTROIDS_OUT``; the DuckDB twin
+    recomputes every vector's inverted-list assignment (argmax cosine,
+    centroid-ascending tiebreak — numpy argmax picks the lowest index),
+    each query's n_probe probe set, and the final per-query top-k by
+    round(cosine, 6) with the vec_id tiebreak.  The iterative Lloyd's
+    training stays numpy; the claimed candidate routing and ranking are
+    fully SQL-verified."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
 
     q, qids = _query_matrix(sf_dir)
+    embs = _embs(sf_dir, ["vec_id", "embedding"])
+    cent = train_ivf_centroids(embs, n_centroids=16, seed=42)
+    cent64 = np.asarray(cent, dtype=np.float64)
+    pq.write_table(
+        pa.table({
+            "cluster": pa.array(range(len(cent64)), pa.int64()),
+            "centroid": pa.array([c.tolist() for c in cent64],
+                                 pa.list_(pa.float64())),
+        }),
+        IVF_CENTROIDS_OUT,
+    )
     return ivf_topk(
-        _embs(sf_dir, ["vec_id", "embedding"]), q, k=k, query_ids=qids
+        embs, q, k=k, query_ids=qids, dtype=np.float64, centroids=cent64,
     )
 
 

@@ -84,6 +84,15 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = 42,
+               dtype=np.float32) -> np.ndarray:
+    """Deterministic random-hyperplane matrix ``(dim, n_planes)`` —
+    factored out so a caller can emit the exact planes the bucketing
+    uses (the emitted-model oracle pattern)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((dim, n_planes)).astype(dtype)
+
+
 def lsh_bucket_topk(
     ds,
     queries: np.ndarray,
@@ -94,15 +103,25 @@ def lsh_bucket_topk(
     query_ids: list[int] | None = None,
     n_planes: int = 8,
     seed: int = 42,
+    dtype=np.float32,
+    planes: np.ndarray | None = None,
 ):
     """Approximate top-k: score only rows whose hyperplane bucket matches a
-    query bucket (with all 1-bit-flip neighbor buckets for recall)."""
+    query bucket (with all 1-bit-flip neighbor buckets for recall).
+
+    ``dtype=np.float32`` is the scale default; ``np.float64`` (with the
+    same ``planes`` handed to the SQL twin) gives oracle-matched
+    precision — bucket bits are sign(dot) and the sign of an f64 dot
+    agrees between numpy and a SQL SUM to ~1e-16."""
     import ray
 
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    qn = _normalize(np.asarray(queries, dtype=dtype))
     dim = qn.shape[1]
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    if planes is None:
+        planes = lsh_planes(dim, n_planes, seed, dtype)
+    else:
+        planes = np.asarray(planes, dtype=dtype)
+        n_planes = planes.shape[1]
     qids = query_ids if query_ids is not None else list(range(qn.shape[0]))
 
     def bucket_of(m: np.ndarray) -> np.ndarray:
@@ -121,7 +140,7 @@ def lsh_bucket_topk(
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
         ids = np.asarray(batch.column(id_col).to_pylist())
-        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        embs = _normalize(_as_matrix(batch.column(emb_col), dtype))
         buckets = bucket_of(embs)
         mask = np.isin(buckets, allowed)
         ids, embs = ids[mask], embs[mask]
@@ -200,6 +219,8 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    dtype=np.float32,
+    centroids: np.ndarray | None = None,
 ):
     """IVF-style approximate top-k: a small codebook (trained once,
     broadcast) partitions vectors into inverted lists by nearest
@@ -208,13 +229,18 @@ def ivf_topk(
 
     The scale path beyond LSH bucketing: recall is tunable via
     ``n_probe``/``n_centroids`` and the candidate fraction scored is
-    ~``n_probe / n_centroids`` (vs all-bucket expansion in LSH)."""
+    ~``n_probe / n_centroids`` (vs all-bucket expansion in LSH).
+
+    ``centroids`` injects a pre-trained codebook (skips training);
+    ``dtype=np.float64`` gives oracle-matched assignment/probe/cosine
+    precision against a SQL twin reading the same codebook."""
     import ray
 
-    cent = train_ivf_centroids(
-        ds, n_centroids=n_centroids, emb_col=emb_col, seed=seed
-    )
-    qn = _normalize(np.asarray(queries, dtype=np.float32))
+    cent = (np.asarray(centroids, dtype=dtype) if centroids is not None
+            else train_ivf_centroids(
+                ds, n_centroids=n_centroids, emb_col=emb_col, seed=seed
+            ).astype(dtype))
+    qn = _normalize(np.asarray(queries, dtype=dtype))
     qids = query_ids if query_ids is not None else list(range(qn.shape[0]))
     # lists probed by each query; union = lists any task must score
     probe = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
@@ -228,7 +254,7 @@ def ivf_topk(
         c = ray.get(cent_ref)
         probes = ray.get(probe_ref)
         ids = np.asarray(batch.column(id_col).to_pylist())
-        embs = _normalize(_as_matrix(batch.column(emb_col)))
+        embs = _normalize(_as_matrix(batch.column(emb_col), dtype))
         lists = (embs @ c.T).argmax(axis=1)
         mask = np.isin(lists, probed_union)
         ids, embs, lists = ids[mask], embs[mask], lists[mask]
