@@ -128,7 +128,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_fanout": g.graph_edge_fanout,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
-        # rows-only (non-SQL-expressible)
+        # alias reconciliation (oracle-checked r5: mentions pre-deduped
+        # by (cls, name) so the greedy fold's closed form — absorbed ⟺
+        # an earlier-ordered strict-token-superset mention with equal
+        # digit signature — is exact; the corpus is digit-free 2-token
+        # names so the absorber reduces to MIN(name) per containing set)
         "doc_alias_reconcile": t.doc_alias_reconcile,
         "pages_content_kinds": t.pages_content_kinds,
         # LM quality scoring (oracle-checked r5: deterministic bigram
@@ -2356,6 +2360,45 @@ FROM sb
                         AS BIGINT) AS "end"
             FROM chunks c JOIN probes p USING (url)
             WHERE strpos(c.chunk_text, p.val) > 0
+        """,
+        # Containment-alias reconciliation closed form.  The greedy fold
+        # (stages/alias.py:reconcile_group) absorbs a mention into the
+        # FIRST survivor in (-richness, name) order whose canonical
+        # token set strictly contains its own with equal digit
+        # signature; strict-superset transitivity collapses survivor
+        # chains, so: survivor ⟺ no strict-superset mention exists in
+        # the class, and a prefix's absorber is MIN(name) among the
+        # class's containing full names.  On this corpus (digit-free,
+        # ASCII, 2-token adjective+noun part names; disjoint adjective /
+        # noun vocabularies) every 1-token prefix is absorbed and every
+        # full name survives; the query pre-dedups mentions by
+        # (cls, name) with n summed and min partkey, exactly as the
+        # pipeline does before its fold.
+        "doc_alias_reconcile": """
+            WITH m_full AS (
+              SELECT p_brand AS cls, p_name AS name,
+                     MIN(p_partkey) AS partkey, COUNT(*) AS n
+              FROM part GROUP BY 1, 2
+            ),
+            m_pref AS (
+              SELECT p_brand AS cls, string_split(p_name, ' ')[1] AS name,
+                     COUNT(*) AS n
+              FROM part GROUP BY 1, 2
+            ),
+            absorb AS (
+              SELECT p.cls, p.name AS pref, p.n AS pn,
+                     (SELECT MIN(f.name) FROM m_full f
+                      WHERE f.cls = p.cls
+                        AND list_contains(string_split(upper(f.name), ' '),
+                                          upper(p.name))) AS target
+              FROM m_pref p
+            )
+            SELECT f.cls AS cls, f.name AS name, f.partkey AS partkey,
+                   f.n + COALESCE(a.pn, 0) AS n,
+                   CASE WHEN a.pref IS NULL THEN 0 ELSE 1 END AS n_aliases,
+                   COALESCE(a.pref, '') AS aliases
+            FROM m_full f
+            LEFT JOIN absorb a ON a.cls = f.cls AND a.target = f.name
         """,
         # per-node provenance binding incl. the derived-row completeness
         # invariant (binder.py:172-360 semantics)

@@ -630,11 +630,29 @@ def doc_chunks_flat(sf_dir: str, max_tokens: int = 64):
 # alias reconciliation (LLM-free fuzzy rung; rows-only)
 
 
+_ALIAS_MENTION_SCHEMA = pa.schema(
+    [("cls", pa.string()), ("name", pa.string()),
+     ("partkey", pa.int64()), ("n", pa.int64())])
+
+
 def doc_alias_reconcile(sf_dir: str):
     """Containment-alias merge within brand partitions: full part names
-    plus their 2-token prefixes as alias mentions; the short mention folds
-    into the richer one (stages.alias; alias_reconciler.py:54-330)."""
+    plus their 1-token prefixes as alias mentions; the short mention folds
+    into the earliest-named richer survivor (stages.alias;
+    alias_reconciler.py:54-330).
+
+    Mentions are pre-deduped by ``(cls, name)`` (``n`` summed, min
+    ``partkey``) BEFORE the fold so the greedy absorber choice is
+    independent of block order — duplicate names would otherwise tie in
+    the ``(-richness, name)`` order and carry whichever partkey their
+    block happened to deliver first.  The alias list is flattened to a
+    sorted ``'|'``-joined string (plus ``n_aliases``) so the output is
+    scalar-typed for the DuckDB oracle hash (see ``oracle_sql``:
+    absorbed ⟺ an earlier-ordered mention with strict-superset tokens
+    and equal digit signature; transitivity collapses survivor chains,
+    so the greedy fold has a closed form on this corpus)."""
     from docling_graph_ray.stages.alias import alias_reconcile
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
 
     part = ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_partkey", "p_name"]
@@ -647,13 +665,26 @@ def doc_alias_reconcile(sf_dir: str):
         rows = []
         for brand, key, name in zip(brands, keys, names):
             rows.append({"cls": brand, "name": name, "partkey": key, "n": 1})
-            short = " ".join(name.split()[:2])
-            if short and short != name:
+            short = name.split()[0]
+            if short != name:
                 rows.append({"cls": brand, "name": short, "partkey": None, "n": 1})
-        return pa.Table.from_pylist(rows)
+        return pa.Table.from_pylist(rows, schema=_ALIAS_MENTION_SCHEMA)
 
     nodes = part.map_batches(mentions, batch_format="pyarrow")
-    return alias_reconcile(nodes, class_col="cls", name_col="name", count_col="n")
+    nodes = bucketed_aggregate(
+        nodes, ["cls", "name"], [("partkey", "min"), ("n", "sum")],
+        rename=["cls", "name", "partkey", "n"], combine=True)
+    out = alias_reconcile(nodes, class_col="cls", name_col="name", count_col="n")
+
+    def flatten(tbl: pa.Table) -> pa.Table:
+        al = tbl.column("aliases").to_pylist()
+        tbl = tbl.drop_columns(["aliases"])
+        tbl = tbl.append_column(
+            "n_aliases", pa.array([len(a) for a in al], pa.int64()))
+        return tbl.append_column(
+            "aliases", pa.array(["|".join(a) for a in al], pa.string()))
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
