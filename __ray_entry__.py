@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": t.doc_minhash_dedup,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
+        # embedding near-dup (oracle-checked r5: emitted-model planes;
+        # the query plants deterministic scaled twins — cos ≈ 0.99875 —
+        # since the raw table has no pair above the 0.98 threshold)
         "emb_near_dedup": t.emb_near_dedup,
         # LSH / IVF approximate top-k (oracle-checked r5: the emitted
         # hyperplanes / codebook let SQL recompute bucket bits, list
@@ -779,6 +782,72 @@ def oracle_sql() -> dict[str, str]:
             FROM ev JOIN mu USING (dim)
                  JOIN model ON model.dim = ev.dim
             GROUP BY 1, 2
+        """,
+        # Embedding near-dup recompute against the emitted hyperplanes
+        # (queries()["emb_near_dedup"] writes them first).  Twins are
+        # planted by the query (vec_id + 1e6, dim d scaled 0.95/1.05 for
+        # even/odd d — one IEEE multiply per element, bit-identical on
+        # both sides; cos(twin, original) ≈ 0.99875 sits far from both
+        # the 0.98 threshold and the ≤0.96 non-self ceiling, so
+        # summation-order drift cannot flip a verdict).  Band key =
+        # packed sign bits of plane dots on the UN-normalized embedding
+        # (sign invariant under positive scaling); per-bucket rep =
+        # MIN(vec_id); verify cos ≥ threshold per band; rep_id = MIN
+        # over bands — exactly the engine's bucketed min-aggregate.
+        "emb_near_dedup": """
+            WITH twins AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     array_agg(x * CASE WHEN (dim - 1) % 2 = 0
+                                        THEN 0.95 ELSE 1.05 END
+                               ORDER BY dim) AS embedding
+              FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                           CAST(unnest(embedding) AS DOUBLE) AS x
+                    FROM embeddings)
+              GROUP BY 1
+            ),
+            allv AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM twins
+            ),
+            planes AS (
+              SELECT plane, generate_subscripts(vec, 1) AS dim,
+                     unnest(vec) AS w
+              FROM read_parquet('/tmp/graft_oracle_nd_planes.parquet')
+            ),
+            ev AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS x
+              FROM allv
+            ),
+            dots AS (
+              SELECT ev.vec_id, p.plane, SUM(ev.x * p.w) AS dot
+              FROM ev JOIN planes p USING (dim)
+              GROUP BY 1, 2
+            ),
+            bands AS (
+              SELECT vec_id, plane // 4 AS band_idx,
+                     SUM(CASE WHEN dot >= 0
+                              THEN (1::BIGINT << (plane % 4))
+                              ELSE 0 END) AS band_key
+              FROM dots GROUP BY 1, 2
+            ),
+            reps AS (
+              SELECT band_idx, band_key, MIN(vec_id) AS rep
+              FROM bands GROUP BY 1, 2
+            ),
+            verify AS (
+              SELECT b.vec_id,
+                     CASE WHEN list_cosine_similarity(e1.embedding,
+                                                      e2.embedding) >= 0.98
+                          THEN r.rep ELSE b.vec_id END AS cand
+              FROM bands b
+              JOIN reps r USING (band_idx, band_key)
+              JOIN allv e1 ON e1.vec_id = b.vec_id
+              JOIN allv e2 ON e2.vec_id = r.rep
+            ),
+            outq AS (SELECT vec_id, MIN(cand) AS rep_id
+                     FROM verify GROUP BY 1)
+            SELECT vec_id, rep_id, rep_id <> vec_id AS is_dup FROM outq
         """,
         # LSH bucket recompute against the emitted hyperplanes
         # (queries()["emb_lsh_topk"] writes them first): bucket bit j =

@@ -336,9 +336,62 @@ def doc_ngram_jaccard_dedup(sf_dir: str):
     return ngram_jaccard_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+# Fixed hyperplane location shared with the static oracle SQL (the
+# runner executes the Ray query — which writes it — before the twin).
+ND_PLANES_OUT = "/tmp/graft_oracle_nd_planes.parquet"
+
+
 def emb_near_dedup(sf_dir: str):
+    """Random-hyperplane LSH near-dup over the embedding column.
+    Oracle-checked (r5, the emitted-model pattern): the exact float64
+    plane matrix the bucketing uses is written to ``ND_PLANES_OUT``;
+    the DuckDB twin recomputes every band key as packed sign bits
+    (computed on the UN-normalized embedding — sign is invariant under
+    positive scaling), the per-bucket representative as MIN(vec_id),
+    and the ≥-threshold cosine verify per band, then folds rep_id =
+    MIN over bands exactly as the engine's bucketed min-aggregate does.
+    The float32 scale default stays; this query passes float64.
+
+    The raw table has no near-dups (max non-self cosine ≤ 0.96 at every
+    sf), so the query plants deterministic twins — ``vec_id + 1_000_000``
+    with dimension ``d`` scaled by 0.95/1.05 for even/odd ``d`` — whose
+    cosine to their original is ≈ 0.99875: far above the 0.98 threshold
+    and far below the non-self ceiling, so FP drift between numpy and
+    DuckDB summation order cannot flip any verdict.  Per-element scaling
+    is a single IEEE multiply on both sides — bit-identical inputs."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import lsh_planes
+
+    planes = lsh_planes(dim=64, n_planes=16, seed=42, dtype=np.float64)
+    pq.write_table(
+        pa.table({
+            "plane": pa.array(range(planes.shape[1]), pa.int64()),
+            "vec": pa.array([planes[:, j].tolist()
+                             for j in range(planes.shape[1])],
+                            pa.list_(pa.float64())),
+        }),
+        ND_PLANES_OUT,
+    )
+    fac = np.where(np.arange(64) % 2 == 0, 0.95, 1.05)
+
+    def with_twins(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        embs = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        twins = embs * fac
+        out_ids = np.concatenate([ids, ids + 1_000_000])
+        out_embs = np.concatenate([embs, twins])
+        return pa.table({
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "embedding": pa.array(out_embs.tolist(),
+                                  pa.list_(pa.float64())),
+        })
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
+        with_twins, batch_format="pyarrow")
     return embedding_near_dedup(
-        _embs(sf_dir, ["vec_id", "embedding"]), dim=64, cosine_threshold=0.98
+        ds, dim=64, cosine_threshold=0.98,
+        dtype=np.float64, planes=planes,
     )
 
 

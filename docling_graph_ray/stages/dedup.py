@@ -699,6 +699,8 @@ def embedding_near_dedup(
     seed: int = 42,
     num_partitions: int = 64,
     max_bucket_verify: int = 65536,
+    dtype=np.float32,
+    planes: np.ndarray | None = None,
 ):
     """Random-hyperplane LSH over an embedding column + exact cosine
     verification against the bucket representative.
@@ -716,14 +718,21 @@ def embedding_near_dedup(
     bit-identical to the representative's — which is what full verify
     concludes for true identical repeats) and otherwise conservatively
     stay their own representative.  Deterministic; audit by comparing
-    ``is_dup`` counts at two cap values."""
-    rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    ``is_dup`` counts at two cap values.
+
+    ``dtype``/``planes``: float32 is the scale default; an
+    oracle-facing caller passes float64 and its own plane matrix so the
+    DuckDB twin can recompute bucket bits and cosines exactly (the
+    emitted-model pattern, same as ``lsh_bucket_topk``)."""
+    if planes is None:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        planes = rng.standard_normal((dim, n_planes)).astype(dtype)
     width = n_planes // bands
+    emb_pa_type = pa.from_numpy_dtype(np.dtype(dtype))
 
     def emit(batch: pa.Table):
         ids = batch.column(id_col).to_pylist()
-        embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float32)
+        embs = np.array(batch.column(emb_col).to_pylist(), dtype=dtype)
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         unit = embs / np.maximum(norms, 1e-12)
         bits = (unit @ planes) >= 0  # (n, planes)
@@ -742,7 +751,7 @@ def embedding_near_dedup(
                 id_col: pa.array(rows["id"]),
                 "band_idx": pa.array(rows["band_idx"], pa.int32()),
                 "band_key": pa.array(rows["band_key"], pa.int64()),
-                "emb": pa.array(rows["emb"], pa.list_(pa.float32())),
+                "emb": pa.array(rows["emb"], pa.list_(emb_pa_type)),
             }
         )
 
