@@ -146,9 +146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # emitted and every projection recomputed as an unnest-join
         # dot product; the eigensolve itself stays numpy)
         "emb_pca": t.emb_pca,
-        # distributed BPE vocab induction (rows-only: iterative argmax)
+        # distributed BPE vocab induction (oracle-checked r5: the
+        # emitted merge list is replayed in SQL and each round's argmax
+        # re-derived from recomputed pair counts — the unrolled-
+        # iteration pattern)
         "doc_bpe_vocab": t.doc_bpe_vocab,
-        # BPE train+tokenize composite (rows-only: stateful actor cache)
+        # BPE train+tokenize composite (oracle-checked r5: same replay
+        # CTE re-derives every word's final tokenization; per-doc sums)
         "doc_bpe_apply": t.doc_bpe_apply,
         # HyperLogLog distinct estimate (oracle-checked r5: sha256 hash
         # family => registers AND estimate exactly recomputable in SQL)
@@ -181,6 +185,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle-checked r5)
         "media_probe": t.media_probe,
     }
+
+
+# BPE replay CTE (shared by the doc_bpe_vocab / doc_bpe_apply oracles):
+# replays the state evolution the emitted merge list implies.  Each
+# word starts as chars + '</w>' encoded with DOUBLE separators
+# ('|' || join(tokens, '||') || '|'); applying merge k is then ONE
+# string replace of '|l||r|' with '|lr|' — the match consumes one
+# boundary '|' that the replacement reintroduces, so consecutive
+# occurrences in a run merge left-to-right non-overlapping EXACTLY like
+# _merge_pair_in_seq (verified: 'aaaa' -> 'aa aa', 'aaa' -> 'aa a'),
+# and the double '||' between tokens makes a mid-token false match
+# impossible.  The corpus is ASCII 33..121 (no '|', no '<'), so neither
+# the separator nor the '</w>' sentinel can collide with token text.
+def _bpe_replay_cte(path: str) -> str:
+    return f"""
+WITH RECURSIVE
+merges AS (SELECT "rank", l, r FROM read_parquet('{path}')),
+wf AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(trim(coalesce(text,'')),
+                                            '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1
+),
+init AS (
+  SELECT word, n,
+         '|' || array_to_string(
+             list_append(regexp_extract_all(word, '.'), '</w>'),
+             '||') || '|' AS st
+  FROM wf
+),
+rec AS (
+  SELECT word, n, 0 AS k, st FROM init
+  UNION ALL
+  SELECT rec.word, rec.n, rec.k + 1,
+         replace(rec.st, '|' || m.l || '||' || m.r || '|',
+                         '|' || m.l || m.r || '|') AS st
+  FROM rec JOIN merges m ON m."rank" = rec.k
+),
+toks AS (
+  SELECT word, n, k,
+         string_split(substr(st, 2, length(st) - 2), '||') AS ts
+  FROM rec
+)
+"""
 
 
 # Chunker-in-SQL (shared by the doc_chunks / doc_anchor_scan /
@@ -782,6 +831,48 @@ def oracle_sql() -> dict[str, str]:
             FROM ev JOIN mu USING (dim)
                  JOIN model ON model.dim = ev.dim
             GROUP BY 1, 2
+        """,
+        # BPE vocabulary induction verified by replay (the unrolled-
+        # iteration pattern, like graph_pagerank): the query writes its
+        # learned merge list; SQL replays the state evolution, counts
+        # frequency-weighted adjacent pairs at EVERY intermediate state
+        # (per position — overlapping runs count each adjacency), and
+        # re-derives each round's argmax with the engine's
+        # (count DESC, left ASC, right ASC) total order.
+        "doc_bpe_vocab": _bpe_replay_cte(
+            "/tmp/graft_oracle_bpe_vocab_merges.parquet") + """
+            , pairs AS (
+              SELECT k, ts[gs] AS l, ts[gs + 1] AS r,
+                     CAST(SUM(n) AS BIGINT) AS c
+              FROM toks, LATERAL (SELECT unnest(
+                     generate_series(1, len(ts) - 1)) AS gs) g
+              GROUP BY 1, 2, 3
+            )
+            SELECT k AS "rank", l AS "left", r AS "right", c AS count
+            FROM pairs
+            WHERE k < (SELECT count(*) FROM merges)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY c DESC, l ASC, r ASC) = 1
+        """,
+        # BPE train+tokenize composite (emitted-model): every distinct
+        # word's final tokenization re-derived by the same replay CTE;
+        # token counts sum per document (empty/whitespace-only text
+        # contributes the engine's 0 via the unmatched LEFT JOIN).
+        "doc_bpe_apply": _bpe_replay_cte(
+            "/tmp/graft_oracle_bpe_apply_merges.parquet") + """
+            , wcount AS (
+              SELECT word, CAST(len(ts) AS BIGINT) AS wn FROM toks
+              WHERE k = (SELECT count(*) FROM merges)
+            ),
+            docwords AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                  trim(coalesce(text,'')), '\\s+')) AS word
+              FROM documents
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(w.wn), 0) AS BIGINT) AS n_bpe_tokens
+            FROM docwords d LEFT JOIN wcount w USING (word)
+            GROUP BY 1
         """,
         # Embedding near-dup recompute against the emitted hyperplanes
         # (queries()["emb_near_dedup"] writes them first).  Twins are

@@ -1465,15 +1465,42 @@ def doc_intradoc_dedup(sf_dir: str, window: int = 2):
     )
 
 
+# Fixed emitted-merge-list locations shared with the static oracle SQL
+# (each query trains and writes its OWN file before returning, so there
+# is no cross-query ordering dependency).
+BPE_MERGES_VOCAB_OUT = "/tmp/graft_oracle_bpe_vocab_merges.parquet"
+BPE_MERGES_APPLY_OUT = "/tmp/graft_oracle_bpe_apply_merges.parquet"
+
+
+def _write_bpe_merges(rows: list, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "rank": pa.array([r for r, _, _, _ in rows], pa.int64()),
+        "l": pa.array([l for _, l, _, _ in rows], pa.string()),
+        "r": pa.array([r for _, _, r, _ in rows], pa.string()),
+    }), path)
+
+
 def doc_bpe_vocab(sf_dir: str, merges: int = 20):
     """Distributed BPE vocabulary induction over the documents table:
     merge table (rank, left, right, count) learned by the streaming
-    pair-count loop (stages/text_analysis.py:bpe_train).  Rows-only:
-    iterative argmax training has no SQL twin; pytest checks equality
-    with a sequential reference implementation."""
+    pair-count loop (stages/text_analysis.py:bpe_train).
+
+    Oracle-checked (r5, the unrolled-iteration pattern): the learned
+    merge list is written to ``BPE_MERGES_VOCAB_OUT``; the DuckDB twin
+    replays the state evolution it implies (a recursive CTE whose step
+    ``k`` applies merge ``k`` with the double-separator string replace
+    that exactly reproduces left-to-right non-overlapping merging),
+    recomputes the frequency-weighted adjacent-pair counts at every
+    intermediate state, and re-derives each round's argmax with the
+    engine's (count DESC, left ASC, right ASC) total order — so every
+    emitted merge is verified to be the true argmax AND carry the true
+    count, same shape as the unrolled PageRank oracle."""
     from docling_graph_ray.stages.text_analysis import bpe_train
 
     rows = bpe_train(_docs(sf_dir, ["text"]), merges=merges)
+    _write_bpe_merges(rows, BPE_MERGES_VOCAB_OUT)
     return pa.table({
         "rank": pa.array([r for r, _, _, _ in rows], pa.int64()),
         "left": pa.array([l for _, l, _, _ in rows], pa.string()),
@@ -1486,11 +1513,17 @@ def doc_bpe_apply(sf_dir: str, merges: int = 20):
     """Train-then-tokenize composite: learn the BPE merge list over the
     corpus (bpe_train), then tokenize every document with the stateful
     BPETokenizer actor pool (merges broadcast once via constructor
-    kwargs; per-actor word cache).  Rows (doc_id, n_bpe_tokens);
-    rows-only — pytest checks equality with a sequential reference."""
+    kwargs; per-actor word cache).  Rows (doc_id, n_bpe_tokens).
+
+    Oracle-checked (r5, the emitted-model pattern): the trained merges
+    are written to ``BPE_MERGES_APPLY_OUT``; the DuckDB twin re-derives
+    every distinct word's final tokenization by replaying the 20 merge
+    steps (same recursive CTE as the ``doc_bpe_vocab`` oracle) and sums
+    token counts per document."""
     from docling_graph_ray.stages.text_analysis import BPETokenizer, bpe_train
 
     learned = bpe_train(_docs(sf_dir, ["text"]), merges=merges)
+    _write_bpe_merges(learned, BPE_MERGES_APPLY_OUT)
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         BPETokenizer,
         fn_constructor_kwargs={"merges": learned},
