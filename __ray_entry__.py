@@ -166,6 +166,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the query plants deterministic scaled twins — cos ≈ 0.99875 —
         # since the raw table has no pair above the 0.98 threshold)
         "emb_near_dedup": t.emb_near_dedup,
+        # SemDeDup (Abbas et al. 2023): k-means cluster + within-cluster
+        # pairwise prune (oracle-checked r5: emitted codebook; DuckDB
+        # recomputes every assignment and the closed-form min-id rep)
+        "emb_semantic_dedup": t.emb_semantic_dedup,
         # LSH / IVF approximate top-k (oracle-checked r5: the emitted
         # hyperplanes / codebook let SQL recompute bucket bits, list
         # assignments, probe sets and the final rounded-cos ranking;
@@ -873,6 +877,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(w.wn), 0) AS BIGINT) AS n_bpe_tokens
             FROM docwords d LEFT JOIN wcount w USING (word)
             GROUP BY 1
+        """,
+        # SemDeDup recompute against the emitted codebook
+        # (queries()["emb_semantic_dedup"] writes it first; same planted
+        # twins as emb_near_dedup so duplicates exist).  Assignment =
+        # argmax cosine with cluster-asc tiebreak (numpy argmax = first
+        # max, the emb_ivf_topk idiom); rep_id(i) = min same-cluster id
+        # j < i with cos >= 0.98, COALESCE'd to i — the engine's blocked
+        # upper-triangle matmul computes exactly this closed form.
+        "emb_semantic_dedup": """
+            WITH twins AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     array_agg(x * CASE WHEN (dim - 1) % 2 = 0
+                                        THEN 0.95 ELSE 1.05 END
+                               ORDER BY dim) AS embedding
+              FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                           CAST(unnest(embedding) AS DOUBLE) AS x
+                    FROM embeddings)
+              GROUP BY 1
+            ),
+            allv AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+              UNION ALL SELECT vec_id, embedding FROM twins
+            ),
+            cents AS (
+              SELECT cluster, centroid
+              FROM read_parquet('/tmp/graft_oracle_semdedup_centroids.parquet')
+            ),
+            assign AS (
+              SELECT vec_id, cluster, embedding FROM (
+                SELECT a.vec_id, c.cluster, a.embedding,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                         ORDER BY list_cosine_similarity(a.embedding,
+                                                         c.centroid) DESC,
+                                  c.cluster ASC) AS rn
+                FROM allv a, cents c)
+              WHERE rn = 1
+            ),
+            rep AS (
+              SELECT a1.vec_id, a1.cluster,
+                     COALESCE(MIN(a2.vec_id) FILTER (
+                        WHERE a2.vec_id < a1.vec_id
+                          AND list_cosine_similarity(a1.embedding,
+                                                     a2.embedding) >= 0.98),
+                        a1.vec_id) AS rep_id
+              FROM assign a1 JOIN assign a2 USING (cluster)
+              GROUP BY 1, 2
+            )
+            SELECT vec_id, cluster, rep_id, rep_id <> vec_id AS is_dup
+            FROM rep
         """,
         # Embedding near-dup recompute against the emitted hyperplanes
         # (queries()["emb_near_dedup"] writes them first).  Twins are

@@ -373,25 +373,72 @@ def emb_near_dedup(sf_dir: str):
         }),
         ND_PLANES_OUT,
     )
-    fac = np.where(np.arange(64) % 2 == 0, 0.95, 1.05)
-
-    def with_twins(b: pa.Table) -> pa.Table:
-        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-        embs = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
-        twins = embs * fac
-        out_ids = np.concatenate([ids, ids + 1_000_000])
-        out_embs = np.concatenate([embs, twins])
-        return pa.table({
-            "vec_id": pa.array(out_ids, pa.int64()),
-            "embedding": pa.array(out_embs.tolist(),
-                                  pa.list_(pa.float64())),
-        })
-
     ds = _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
-        with_twins, batch_format="pyarrow")
+        _with_planted_twins, batch_format="pyarrow")
     return embedding_near_dedup(
         ds, dim=64, cosine_threshold=0.98,
         dtype=np.float64, planes=planes,
+    )
+
+
+def _with_planted_twins(b: pa.Table) -> pa.Table:
+    """Deterministic near-dup twins for the embedding-dedup oracles:
+    ``vec_id + 1_000_000`` with dimension ``d`` scaled 0.95/1.05 for
+    even/odd ``d`` — cos(twin, original) ≈ 0.99875, far from both the
+    0.98 threshold and the ≤ 0.96 non-self ceiling, and one IEEE
+    multiply per element keeps both engines bit-identical."""
+    fac = np.where(np.arange(64) % 2 == 0, 0.95, 1.05)
+    ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+    embs = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+    twins = embs * fac
+    out_ids = np.concatenate([ids, ids + 1_000_000])
+    out_embs = np.concatenate([embs, twins])
+    return pa.table({
+        "vec_id": pa.array(out_ids, pa.int64()),
+        "embedding": pa.array(out_embs.tolist(), pa.list_(pa.float64())),
+    })
+
+
+# Fixed emitted-codebook location shared with the static oracle SQL.
+SEMDEDUP_CENTROIDS_OUT = "/tmp/graft_oracle_semdedup_centroids.parquet"
+
+
+def emb_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table (stages/dedup.semantic_dedup;
+    Abbas et al. 2023): k-means cluster, then prune within clusters —
+    rep_id(i) = min id j < i in the same cluster with cos ≥ 0.98.
+
+    Oracle-checked (r5, the emitted-model pattern): the unit-normalized
+    fitted codebook is written to ``SEMDEDUP_CENTROIDS_OUT``; the
+    DuckDB twin recomputes every cluster assignment (argmax cosine,
+    cluster-asc tiebreak — the ``emb_ivf_topk`` idiom), then the pairwise
+    closed-form rep per member.  The same deterministic twins as
+    ``emb_near_dedup`` are planted so duplicates actually exist; every
+    verdict sits ≥ 8e-3 from the threshold, so numpy-vs-DuckDB
+    summation-order drift cannot flip one."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.dedup import semantic_dedup
+    from docling_graph_ray.stages.similarity import _normalize, kmeans_fit
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"]).map_batches(
+        _with_planted_twins, batch_format="pyarrow")
+    cent = kmeans_fit(ds, k=8, iters=5, seed=42)
+    norm = _normalize(np.asarray(cent, dtype=np.float64))
+    pq.write_table(
+        pa.table({
+            "cluster": pa.array(range(len(norm)), pa.int64()),
+            "centroid": pa.array([[float(x) for x in c] for c in norm],
+                                 pa.list_(pa.float64())),
+        }),
+        SEMDEDUP_CENTROIDS_OUT,
+    )
+    return semantic_dedup(
+        ds, dim=64, k=8, cosine_threshold=0.98, dtype=np.float64,
+        centroids=cent,
+    ).map_batches(
+        lambda t: t.select(["vec_id", "cluster", "rep_id", "is_dup"]),
+        batch_format="pyarrow",
     )
 
 

@@ -805,6 +805,119 @@ def embedding_near_dedup(
     )
 
 
+def semantic_dedup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int,
+    k: int = 8,
+    iters: int = 5,
+    cosine_threshold: float = 0.98,
+    seed: int = 42,
+    dtype=np.float64,
+    centroids: np.ndarray | None = None,
+    max_cluster_verify: int = 65536,
+    block: int = 1024,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then prune semantic duplicates WITHIN clusters
+    — a pair is duplicate when its cosine exceeds the threshold, and the
+    kept representative is the lowest-id member.
+
+    Ray shape: the iterative fit is :func:`kmeans_fit` (per-iteration
+    reduce payload is ``k × dim`` partials, never the corpus);
+    assignment + unit-normalization is one broadcast-matmul
+    ``map_batches`` pass; the within-cluster pairwise verify is
+    ``groupby(cluster).map_groups`` with members sorted by id and
+    BLOCKED upper-triangle matmuls (``block × scanned`` floats peak,
+    never ``n²``).  The partitioning assumption — one cluster's members
+    fit one worker — is the method's own (pairwise-within-cluster is
+    what makes SemDeDup tractable vs all-pairs); a cluster hotter than
+    ``max_cluster_verify`` verifies only its first-K members by id and
+    passes the overflow through as their own survivors, counted in
+    ``n_overflow`` (the same cap+audit treatment as
+    ``embedding_near_dedup``'s hot buckets).
+
+    Closed-form rep rule (SQL-expressible, see the
+    ``emb_semantic_dedup`` oracle): ``rep_id(i) = min id j < i in the
+    same cluster with cos(i, j) ≥ threshold``, regardless of ``j``'s
+    own dup status — transitive chains collapse to the lowest id, which
+    is the one member the paper's per-group keep retains.
+
+    Emits ``(id_col, cluster, rep_id, is_dup)``.
+    """
+    from docling_graph_ray.stages.similarity import (
+        _normalize,
+        kmeans_fit,
+    )
+
+    if centroids is None:
+        centroids = kmeans_fit(ds, k=k, emb_col=emb_col, iters=iters,
+                               seed=seed)
+    cnorm = _normalize(np.asarray(centroids, dtype=np.float64)).astype(dtype)
+    import ray as _ray
+
+    cref = _ray.put(cnorm)
+    emb_pa_type = pa.from_numpy_dtype(np.dtype(dtype))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cref)
+        m = np.array(batch.column(emb_col).to_pylist(), dtype=dtype)
+        unit = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                              1e-12)
+        cl = (unit @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cl),
+            "emb": pa.array([r.tolist() for r in unit],
+                            pa.list_(emb_pa_type)),
+        })
+
+    def prune_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "rep_id": pa.array([], pa.int64()),
+                "is_dup": pa.array([], pa.bool_()),
+                "n_overflow": pa.array([], pa.int64()),
+            })
+        g = g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")]))
+        g = g.combine_chunks()
+        n = g.num_rows
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        unit = (g.column("emb").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(n, -1))
+        cap = min(n, max_cluster_verify)
+        rep = ids.copy()
+        for s in range(0, cap, block):
+            e = min(s + block, cap)
+            if s == 0 and e == 1:
+                continue
+            sims = unit[s:e] @ unit[:e].T  # (e-s, e)
+            valid = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            m = (sims >= cosine_threshold) & valid
+            has = m.any(axis=1)
+            first = m.argmax(axis=1)  # argmax of bool = first True
+            rep[s:e][has] = ids[first[has]]
+        n_over = n - cap
+        return pa.table({
+            id_col: g.column(id_col),
+            "cluster": g.column("cluster"),
+            "rep_id": pa.array(rep, pa.int64()),
+            "is_dup": pa.array(rep != ids),
+            "n_overflow": pa.array(np.full(n, n_over, dtype=np.int64)),
+        })
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune_group, batch_format="pyarrow")
+    )
+    return out
+
+
 def intradoc_window_dedup_batch(*, text_col: str = "text",
                                 id_col: str = "doc_id", window: int = 2):
     """map_batches UDF factory: WITHIN-document repetition removal —

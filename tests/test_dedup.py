@@ -497,3 +497,61 @@ def test_hot_bucket_skew_bounded(ray_session):
         batch_format="pyarrow",
     ).count()
     assert survivors == 1  # overflow members hit the exact-equality path
+
+
+def test_semantic_dedup_matches_bruteforce(ray_session):
+    """SemDeDup closed form vs an O(n^2) per-cluster reference: rep(i) =
+    min id j < i in i's cluster with cos >= threshold."""
+    from docling_graph_ray.stages.dedup import semantic_dedup
+    from docling_graph_ray.stages.similarity import _normalize, kmeans_fit
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((40, 16))
+    # plant near-dups: rows 40..59 are scaled copies of rows 0..19
+    fac = np.where(np.arange(16) % 2 == 0, 0.97, 1.03)
+    embs = np.concatenate([base, base[:20] * fac])
+    ids = np.arange(len(embs), dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(embs.tolist(), pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    cent = kmeans_fit(ds, k=4, iters=3, seed=1)
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        ds, dim=16, k=4, cosine_threshold=0.98, dtype=np.float64,
+        centroids=cent, block=7,  # force multi-block upper-triangle path
+    ).take_all()}
+
+    unit = _normalize(embs)
+    cl = (unit @ _normalize(np.asarray(cent, dtype=np.float64)).T
+          ).argmax(axis=1)
+    for i in range(len(ids)):
+        same = [j for j in range(i)
+                if cl[j] == cl[i] and unit[i] @ unit[j] >= 0.98]
+        want = min(same) if same else i
+        assert out[i]["rep_id"] == want, (i, out[i], want)
+        assert out[i]["is_dup"] == bool(same)
+        assert out[i]["cluster"] == cl[i]
+
+
+def test_semantic_dedup_hot_cluster_capped(ray_session):
+    """A cluster hotter than max_cluster_verify stays bounded: only the
+    first-K members by id verify pairwise; overflow members pass through
+    as their own survivors with the audit count."""
+    from docling_graph_ray.stages.dedup import semantic_dedup
+
+    m = 5_000
+    vec = np.ones(16, dtype=np.float64) / 4.0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(m), pa.int64()),
+        "embedding": pa.array([vec.tolist()] * m, pa.list_(pa.float64())),
+    })
+    out = semantic_dedup(
+        ray.data.from_arrow(t).repartition(8), dim=16, k=2, iters=2,
+        cosine_threshold=0.95, max_cluster_verify=1000,
+    )
+    rows = out.take_all()
+    survivors = [r for r in rows if not r["is_dup"]]
+    # first-K members collapse onto id 0; overflow members survive
+    assert len(survivors) == 1 + (m - 1000)
+    assert {r["n_overflow"] for r in rows} == {m - 1000}
