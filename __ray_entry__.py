@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE train+tokenize composite (oracle-checked r5: same replay
         # CTE re-derives every word's final tokenization; per-doc sums)
         "doc_bpe_apply": t.doc_bpe_apply,
+        # tokenize->pack training-data assembly (oracle-checked r5:
+        # merge-replay counts feed the pack window cumsum)
+        "doc_tokenize_pack": t.doc_tokenize_pack,
         # HyperLogLog distinct estimate (oracle-checked r5: sha256 hash
         # family => registers AND estimate exactly recomputable in SQL)
         "doc_distinct_estimate": t.doc_distinct_estimate,
@@ -926,6 +929,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cluster, rep_id, rep_id <> vec_id AS is_dup
             FROM rep
+        """,
+        # tokenize->pack composite: BPE counts from the merge-replay CTE
+        # (queries()["doc_tokenize_pack"] writes its own merge file)
+        # feed the doc_pack_sequences placement cumsum; zero-count
+        # (empty) docs drop exactly as the stage's n_tokens > 0 filter.
+        "doc_tokenize_pack": _bpe_replay_cte(
+            "/tmp/graft_oracle_bpe_pack_merges.parquet") + """
+            , wcount AS (
+              SELECT word, CAST(len(ts) AS BIGINT) AS wn FROM toks
+              WHERE k = (SELECT count(*) FROM merges)
+            ),
+            docwords AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                  trim(coalesce(text,'')), '\\s+')) AS word
+              FROM documents
+            ),
+            dcounts AS (
+              SELECT d.doc_id, d.doc_id % 16 AS bucket,
+                     CAST(COALESCE(SUM(w.wn), 0) AS BIGINT) AS n_tokens
+              FROM docwords d LEFT JOIN wcount w USING (word)
+              GROUP BY 1, 2
+            ),
+            c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+              FROM dcounts WHERE n_tokens > 0
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+                   CAST(off // 64 AS BIGINT) AS seq_first,
+                   CAST((off + n_tokens - 1) // 64 AS BIGINT) AS seq_last,
+                   CAST(off % 64 AS BIGINT) AS offset_in_first
+            FROM c
         """,
         # Embedding near-dup recompute against the emitted hyperplanes
         # (queries()["emb_near_dedup"] writes them first).  Twins are

@@ -1584,6 +1584,40 @@ def doc_bpe_apply(sf_dir: str, merges: int = 20):
     )
 
 
+# Fixed emitted-merge-list location for the tokenize→pack composite's
+# oracle (its own file — no cross-query ordering dependency).
+BPE_MERGES_PACK_OUT = "/tmp/graft_oracle_bpe_pack_merges.parquet"
+
+
+def doc_tokenize_pack(sf_dir: str, merges: int = 20, seq_len: int = 64):
+    """Training-data assembly composite: BPE-train over the corpus →
+    tokenize every document with the stateful ``BPETokenizer`` actor
+    pool → pack the REAL token counts into fixed-length sequences
+    (``pack_sequences(tokens_col=...)``) — the end-to-end tokenize→pack
+    lane an LM data pipeline runs before writing training shards.
+
+    Oracle-checked (r5): the learned merges go to
+    ``BPE_MERGES_PACK_OUT``; the DuckDB twin re-derives every doc's BPE
+    token count with the merge-replay CTE (the ``doc_bpe_apply`` twin)
+    and recomputes the placement with the ``doc_pack_sequences`` window
+    cumsum over those counts."""
+    from docling_graph_ray.stages.packing import pack_sequences
+    from docling_graph_ray.stages.pools import auto_pool
+    from docling_graph_ray.stages.text_analysis import BPETokenizer, bpe_train
+
+    learned = bpe_train(_docs(sf_dir, ["text"]), merges=merges)
+    _write_bpe_merges(learned, BPE_MERGES_PACK_OUT)
+    counted = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        BPETokenizer,
+        fn_constructor_kwargs={"merges": learned},
+        batch_format="pyarrow",
+        concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
+                              batch_size=1024),
+    )
+    return pack_sequences(counted, seq_len=seq_len,
+                          tokens_col="n_bpe_tokens")
+
+
 def doc_distinct_estimate(sf_dir: str, p: int = 12):
     """Approximate distinct-text count via the HyperLogLog sketch
     (stages/sketch.py): every block reduces to a 4 KB register row,

@@ -41,7 +41,8 @@ PACK_SCHEMA = pa.schema([
 
 
 def pack_sequences(docs, *, seq_len: int, text_col: str = "text",
-                   id_col: str = "doc_id", num_buckets: int = 16):
+                   id_col: str = "doc_id", num_buckets: int = 16,
+                   tokens_col: str | None = None):
     """Assign every document's tokens to fixed-length training sequences.
 
     Returns PACK_SCHEMA rows: within bucket ``doc_id % num_buckets``,
@@ -49,8 +50,10 @@ def pack_sequences(docs, *, seq_len: int, text_col: str = "text",
     slices into ``seq_len``-token sequences; each doc reports the
     sequence span ``[seq_first, seq_last]`` it occupies and its offset
     inside the first one.  Empty/whitespace-only docs are dropped
-    (they contribute no tokens).  Tokenization is whitespace (swap in a
-    BPE actor upstream and pass token counts via a column if needed)."""
+    (they contribute no tokens).  Tokenization is whitespace, OR pass
+    ``tokens_col`` naming a precomputed per-doc token-count column (a
+    BPE actor upstream — the ``doc_tokenize_pack`` composite) and the
+    count step is skipped; zero-count rows are dropped the same way."""
     count_schema = pa.schema([
         ("doc_id", pa.int64()), ("bucket", pa.int64()),
         ("n_tokens", pa.int64()),
@@ -74,6 +77,18 @@ def pack_sequences(docs, *, seq_len: int, text_col: str = "text",
             pc.utf8_trim_whitespace(text), "")
         return t.filter(nonempty).cast(count_schema)
 
+    def precounted(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or tokens_col not in b.schema.names:
+            return count_schema.empty_table()
+        ids = b.column(id_col).cast(pa.int64()).combine_chunks()
+        buckets = ids.to_numpy(zero_copy_only=False) % num_buckets
+        t = pa.table({
+            "doc_id": ids,
+            "bucket": pa.array(buckets, pa.int64()),
+            "n_tokens": b.column(tokens_col).cast(pa.int64()),
+        })
+        return t.filter(pc.greater(t.column("n_tokens"), 0))
+
     def place(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "doc_id" not in g.schema.names:
             return PACK_SCHEMA.empty_table()
@@ -92,7 +107,8 @@ def pack_sequences(docs, *, seq_len: int, text_col: str = "text",
         }).cast(PACK_SCHEMA)
 
     return (
-        docs.map_batches(counts, batch_format="pyarrow")
+        docs.map_batches(precounted if tokens_col else counts,
+                         batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(place, batch_format="pyarrow")
     )
