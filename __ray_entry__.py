@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LM quality scoring (oracle-checked r5: deterministic bigram
         # model => exact bits-per-byte recompute in SQL)
         "doc_lm_score": t.doc_lm_score,
+        # CCNet head/middle/tail partition (oracle-checked r5: integer-
+        # exact per-language terciles over the bounded score-cell
+        # histogram; the Wenzek et al. 2020 quality split)
+        "doc_perplexity_partition": t.doc_perplexity_partition,
         # distributed k-means (oracle-checked r5: the fitted codebook is
         # emitted and every assignment recomputed via cross join+argmax;
         # the iterative fit itself stays python)
@@ -192,6 +196,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle-checked r5)
         "media_probe": t.media_probe,
     }
+
+
+# Byte-bigram LM scored CTE (shared by doc_lm_score and
+# doc_perplexity_partition): the deterministic model ⇒ exact
+# bits-per-byte recompute — pairs per adjacent byte position, add-one-
+# smoothed row-conditional log2 probs, -avg per doc.
+_LM_SCORED_CTE = """
+            WITH pairs AS (
+              SELECT doc_id,
+                     ord(substr(text, i, 1)) * 256
+                       + ord(substr(text, i + 1, 1)) AS pair
+              FROM documents,
+                   LATERAL unnest(range(1, length(text))) AS u(i)
+              WHERE text IS NOT NULL AND length(text) >= 2
+            ),
+            model AS (SELECT pair, COUNT(*)::DOUBLE AS n
+                      FROM pairs GROUP BY pair),
+            rowtot AS (SELECT pair // 256 AS prev, SUM(n) AS tot
+                       FROM model GROUP BY 1),
+            logp AS (
+              SELECT m.pair, log2((m.n + 1.0) / (r.tot + 256.0)) AS lp
+              FROM model m JOIN rowtot r ON m.pair // 256 = r.prev
+            ),
+            scored AS (
+              SELECT p.doc_id, -avg(l.lp) AS bpb
+              FROM pairs p JOIN logp l ON p.pair = l.pair
+              GROUP BY p.doc_id
+            )
+"""
 
 
 # BPE replay CTE (shared by the doc_bpe_vocab / doc_bpe_apply oracles):
@@ -765,31 +798,46 @@ def oracle_sql() -> dict[str, str]:
         # CCNet bigram LM scoring: the model is deterministic add-one
         # smoothed corpus bigram counts, so bits-per-byte is an exact
         # SQL recompute (documents are ASCII => ord(char) == byte).
-        "doc_lm_score": """
-            WITH pairs AS (
-              SELECT doc_id,
-                     ord(substr(text, i, 1)) * 256
-                       + ord(substr(text, i + 1, 1)) AS pair
-              FROM documents,
-                   LATERAL unnest(range(1, length(text))) AS u(i)
-              WHERE text IS NOT NULL AND length(text) >= 2
-            ),
-            model AS (SELECT pair, COUNT(*)::DOUBLE AS n
-                      FROM pairs GROUP BY pair),
-            rowtot AS (SELECT pair // 256 AS prev, SUM(n) AS tot
-                       FROM model GROUP BY 1),
-            logp AS (
-              SELECT m.pair, log2((m.n + 1.0) / (r.tot + 256.0)) AS lp
-              FROM model m JOIN rowtot r ON m.pair // 256 = r.prev
-            ),
-            scored AS (
-              SELECT p.doc_id, -avg(l.lp) AS bpb
-              FROM pairs p JOIN logp l ON p.pair = l.pair
-              GROUP BY p.doc_id
-            )
+        "doc_lm_score": _LM_SCORED_CTE + """
             SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
                    round(coalesce(s.bpb, 8.0), 6) AS bits_per_byte
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        # CCNet head/middle/tail partition: per-language exact terciles
+        # of the integer score cell (floor(round(bpb,6)*1000), bounded
+        # at 8,001 cells) — thresholds are pure integer arithmetic
+        # (smallest cell with cum >= ceil(q*n)), so the split reproduces
+        # bit-for-bit; the bpb float itself rides the already-green
+        # doc_lm_score recompute.
+        "doc_perplexity_partition": _LM_SCORED_CTE + """
+            , sc AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang,
+                     round(coalesce(s.bpb, 8.0), 6) AS bits_per_byte
+              FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ),
+            cellt AS (
+              SELECT *, CAST(floor(bits_per_byte * 1000) AS BIGINT) AS cell
+              FROM sc
+            ),
+            hist AS (SELECT lang, cell, COUNT(*) AS n
+                     FROM cellt GROUP BY 1, 2),
+            cum AS (
+              SELECT lang, cell,
+                     SUM(n) OVER (PARTITION BY lang ORDER BY cell) AS cum,
+                     SUM(n) OVER (PARTITION BY lang) AS tot
+              FROM hist
+            ),
+            thr AS (
+              SELECT lang,
+                     MIN(cell) FILTER (WHERE cum >= (tot + 2) // 3) AS t1,
+                     MIN(cell) FILTER (WHERE cum >= (2 * tot + 2) // 3) AS t2
+              FROM cum GROUP BY 1
+            )
+            SELECT c.doc_id, c.lang, c.bits_per_byte, c.cell,
+                   CASE WHEN c.cell <= t.t1 THEN 'head'
+                        WHEN c.cell <= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM cellt c JOIN thr t USING (lang)
         """,
         # k-means assignment recompute against the emitted codebook
         # (queries()["emb_kmeans"] writes it first)

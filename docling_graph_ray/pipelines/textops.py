@@ -192,26 +192,12 @@ def doc_lm_score(sf_dir: str):
        bits-per-byte vectorized (numpy fancy-index over byte pairs).
 
     Lower bits-per-byte = closer to the corpus distribution; CCNet's
-    head/middle/tail quality split thresholds on this statistic.
-    Non-SQL-expressible (iterative model fit + broadcast) → rows-only."""
-    from docling_graph_ray.stages.text_analysis import (
-        BigramScorer,
-        bigram_count_partial,
-        build_bigram_model,
-    )
+    head/middle/tail quality split thresholds on this statistic (the
+    split itself is the ``doc_perplexity_partition`` composite)."""
+    from docling_graph_ray.stages.text_analysis import BigramScorer
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    summed = (
-        docs.map_batches(bigram_count_partial, batch_format="pyarrow")
-        .groupby("pair")
-        .sum("n")
-        .map_batches(lambda t: t.rename_columns(["pair", "n"]),
-                     batch_format="pyarrow")
-    )
-    model = build_bigram_model(pa.concat_tables(
-        ray.get(summed.to_arrow_refs())
-    ))
-    model_ref = ray.put(model)
+    model_ref = _fit_bigram_model(docs)
     return docs.map_batches(
         BigramScorer,
         fn_constructor_args=(model_ref,),
@@ -223,6 +209,106 @@ def doc_lm_score(sf_dir: str):
         concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
                               batch_size=1024),
     )
+
+
+def _fit_bigram_model(docs):
+    """Distributed byte-bigram LM fit → broadcast-ready model ref: the
+    groupby-sum moves at most 65,536 pair keys (the model space), the
+    dense (256,256) log-prob build is driver-side, the 256 KB model is
+    ``ray.put`` ONCE."""
+    from docling_graph_ray.stages.text_analysis import (
+        bigram_count_partial,
+        build_bigram_model,
+    )
+
+    summed = (
+        docs.map_batches(bigram_count_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("n")
+        .map_batches(lambda t: t.rename_columns(["pair", "n"]),
+                     batch_format="pyarrow")
+    )
+    model = build_bigram_model(pa.concat_tables(
+        ray.get(summed.to_arrow_refs())
+    ))
+    return ray.put(model)
+
+
+def doc_perplexity_partition(sf_dir: str):
+    """CCNet head/middle/tail quality partition (Wenzek et al. 2020):
+    score every document's bits-per-byte under the corpus byte-bigram
+    LM, then split each LANGUAGE into exact terciles of the score
+    distribution — head = the best-scoring third, the slice CCNet keeps
+    for LM training.
+
+    Ray shape: one scoring pass (the ``doc_lm_score`` actor pool,
+    ``lang`` carried through), projected to an integer-cell column
+    (``floor(round(bpb, 6) · 1000)`` — bounded at 8,001 cells since
+    bpb ∈ [0, 8]) and materialized as a NUMERIC-only working set (ints
+    + one float per doc — never the text); the threshold pass folds
+    per-(lang, cell) count partials (≤ langs × 8,001 rows — driver-safe
+    at any corpus size), and the tag pass broadcasts the tiny
+    per-language (t1, t2) table.  Thresholds are integer-exact:
+    ``t_q = smallest cell with cumulative count ≥ ceil(q·n)`` — no
+    float quantile arithmetic anywhere, so the DuckDB twin reproduces
+    the split bit-for-bit (see ``oracle_sql``)."""
+    from docling_graph_ray.stages.text_analysis import BigramScorer
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    model_ref = _fit_bigram_model(
+        _docs(sf_dir, ["doc_id", "text"]))
+    scored = docs.map_batches(
+        BigramScorer,
+        fn_constructor_args=(model_ref,),
+        fn_constructor_kwargs={"extra_cols": ("lang",)},
+        batch_format="pyarrow",
+        concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
+                              batch_size=1024),
+    )
+
+    def cells(b: pa.Table) -> pa.Table:
+        bpb = b.column("bits_per_byte").to_numpy(zero_copy_only=False)
+        cell = np.floor(bpb * 1000.0).astype(np.int64)
+        return b.append_column("cell", pa.array(cell))
+
+    scored = scored.map_batches(cells, batch_format="pyarrow").materialize()
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "cell"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "cell", "n"])
+
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    hist = bucketed_aggregate(
+        scored.map_batches(hist_partial, batch_format="pyarrow"),
+        ["lang", "cell"], [("n", "sum")], rename=["lang", "cell", "n"],
+        combine=True,
+    ).to_pandas()  # ≤ langs × 8,001 rows by construction
+
+    thresholds: dict[str, tuple[int, int]] = {}
+    for lang, grp in hist.groupby("lang"):
+        grp = grp.sort_values("cell")
+        cum = grp["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        cs = grp["cell"].to_numpy()
+        thresholds[str(lang)] = (
+            int(cs[np.searchsorted(cum, k1)]),
+            int(cs[np.searchsorted(cum, k2)]),
+        )
+
+    def tag(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        cell = b.column("cell").to_numpy(zero_copy_only=False)
+        bucket = np.full(len(cell), "tail", dtype=object)
+        for lg in np.unique(langs):
+            t1, t2 = thresholds[str(lg)]
+            m = langs == lg
+            bucket[m & (cell <= t2)] = "middle"
+            bucket[m & (cell <= t1)] = "head"
+        return b.append_column("bucket", pa.array(bucket, pa.string()))
+
+    return scored.map_batches(tag, batch_format="pyarrow")
 
 
 def doc_normalize(sf_dir: str):

@@ -295,10 +295,11 @@ class BigramScorer:
     head/middle/tail split thresholds on exactly this statistic).  The
     model ref is resolved ONCE per actor in ``__init__``."""
 
-    def __init__(self, model_ref):
+    def __init__(self, model_ref, extra_cols: tuple = ()):
         import ray
 
         self._logp = ray.get(model_ref) if not hasattr(model_ref, "shape") else model_ref
+        self._extra = tuple(extra_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -312,10 +313,11 @@ class BigramScorer:
                 out.append(8.0)  # uniform-model cost for unscorable docs
                 continue
             out.append(float(-self._logp[b[:-1], b[1:]].mean()))
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "bits_per_byte": pa.array(np.round(out, 6), pa.float64()),
-        })
+        cols = {"doc_id": batch.column("doc_id")}
+        for c in self._extra:
+            cols[c] = batch.column(c)
+        cols["bits_per_byte"] = pa.array(np.round(out, 6), pa.float64())
+        return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,6 @@
 """Text-analysis kernels vs naive Python oracles."""
 
+import numpy as np
 import pyarrow as pa
 
 from docling_graph_ray.stages.text_analysis import (
@@ -190,3 +191,43 @@ def test_value_quantiles(ray_session):
     got = dict(zip(t.column("q").to_pylist(), t.column("value").to_pylist()))
     # quantile_disc rule: sorted[max(ceil(q*n)-1, 0)]
     assert got == {0.0: 10, 0.25: 30, 0.5: 50, 0.75: 80, 0.9: 90, 1.0: 100}
+
+
+def test_perplexity_partition_terciles(ray_session, tmp_path):
+    """CCNet split invariants on a synthetic corpus: per-language head
+    counts equal the integer-exact tercile rule (smallest cell with
+    cum >= ceil(n/3) — ties inflate head, never starve it), bucket
+    ordering follows the score cells, and every doc is tagged."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.pipelines.textops import doc_perplexity_partition
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = []
+    vocab = ["aa", "bb", "cc", "dd", "ee", "zq", "xj", "qk"]
+    for i in range(90):
+        lang = ["en", "de"][i % 2]
+        # vary byte-bigram statistics so scores spread
+        words = rng.choice(vocab, size=5 + (i % 7)).tolist()
+        rows.append({"doc_id": i, "text": " ".join(words), "lang": lang})
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    out = doc_perplexity_partition(str(tmp_path)).to_pandas()
+    assert len(out) == 90
+    assert set(out.bucket) <= {"head", "middle", "tail"}
+    for lang, grp in out.groupby("lang"):
+        n = len(grp)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        cells = np.sort(grp.cell.to_numpy())
+        t1, t2 = cells[k1 - 1], cells[k2 - 1]
+        head = grp[grp.bucket == "head"]
+        mid = grp[grp.bucket == "middle"]
+        tail = grp[grp.bucket == "tail"]
+        # threshold rule: every cell <= t1 is head, etc.
+        assert (head.cell <= t1).all()
+        assert ((mid.cell > t1) & (mid.cell <= t2)).all()
+        assert (tail.cell > t2).all()
+        assert len(head) >= k1 or t1 == t2  # ties only inflate head
+        if len(head) and len(tail):
+            assert head.cell.max() <= tail.cell.min()
