@@ -167,6 +167,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PageRank (rows-only: fixed-iteration float power iteration)
         "graph_pagerank": g.graph_pagerank,
         "doc_minhash_dedup": t.doc_minhash_dedup,
+        # transitive (connected-component) MinHash dedup — the
+        # SlimPajama-style clustering variant (oracle-checked r5: the
+        # band/bucket SQL + a recursive reachability closure)
+        "doc_minhash_cc_dedup": t.doc_minhash_cc_dedup,
+        # DSIR importance selection, Xie et al. 2023 (oracle-checked
+        # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
+        "doc_dsir_select": t.doc_dsir_select,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -571,6 +578,10 @@ assign AS (
   FROM bandrows r JOIN buckets b
     ON b.bi = r.bi AND b.band_key = r.band_key
 ),
+"""
+
+# one-hop tail: each doc's rep = min bucket-rep across its bands
+_ND_MINHASH_TAIL = r"""
 banded AS (SELECT doc_id, MIN(rep_id) AS rep_id FROM assign GROUP BY doc_id),
 wordless AS (
   SELECT doc_id FROM documents
@@ -584,6 +595,42 @@ SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
        rep_id <> doc_id AS is_dup
 FROM allreps
 """
+
+# connected-component tail (doc_minhash_cc_dedup): bucket collisions
+# become undirected edges, a recursive reachability closure collapses
+# chains across bands, and each doc's rep = MIN over its reachable set
+# — exactly the fixpoint the engine's min-label propagation converges
+# to (stages/graphalgo.py).  Closure row count = sum of component
+# sizes squared — bounded by the dup-cluster sizes, not the corpus.
+_ND_MINHASH_CC_TAIL = r"""
+edges AS (
+  SELECT doc_id AS ea, rep_id AS eb FROM assign WHERE doc_id <> rep_id
+),
+sym AS (
+  SELECT ea, eb FROM edges UNION SELECT eb AS ea, ea AS eb FROM edges
+),
+worded AS (SELECT DISTINCT doc_id FROM bandrows),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS r FROM worded
+  UNION
+  SELECT rc.doc, s.eb AS r FROM reach rc JOIN sym s ON s.ea = rc.r
+),
+comp AS (SELECT doc AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY doc),
+wordless AS (
+  SELECT doc_id FROM documents
+  WHERE NOT regexp_matches(coalesce(text, ''), '\S')
+),
+wl AS (
+  SELECT doc_id, (SELECT MIN(doc_id) FROM wordless) AS rep_id FROM wordless
+),
+allreps AS (SELECT * FROM comp UNION ALL SELECT * FROM wl)
+SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
+       rep_id <> doc_id AS is_dup
+FROM allreps
+"""
+
+_ND_MINHASH_CC_SQL = _ND_MINHASH_SQL + _ND_MINHASH_CC_TAIL
+_ND_MINHASH_SQL = _ND_MINHASH_SQL + _ND_MINHASH_TAIL
 
 _ND_JACCARD_SQL = r"""
 WITH RECURSIVE
@@ -749,6 +796,83 @@ allreps AS (SELECT * FROM banded UNION ALL SELECT * FROM wl)
 SELECT doc_id, CAST(rep_id AS BIGINT) AS rep_id,
        rep_id <> doc_id AS is_dup
 FROM allreps
+"""
+
+
+# DSIR importance selection (Xie et al. 2023) oracle: the whole fit +
+# score is recomputed from first principles — hashed unigram+bigram
+# buckets via the CRC32 recursive-CTE table (folded once per DISTINCT
+# feature string, then joined back to the occurrence rows), add-1
+# smoothed multinomial counts for target (lang='en') vs raw, and the
+# per-doc weight as the occurrence-weighted sum of the per-bucket
+# log-ratios.  The engine composes the smoothed terms as the SAME four
+# separate log calls, and both sides round the weight to 6 digits so
+# summation-order drift (~1e-14) cannot flip a comparison.
+_DSIR_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+docs1 AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     w -> w <> '') AS arr
+  FROM documents
+),
+words AS (
+  SELECT doc_id, t.i AS wi, arr[t.i] AS w
+  FROM docs1, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, w AS f FROM words
+  UNION ALL
+  SELECT a.doc_id, a.w || ' ' || b.w AS f
+  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.wi = a.wi + 1
+),
+dfeat AS (SELECT DISTINCT f FROM feats),
+ffold AS (
+  SELECT f, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc FROM dfeat
+  UNION ALL
+  SELECT x.f, x.pos + 1, xor(t.entry, x.crc // 256)
+  FROM ffold x
+  JOIN crctab t
+    ON t.idx = CAST(xor(x.crc % 256,
+                        ord(substr(x.f, x.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE x.pos <= length(x.f)
+),
+fcrc AS MATERIALIZED (
+  SELECT f,
+         CAST(xor(crc, CAST(4294967295 AS UBIGINT)) % 4096 AS BIGINT)
+           AS bucket
+  FROM ffold WHERE pos = length(f) + 1
+),
+finst AS MATERIALIZED (
+  SELECT fe.doc_id, fc.bucket FROM feats fe JOIN fcrc fc USING (f)
+),
+langs AS (SELECT doc_id, lang FROM documents),
+bcounts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN l.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS tgt_n,
+         CAST(COUNT(*) AS DOUBLE) AS raw_n
+  FROM finst i JOIN langs l USING (doc_id)
+  GROUP BY bucket
+),
+tot AS (SELECT SUM(tgt_n) AS t_total, SUM(raw_n) AS r_total FROM bcounts),
+lam AS (
+  SELECT bucket,
+         ln(tgt_n + 1.0) - ln((SELECT t_total FROM tot) + 4096.0)
+         - ln(raw_n + 1.0) + ln((SELECT r_total FROM tot) + 4096.0) AS l
+  FROM bcounts
+),
+scores AS (
+  SELECT i.doc_id, COUNT(*) AS n_features, round(SUM(l.l), 6) AS w
+  FROM finst i JOIN lam l USING (bucket)
+  GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+       coalesce(s.w, 0.0) AS dsir_weight,
+       coalesce(s.w, 0.0) > 0.0 AS selected
+FROM documents d LEFT JOIN scores s USING (doc_id)
 """
 
 
@@ -1442,6 +1566,9 @@ FROM sb
         """,
         "doc_minhash_dedup": _ND_MINHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
+        "doc_minhash_cc_dedup": _ND_MINHASH_CC_SQL.format(
+            CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
+        "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),
         "doc_ngram_jaccard_dedup": _ND_JACCARD_SQL.format(

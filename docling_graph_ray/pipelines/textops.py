@@ -17,6 +17,7 @@ from docling_graph_ray.stages import text_analysis as ta
 from docling_graph_ray.stages.pools import auto_pool
 from docling_graph_ray.stages.dedup import (
     embedding_near_dedup,
+    minhash_cc_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_dedup,
     simhash_dedup,
@@ -412,6 +413,38 @@ def doc_source_rollup(sf_dir: str):
 
 def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_minhash_cc_dedup(sf_dir: str):
+    """Transitive (connected-component) MinHash dedup — the SlimPajama-
+    style clustering variant; oracle-checked (r5): the band/bucket SQL
+    of ``doc_minhash_dedup`` extended with a recursive-CTE reachability
+    closure whose per-doc MIN is exactly the component label the
+    engine's min-propagation converges to."""
+    return minhash_cc_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_dsir_select(sf_dir: str):
+    """DSIR importance selection (Xie et al. 2023): hashed unigram+
+    bigram multinomials for the target (``lang='en'``) vs raw corpus;
+    per-doc weight = summed log-likelihood ratio, keep weight > 0.
+    Oracle-checked (r5): CRC32 feature hashing via the recursive-CTE
+    table, smoothed log terms composed in the same association, both
+    sides rounded to 6 digits.
+
+    On the synthetic corpus every lang draws from ONE shared vocabulary,
+    so no doc beats the paper's positive-ratio threshold (selected is
+    all-false at sf scale) — the hash-checked signal is the weight
+    column itself, which still ranks en docs ~5 nats above the rest;
+    the pytest corpus has disjoint vocabularies and exercises the
+    positive-selection path.  Budget-based selection over these weights
+    is the score-histogram pattern of ``doc_perplexity_partition``."""
+    from docling_graph_ray.stages.dsir import dsir_select
+
+    return dsir_select(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        target_col="lang", target_value="en",
+    )
 
 
 def doc_simhash_dedup(sf_dir: str):

@@ -342,8 +342,9 @@ def _finalize_reps(reps, empty_reps, id_col: str):
     )
 
 
-def _resolve_reps(candidates, id_col: str, *, num_partitions: int = 64):
-    """(band_idx, band_key, id) candidate rows → (id, rep_id) assignment.
+def _bucket_rep_pairs(candidates, id_col: str, *, num_partitions: int = 64):
+    """(band_idx, band_key, id) candidate rows → per-band ``(id,
+    rep_id)`` pairs, rep = the bucket's min id.
 
     ONE partition-bucket shuffle: candidates bucket by ``hash(band) % P``;
     inside each of the P vectorized calls, a C-path ``group_by(min)``
@@ -351,8 +352,8 @@ def _resolve_reps(candidates, id_col: str, *, num_partitions: int = 64):
     attaches it back to the members — no per-bucket Python, and no
     native ``Dataset.join`` (whose hash-join aggregator pool costs ~2 s
     spin-up per join at small scale — the round-2 sf0.1 regression —
-    and crashes on schema-less empty partitions).  The per-id min-reduce
-    then picks the final representative across bands."""
+    and crashes on schema-less empty partitions).  Returns None for an
+    all-wordless corpus (no candidate rows)."""
     from docling_graph_ray.stages.bucketing import hash_partition_cols
 
     # the guard below needs a count, and candidate rows are tiny
@@ -391,30 +392,40 @@ def _resolve_reps(candidates, id_col: str, *, num_partitions: int = 64):
         rep = mins.column(id_col + "_min").combine_chunks().take(pos)
         return pa.table({id_col: sub.column(id_col), "rep_id": rep})
 
-    pairs = (
+    return (
         candidates.map_batches(bucket, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(attach_rep, batch_format="pyarrow")
     )
+
+
+def _resolve_reps(candidates, id_col: str, *, num_partitions: int = 64):
+    """(band_idx, band_key, id) candidate rows → (id, rep_id)
+    assignment: the per-band bucket-min pairs of ``_bucket_rep_pairs``
+    folded to ONE representative per id (min across bands)."""
+    pairs = _bucket_rep_pairs(candidates, id_col,
+                              num_partitions=num_partitions)
+    if pairs is None:
+        return None
     return bucketed_aggregate(
         pairs, [id_col], [("rep_id", "min")],
         rename=[id_col, "rep_id"], combine=True,
     )
 
 
-def minhash_lsh_dedup(
+def _minhash_band_rows(
     ds,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = 128,
-    bands: int = 16,
-    shingle_words: int = 3,
-    seed: int = 42,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_words: int,
+    seed: int,
 ):
-    """shingle → minhash → band → bucket-groupby dedup.
-
-    Returns a Dataset ``(id, rep_id, is_dup)`` covering every input row."""
+    """Worded docs → ``(id, band_idx, band_key)`` LSH candidate rows
+    (one per band); the shared front half of the one-hop and the
+    connected-component MinHash dedup variants."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm, seed)
@@ -440,11 +451,100 @@ def minhash_lsh_dedup(
             }
         )
 
-    candidates = ds.map_batches(emit_bands, batch_format="pyarrow")
+    return ds.map_batches(emit_bands, batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+):
+    """shingle → minhash → band → bucket-groupby dedup.
+
+    Returns a Dataset ``(id, rep_id, is_dup)`` covering every input row."""
+    candidates = _minhash_band_rows(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_words=shingle_words, seed=seed,
+    )
     reps = _resolve_reps(candidates, id_col)
     return _finalize_reps(
         reps, _empty_doc_reps(ds, id_col=id_col, text_col=text_col), id_col
     )
+
+
+def minhash_cc_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_words: int = 3,
+    seed: int = 42,
+):
+    """Transitive MinHash-LSH dedup: band-bucket collisions become
+    edges, connected components merge clusters ACROSS bands, and the
+    representative is the component minimum (the SlimPajama/BigCode
+    fuzzy-dedup clustering variant).
+
+    Differs from :func:`minhash_lsh_dedup` exactly when dup chains span
+    bands — A~B in one band, B~C in another: one-hop leaves C pointing
+    at B while A keeps itself; the component fold sends all three to A.
+
+    Scale shape: the band emission and bucket-min pair pass are shared
+    with the one-hop variant (one partition-bucket shuffle); the edge
+    list carries only the colliding pairs (two int64s per row — bounded
+    by bands × dup docs, never by corpus text), and the component fold
+    is the bucketed label-propagation of
+    :func:`~docling_graph_ray.stages.graphalgo.connected_components`,
+    whose round count is the dup-chain diameter (tiny in practice)."""
+    candidates = _minhash_band_rows(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm,
+        bands=bands, shingle_words=shingle_words, seed=seed,
+    )
+    empty_reps = _empty_doc_reps(ds, id_col=id_col, text_col=text_col)
+    pairs = _bucket_rep_pairs(candidates, id_col)
+    if pairs is None:  # all-wordless corpus
+        return _finalize_reps(None, empty_reps, id_col)
+
+    # one-hop fold: every worded doc with its min bucket-rep across
+    # bands — the self-assignment for isolated docs, and the floor the
+    # component labels only ever improve on
+    banded = bucketed_aggregate(
+        pairs, [id_col], [("rep_id", "min")],
+        rename=[id_col, "rep_id"], combine=True,
+    )
+
+    def dup_edges(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column(id_col), b.column("rep_id")))
+
+    # narrow (two int64 cols) and bounded by actual collisions — cheap
+    # to materialize for the empty guard
+    edges = pairs.map_batches(dup_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return _finalize_reps(banded, empty_reps, id_col)
+
+    from docling_graph_ray.stages.graphalgo import connected_components
+
+    comp = connected_components(edges, src_col=id_col, dst_col="rep_id")
+
+    def rename_comp(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b.column("node"),
+            "rep_id": b.column("component"),
+        })
+
+    reps = bucketed_aggregate(
+        comp.map_batches(rename_comp, batch_format="pyarrow").union(banded),
+        [id_col], [("rep_id", "min")],
+        rename=[id_col, "rep_id"], combine=True,
+    )
+    return _finalize_reps(reps, empty_reps, id_col)
 
 
 def simhash_dedup(

@@ -57,6 +57,99 @@ def test_minhash_lsh_dedup(ray_session):
     assert not out[3]["is_dup"]
 
 
+def _cc_reference(texts: dict[int, str], *, num_perm=128, bands=16,
+                  shingle_words=3, seed=42) -> dict[int, int]:
+    """Independent union-find over the actual band-key collisions —
+    verifies minhash_cc_dedup's component COMPOSITION (edges → CC →
+    min-rep) without re-trusting its dataflow."""
+    import zlib
+
+    a, b = _perm_params(num_perm, seed)
+    rows = num_perm // bands
+    worded = {i: t for i, t in texts.items() if (t or "").split()}
+    parent = {i: i for i in worded}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, t in worded.items():
+        sig = minhash_signature(t, a, b, shingle_words)
+        for bi in range(bands):
+            key = zlib.crc32(sig[bi * rows:(bi + 1) * rows].tobytes())
+            buckets.setdefault((bi, key), []).append(i)
+    for members in buckets.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    reps = {}
+    for i in worded:
+        reps[i] = min(j for j in worded if find(j) == find(i))
+    wordless = [i for i in texts if i not in worded]
+    for i in wordless:
+        reps[i] = min(wordless)
+    return reps
+
+
+def test_minhash_cc_dedup_matches_union_find(ray_session):
+    from docling_graph_ray.stages.dedup import minhash_cc_dedup
+
+    # chain-shaped corpus: 2 near 1, 5 near 2 (two hops from 1), exact
+    # dup 4, unrelated 3, plus wordless rows that must route around
+    texts = {
+        1: BASE,
+        2: NEAR,
+        3: FAR,
+        4: BASE,
+        5: NEAR.replace("quick", "slow"),
+        6: "",
+        7: "   ",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": [texts[i] for i in sorted(texts)],
+    }))
+    out = {r["doc_id"]: r for r in minhash_cc_dedup(ds).take_all()}
+    ref = _cc_reference(texts)
+    assert len(out) == len(texts)
+    for i, want in ref.items():
+        assert out[i]["rep_id"] == want, (i, out[i], want)
+        assert out[i]["is_dup"] == (want != i)
+
+
+def test_minhash_cc_never_worse_than_one_hop(ray_session):
+    """The component label is the min over the REACHABLE set, so it can
+    only improve on (be ≤) the one-hop bucket-min rep."""
+    from docling_graph_ray.stages.dedup import minhash_cc_dedup
+
+    ds = ray.data.from_arrow(_docs_table())
+    cc = {r["doc_id"]: r["rep_id"] for r in minhash_cc_dedup(ds).take_all()}
+    oh = {r["doc_id"]: r["rep_id"] for r in minhash_lsh_dedup(ds).take_all()}
+    assert set(cc) == set(oh)
+    for i in cc:
+        assert cc[i] <= oh[i]
+
+
+def test_minhash_cc_all_unique_corpus(ray_session):
+    """No collisions at all → every doc is its own rep (edge list is
+    empty; the one-hop floor carries the assignment)."""
+    from docling_graph_ray.stages.dedup import minhash_cc_dedup
+
+    texts = [BASE, FAR,
+             "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([10, 20, 30], pa.int64()),
+        "text": texts,
+    }))
+    out = {r["doc_id"]: r for r in minhash_cc_dedup(ds).take_all()}
+    assert all(out[i]["rep_id"] == i and not out[i]["is_dup"] for i in out)
+
+
 def test_simhash_hamming():
     h1, h2, h3 = simhash64(BASE), simhash64(NEAR), simhash64(FAR)
     assert hamming64(h1, h2) <= 6
