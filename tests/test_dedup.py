@@ -134,6 +134,19 @@ def test_minhash_cc_never_worse_than_one_hop(ray_session):
         assert cc[i] <= oh[i]
 
 
+def test_minhash_cc_all_wordless_corpus(ray_session):
+    from docling_graph_ray.stages.dedup import minhash_cc_dedup
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 9, 2], pa.int64()),
+        "text": ["", "   ", "\t\n"],
+    }))
+    out = {r["doc_id"]: r for r in minhash_cc_dedup(ds).take_all()}
+    assert all(out[i]["rep_id"] == 2 for i in (5, 9, 2))
+    assert not out[2]["is_dup"]
+    assert out[5]["is_dup"] and out[9]["is_dup"]
+
+
 def test_minhash_cc_all_unique_corpus(ray_session):
     """No collisions at all → every doc is its own rep (edge list is
     empty; the one-hop floor carries the assignment)."""
