@@ -511,6 +511,9 @@ def minhash_cc_dedup(
     pairs = _bucket_rep_pairs(candidates, id_col)
     if pairs is None:  # all-wordless corpus
         return _finalize_reps(None, empty_reps, id_col)
+    # two consumers below (one-hop fold + edge filter): materialize the
+    # narrow (2 × int64) pair table so the bucket shuffle runs ONCE
+    pairs = pairs.materialize()
 
     # one-hop fold: every worded doc with its min bucket-rep across
     # bands — the self-assignment for isolated docs, and the floor the
