@@ -134,6 +134,35 @@ def test_minhash_cc_never_worse_than_one_hop(ray_session):
         assert cc[i] <= oh[i]
 
 
+def test_minhash_cc_property_matches_union_find(ray_session):
+    """Randomized corpora (drawn from overlapping sentence templates so
+    real band collisions occur) vs the union-find reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_graph_ray.stages.dedup import minhash_cc_dedup
+
+    variants = [
+        BASE, NEAR, NEAR.replace("quick", "slow"),
+        BASE.replace("dog", "cat"), FAR, "", "   ",
+    ]
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.sampled_from(range(len(variants))),
+                    min_size=1, max_size=10))
+    def run(picks):
+        texts = {i + 1: variants[p] for i, p in enumerate(picks)}
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": [texts[i] for i in sorted(texts)],
+        }))
+        out = {r["doc_id"]: r["rep_id"]
+               for r in minhash_cc_dedup(ds).take_all()}
+        assert out == _cc_reference(texts)
+
+    run()
+
+
 def test_minhash_cc_all_wordless_corpus(ray_session):
     from docling_graph_ray.stages.dedup import minhash_cc_dedup
 

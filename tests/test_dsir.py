@@ -112,6 +112,35 @@ def test_dsir_target_docs_score_higher(ray_session):
     assert not out[6]["selected"] and not out[7]["selected"]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "ein", "zwei", "drei", "the", "of"]
+)
+_doc = st.lists(_word, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_doc, st.sampled_from(["en", "de"])),
+                min_size=1, max_size=12))
+def test_dsir_property_matches_bruteforce(ray_session, rows):
+    docs = [(i, t, g) for i, (t, g) in enumerate(rows)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": [d[1] for d in docs],
+        "lang": [d[2] for d in docs],
+    }))
+    out = dsir_select(ds, target_col="lang", target_value="en",
+                      n_buckets=64).take_all()
+    ref = _brute(docs, 64)
+    for r in out:
+        nf, w, sel = ref[r["doc_id"]]
+        assert r["n_features"] == nf
+        assert abs(r["dsir_weight"] - w) < 1e-9
+        assert r["selected"] == sel
+
+
 def test_dsir_score_deterministic(ray_session):
     lam = dsir_fit(_ds(), target_col="lang", target_value="en", n_buckets=B)
     a = sorted((r["doc_id"], r["dsir_weight"])
