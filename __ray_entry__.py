@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SlimPajama-style clustering variant (oracle-checked r5: the
         # band/bucket SQL + a recursive reachability closure)
         "doc_minhash_cc_dedup": t.doc_minhash_cc_dedup,
+        # 2-pass exact heavy hitters — frequent tokens without a
+        # full-vocabulary shuffle (oracle-checked r5: exact SQL counts
+        # with the identical ceil(phi*N) threshold)
+        "doc_heavy_hitters": t.doc_heavy_hitters,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1569,6 +1573,23 @@ FROM sb
         "doc_minhash_cc_dedup": _ND_MINHASH_CC_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        # exact heavy hitters: the engine's 2-pass candidate scheme is
+        # output-equivalent to the exact grouped count by construction
+        # (candidates are a pigeonhole superset); the threshold is the
+        # SAME float64 ceil(phi*N) on both sides
+        "doc_heavy_hitters": """
+            WITH words AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM words)
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM words
+            GROUP BY token
+            HAVING COUNT(*) >= ceil(0.01 * (SELECT n FROM tot))
+        """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),
         "doc_ngram_jaccard_dedup": _ND_JACCARD_SQL.format(

@@ -415,6 +415,16 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_heavy_hitters(sf_dir: str):
+    """Exact frequent tokens (global share >= phi) via the 2-pass
+    candidates → exact-recount scheme — the full vocabulary never
+    shuffles.  Oracle-checked (r5): plain SQL token counts with the
+    identical ceil(phi*N) float threshold."""
+    from docling_graph_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_docs(sf_dir, ["doc_id", "text"]), phi=0.01)
+
+
 def doc_minhash_cc_dedup(sf_dir: str):
     """Transitive (connected-component) MinHash dedup — the SlimPajama-
     style clustering variant; oracle-checked (r5): the band/bucket SQL

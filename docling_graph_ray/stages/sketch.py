@@ -107,3 +107,100 @@ def distinct_estimate(ds, *, col: str, p: int = 12):
         return 0.0, 0
     sketches = [np.asarray(r, np.uint8) for r in rows["regs"]]
     return hll_estimate(hll_merge(sketches)), len(sketches)
+
+
+def _token_counts(batch: pa.Table, text_col: str):
+    """Arrow-C-path per-batch token value_counts: regex split →
+    flatten → drop empties → value_counts.  Returns (tokens, counts,
+    total) with zero Python per-token work."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col).combine_chunks()
+    flat = pc.list_flatten(
+        pc.split_pattern_regex(pc.fill_null(col, ""), r"\s+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    vc = pc.value_counts(flat)
+    return vc.field("values"), vc.field("counts"), len(flat)
+
+
+def heavy_hitters(ds, *, text_col: str = "text", phi: float = 0.01):
+    """EXACT frequent tokens — every token with global frequency
+    ``>= ceil(phi * N)`` and its exact count — in two streaming passes
+    with NO full-vocabulary shuffle (the classic 2-pass heavy-hitters
+    scheme; cf. Misra-Gries / mergeable-summaries, Agarwal et al. 2013,
+    but with exact final counts).
+
+    Pass 1 (candidates): per-batch Arrow ``value_counts``; a token
+    whose batch share clears ``phi`` (minus a one-token slack so float
+    rounding can only ADD candidates) becomes a candidate.  Pigeonhole:
+    a token with global share >= phi must clear the local threshold in
+    at least one batch, so the candidate set is a SUPERSET of the true
+    heavy hitters — and carries at most ~1/phi survivors per batch, so
+    it is bounded by batches/phi, never by the vocabulary.  Batch token
+    totals ride along as partial rows, so N needs no extra pass.
+
+    Pass 2 (exact recount): the candidate set broadcasts into a second
+    vectorized pass; only candidate tokens emit count partials (a
+    ``<= |candidates|``-domain grouped sum — the full vocabulary never
+    shuffles), and the exact global threshold filters at the end.
+    On a multi-node cluster the pass-1 collect is the one driver touch;
+    its bound is batches × 1/phi partial rows of a few bytes — a
+    mergeable-sketch tree (sum + top-k fold) would cap it at ~1/phi if
+    a deployment ever needed it.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        toks, counts, total = _token_counts(batch, text_col)
+        if total == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        keep = pc.greater_equal(
+            counts.cast(pa.float64()), phi * total - 1.0)
+        return pa.table({
+            "token": pa.concat_arrays(
+                [toks.filter(keep), pa.array([""], pa.string())]),
+            "n": pa.concat_arrays(
+                [counts.filter(keep).cast(pa.int64()),
+                 pa.array([total], pa.int64())]),
+        })
+
+    # pass-1 partials: bounded by batches × (1/phi + 1) rows
+    part = ds.map_batches(candidates, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in part if r["token"] == "")
+    cand = sorted({r["token"] for r in part if r["token"] != ""})
+    threshold = math.ceil(phi * n_total)
+    if not cand or n_total == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        }))
+    cand_arr = pa.array(cand, pa.string())
+
+    def recount(batch: pa.Table) -> pa.Table:
+        toks, counts, _ = _token_counts(batch, text_col)
+        keep = pc.is_in(toks, value_set=cand_arr)
+        return pa.table({
+            "token": toks.filter(keep),
+            "n": counts.filter(keep).cast(pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "token": t.column("token"),
+            "n": t.column("sum(n)").cast(pa.int64()),
+        }).filter(pc.greater_equal(t.column("sum(n)"),
+                                   pa.scalar(threshold, pa.int64()))),
+        batch_format="pyarrow",
+    )
