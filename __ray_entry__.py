@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-vocabulary shuffle (oracle-checked r5: exact SQL counts
         # with the identical ceil(phi*N) threshold)
         "doc_heavy_hitters": t.doc_heavy_hitters,
+        # grouped HLL — per-source distinct estimate via mergeable
+        # register rows (oracle-checked r5: the proven sha256-register
+        # arithmetic grouped by source)
+        "doc_source_distinct_estimate": t.doc_source_distinct_estimate,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1589,6 +1593,36 @@ FROM sb
             FROM words
             GROUP BY token
             HAVING COUNT(*) >= ceil(0.01 * (SELECT n FROM tot))
+        """,
+        # grouped HLL: the proven sha256-register + Flajolet-estimate
+        # arithmetic of doc_distinct_estimate, GROUP BY source
+        "doc_source_distinct_estimate": """
+            WITH vals AS (SELECT DISTINCT source, coalesce(text, '') AS v
+                          FROM documents),
+            h AS (SELECT source,
+                         ('0x' || substr(sha256(v), 1, 16))::UBIGINT AS h64
+                  FROM vals),
+            regs AS (
+              SELECT source, CAST(h64 >> 52 AS BIGINT) AS idx,
+                     MAX(CASE WHEN low = 0 THEN 53
+                              ELSE 53 - length(bin(low)) END) AS rho
+              FROM (SELECT source, h64,
+                           h64 & ((1::UBIGINT << 52) - 1) AS low FROM h)
+              GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT source, SUM(power(2.0, -rho)) AS s_present,
+                     4096 - COUNT(*) AS zeros
+              FROM regs GROUP BY source
+            )
+            SELECT source,
+                   round(CASE WHEN est <= 2.5 * 4096 AND zeros > 0
+                              THEN 4096 * ln(4096.0 / zeros)
+                              ELSE est END, 4) AS estimate
+            FROM (SELECT source,
+                         (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                         / (s_present + zeros) AS est, zeros
+                  FROM agg)
         """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),

@@ -415,6 +415,19 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_source_distinct_estimate(sf_dir: str, p: int = 12):
+    """Per-source approximate distinct-text counts — the groupby form
+    of the HLL sketch (mergeable registers shuffle, never values).
+    Oracle-checked (r5): the sha256-register + Flajolet-estimate
+    arithmetic of ``doc_distinct_estimate`` grouped by source."""
+    from docling_graph_ray.stages.sketch import grouped_distinct_estimate
+
+    return grouped_distinct_estimate(
+        _docs(sf_dir, ["source", "text"]),
+        key_col="source", col="text", p=p,
+    )
+
+
 def doc_heavy_hitters(sf_dir: str):
     """Exact frequent tokens (global share >= phi) via the 2-pass
     candidates → exact-recount scheme — the full vocabulary never

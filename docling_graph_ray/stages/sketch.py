@@ -204,3 +204,52 @@ def heavy_hitters(ds, *, text_col: str = "text", phi: float = 0.01):
                                    pa.scalar(threshold, pa.int64()))),
         batch_format="pyarrow",
     )
+
+
+def grouped_distinct_estimate(ds, *, key_col: str, col: str, p: int = 12):
+    """Per-group approximate COUNT(DISTINCT col) — the groupby form of
+    :func:`distinct_estimate`, built on HLL's mergeability.
+
+    One streaming pass emits ONE 2^p-byte register row per
+    (batch, group); the per-group fold is an elementwise register max
+    (associative + commutative), so the shuffle carries fixed-size
+    sketch rows — never the values — and the reduce per group is a tiny
+    numpy max over its batch partials.  The ``map_groups`` Python-call
+    count equals the KEY DOMAIN (bounded by contract here: sources,
+    languages, partitions), not the row count.
+
+    Returns ``(key, estimate)`` rows, estimate rounded to 4 digits —
+    the same rounding the sha256-register oracle arithmetic is proven
+    exact under (doc_distinct_estimate, round-5 promotion).
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tbl = batch.select([key_col, col]).combine_chunks()
+        per: dict = {}
+        for k, v in zip(tbl.column(key_col).to_pylist(),
+                        tbl.column(col).to_pylist()):
+            per.setdefault(k, []).append(v)
+        keys = list(per)
+        return pa.table({
+            key_col: pa.array(keys),
+            "regs": pa.array([hll_registers(per[k], p).tolist()
+                              for k in keys], pa.list_(pa.uint8())),
+        })
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or key_col not in g.schema.names:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "estimate": pa.array([], pa.float64())})
+        regs = hll_merge([np.asarray(r, np.uint8)
+                          for r in g.column("regs").to_pylist()])
+        return pa.table({
+            key_col: g.column(key_col).slice(0, 1),
+            "estimate": pa.array([round(hll_estimate(regs), 4)],
+                                 pa.float64()),
+        })
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

@@ -49,3 +49,38 @@ def test_distinct_estimate_dataset(ray_session):
         ray.data.from_arrow(t.slice(0, 0)), col="text"
     )
     assert (est0, nb0) == (0.0, 0) or est0 == 0.0
+
+
+def test_grouped_distinct_estimate(ray_session):
+    """Grouped HLL vs the single-group sketch computed per key, and
+    partitioning invariance (register merge is order-free)."""
+    import pyarrow as pa
+    import ray.data
+
+    from docling_graph_ray.stages.sketch import (
+        grouped_distinct_estimate,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = []
+    for g, n_distinct, reps in (("a", 40, 3), ("b", 7, 1), ("c", 1, 50)):
+        for i in range(n_distinct):
+            rows += [(g, f"{g}-text-{i}")] * reps
+    tbl = pa.table({"source": [r[0] for r in rows],
+                    "text": [r[1] for r in rows]})
+
+    for parts in (2, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = {r["source"]: r["estimate"]
+               for r in grouped_distinct_estimate(
+                   ds, key_col="source", col="text").take_all()}
+        want = {
+            g: round(hll_estimate(hll_registers(
+                [t for s, t in rows if s == g])), 4)
+            for g in ("a", "b", "c")
+        }
+        assert out == want, (parts, out, want)
+    # small-range HLL is near-exact here
+    assert abs(out["a"] - 40) < 2 and abs(out["b"] - 7) < 1
+    assert abs(out["c"] - 1) < 0.1
