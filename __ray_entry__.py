@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # register rows (oracle-checked r5: the proven sha256-register
         # arithmetic grouped by source)
         "doc_source_distinct_estimate": t.doc_source_distinct_estimate,
+        # Shannon byte entropy quality signal (oracle-checked r5:
+        # per-char grouped counts + -SUM(p*log2 p), round 6 both sides)
+        "doc_char_entropy": t.doc_char_entropy,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1623,6 +1626,32 @@ FROM sb
                          (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
                          / (s_present + zeros) AS est, zeros
                   FROM agg)
+        """,
+        # byte entropy ≡ per-char entropy on the ASCII corpus; + 0.0
+        # normalizes IEEE -0.0 exactly as the engine does
+        "doc_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(coalesce(text, ''), ''))
+                       AS ch
+              FROM documents
+            ),
+            cc AS (
+              SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM chars WHERE ch <> '' GROUP BY 1, 2
+            ),
+            tot AS (SELECT doc_id, SUM(c) AS n FROM cc GROUP BY 1),
+            e AS (
+              SELECT cc.doc_id, CAST(t.n AS BIGINT) AS n_bytes,
+                     round(-SUM((c / t.n) * log2(c / t.n)), 6) + 0.0
+                       AS entropy
+              FROM cc JOIN tot t USING (doc_id)
+              GROUP BY cc.doc_id, t.n
+            )
+            SELECT d.doc_id,
+                   coalesce(e.n_bytes, 0) AS n_bytes,
+                   coalesce(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN e USING (doc_id)
         """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),

@@ -415,6 +415,16 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_char_entropy(sf_dir: str):
+    """Per-document Shannon byte entropy — the gibberish/low-diversity
+    quality signal.  Oracle-checked (r5): per-char grouped counts +
+    -SUM(p*log2(p)) in SQL, both sides rounded to 6 and -0.0
+    normalized (byte entropy ≡ char entropy on the ASCII corpus)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ta.byte_entropy_batch, batch_format="pyarrow"
+    )
+
+
 def doc_source_distinct_estimate(sf_dir: str, p: int = 12):
     """Per-source approximate distinct-text counts — the groupby form
     of the HLL sketch (mergeable registers shuffle, never values).

@@ -231,3 +231,36 @@ def test_perplexity_partition_terciles(ray_session, tmp_path):
         assert len(head) >= k1 or t1 == t2  # ties only inflate head
         if len(head) and len(tail):
             assert head.cell.max() <= tail.cell.min()
+
+
+def test_byte_entropy_batch(ray_session):
+    """Entropy vs a math.log2 brute force; -0.0 normalization; empty
+    and single-char docs."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.text_analysis import byte_entropy_batch
+
+    texts = ["abab", "aaaa", "", None, "the quick brown fox", "   ",
+             "abcdefgh"]
+    out = byte_entropy_batch(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts,
+    }))
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    for i, t in enumerate(texts):
+        raw = (t or "").encode()
+        if not raw:
+            want = 0.0
+        else:
+            c = Counter(raw)
+            want = round(-sum((v / len(raw)) * math.log2(v / len(raw))
+                              for v in c.values()), 6) + 0.0
+        assert got[i]["n_bytes"] == len(raw)
+        assert abs(got[i]["entropy"] - want) < 1e-9, (i, got[i], want)
+    assert got[0]["entropy"] == 1.0          # two equiprobable bytes
+    assert got[1]["entropy"] == 0.0          # single byte: exactly +0.0
+    assert str(got[1]["entropy"]) == "0.0"   # not "-0.0"
+    assert got[6]["entropy"] == 3.0          # eight equiprobable bytes
