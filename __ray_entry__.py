@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Shannon byte entropy quality signal (oracle-checked r5:
         # per-char grouped counts + -SUM(p*log2 p), round 6 both sides)
         "doc_char_entropy": t.doc_char_entropy,
+        # Zipf-slope corpus statistic (oracle-checked r5: identical
+        # closed-form least-squares sums over the top-40 ranks)
+        "doc_zipf_fit": t.doc_zipf_fit,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1652,6 +1655,37 @@ FROM sb
                    coalesce(e.n_bytes, 0) AS n_bytes,
                    coalesce(e.entropy, 0.0) AS entropy
             FROM documents d LEFT JOIN e USING (doc_id)
+        """,
+        # Zipf slope: rank = row_number (n DESC, token ASC), then the
+        # SAME closed-form least-squares sums the engine folds
+        "doc_zipf_fit": """
+            WITH words AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            cnt AS (SELECT token, COUNT(*) AS n FROM words GROUP BY token),
+            top AS (
+              SELECT n,
+                     row_number() OVER (ORDER BY n DESC, token ASC) AS r
+              FROM cnt
+              QUALIFY r <= 40
+            ),
+            s AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS kk,
+                     SUM(ln(r)) AS sx, SUM(ln(n)) AS sy,
+                     SUM(ln(r) * ln(n)) AS sxy,
+                     SUM(ln(r) * ln(r)) AS sxx
+              FROM top
+            )
+            SELECT CAST(kk AS BIGINT) AS k_used,
+                   round((kk * sxy - sx * sy)
+                         / (kk * sxx - sx * sx), 6) + 0.0 AS slope,
+                   round((sy - ((kk * sxy - sx * sy)
+                                / (kk * sxx - sx * sx)) * sx)
+                         / kk, 6) + 0.0 AS intercept
+            FROM s
         """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),

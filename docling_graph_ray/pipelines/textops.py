@@ -415,6 +415,15 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_zipf_fit(sf_dir: str):
+    """Zipf-slope corpus statistic over the top-40 token frequencies.
+    Oracle-checked (r5): SQL row_number rank (n DESC, token ASC) + the
+    identical closed-form least-squares sums, round 6 both sides."""
+    from docling_graph_ray.stages.sketch import zipf_fit
+
+    return zipf_fit(_docs(sf_dir, ["doc_id", "text"]), k=40)
+
+
 def doc_char_entropy(sf_dir: str):
     """Per-document Shannon byte entropy — the gibberish/low-diversity
     quality signal.  Oracle-checked (r5): per-char grouped counts +

@@ -253,3 +253,49 @@ def grouped_distinct_estimate(ds, *, key_col: str, col: str, p: int = 12):
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def zipf_fit(ds, *, text_col: str = "text", k: int = 40):
+    """Zipf-slope fit over the top-k token frequencies — the corpus
+    health statistic (natural text slopes ≈ −1; synthetic or templated
+    corpora drift toward 0 or collapse steeply).
+
+    Token counts fold with per-batch Arrow ``value_counts`` partials
+    into a grouped sum (narrow (token, n) rows — the text never
+    shuffles); the global sort touches only that narrow table, the
+    top-k (ties broken by token) is tiny, and the least-squares fold
+    over x = ln(rank), y = ln(freq) is closed-form on the driver.
+    Returns one row ``(k_used, slope, intercept)``, both coefficients
+    rounded to 6 (k ≤ 1000 float64 terms; order drift ~1e-12)."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, counts, _ = _token_counts(batch, text_col)
+        return pa.table({"token": toks, "n": counts.cast(pa.int64())})
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+    )
+    top = counts.sort(["sum(n)", "token"], descending=[True, False]) \
+        .limit(k).take_all()
+    if not top:
+        return pa.table({
+            "k_used": pa.array([0], pa.int64()),
+            "slope": pa.array([0.0], pa.float64()),
+            "intercept": pa.array([0.0], pa.float64()),
+        })
+    freqs = np.asarray([r["sum(n)"] for r in top], np.float64)
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=np.float64))
+    y = np.log(freqs)
+    kk = float(len(freqs))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    denom = kk * sxx - sx * sx
+    slope = (kk * sxy - sx * sy) / denom if denom else 0.0
+    intercept = (sy - slope * sx) / kk
+    return pa.table({
+        "k_used": pa.array([len(freqs)], pa.int64()),
+        "slope": pa.array([round(slope, 6) + 0.0], pa.float64()),
+        "intercept": pa.array([round(intercept, 6) + 0.0], pa.float64()),
+    })

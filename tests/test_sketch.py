@@ -84,3 +84,36 @@ def test_grouped_distinct_estimate(ray_session):
     # small-range HLL is near-exact here
     assert abs(out["a"] - 40) < 2 and abs(out["b"] - 7) < 1
     assert abs(out["c"] - 1) < 0.1
+
+
+def test_zipf_fit(ray_session):
+    """Zipf slope vs a numpy polyfit brute force; exact -1 slope on a
+    constructed power-law corpus."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from docling_graph_ray.stages.sketch import zipf_fit
+
+    # freq(token_r) = 120 // r → near-perfect Zipf over 8 ranks
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * (120 // r)
+    texts = [" ".join(words[i::5]) for i in range(5)]
+    ds = ray.data.from_arrow(pa.table({"doc_id": list(range(5)),
+                                       "text": texts})).repartition(3)
+    row = zipf_fit(ds, k=8).to_pylist()[0]
+
+    c = Counter(words)
+    freqs = sorted(c.values(), reverse=True)
+    x = np.log(np.arange(1, len(freqs) + 1, dtype=float))
+    y = np.log(np.asarray(freqs, float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row["k_used"] == 8
+    assert abs(row["slope"] - round(slope, 6)) < 1e-6
+    assert abs(row["intercept"] - round(intercept, 6)) < 1e-6
+    assert -1.15 < row["slope"] < -0.85  # the power law is recovered
+    assert abs(row["intercept"] - math.log(120)) < 0.2
