@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Zipf-slope corpus statistic (oracle-checked r5: identical
         # closed-form least-squares sums over the top-40 ranks)
         "doc_zipf_fit": t.doc_zipf_fit,
+        # cross-source duplicate overlap matrix (oracle-checked r5:
+        # planted cross-source twins + a SQL self-join recompute)
+        "doc_source_overlap": t.doc_source_overlap,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1686,6 +1689,21 @@ FROM sb
                                 / (kk * sxx - sx * sx)) * sx)
                          / kk, 6) + 0.0 AS intercept
             FROM s
+        """,
+        # cross-source overlap with the SAME planted twins the query
+        # adds (doc_id % 50 == 3 texts re-hosted under 'zz_twin')
+        "doc_source_overlap": """
+            WITH base AS (
+              SELECT source, coalesce(text, '') AS v FROM documents
+              UNION ALL
+              SELECT 'zz_twin' AS source, coalesce(text, '') AS v
+              FROM documents WHERE doc_id % 50 = 3
+            ),
+            d AS (SELECT DISTINCT source, v FROM base)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_texts
+            FROM d a JOIN d b ON a.v = b.v AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),

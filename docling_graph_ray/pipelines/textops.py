@@ -415,6 +415,33 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_source_overlap(sf_dir: str):
+    """Cross-source exact-duplicate overlap matrix (who re-hosts whom).
+    The synthetic corpus has NO cross-source duplicate texts, so the
+    query plants deterministic twins (every ``doc_id % 50 == 3`` text
+    re-hosted under source ``zz_twin`` — the planted-twins pattern of
+    ``emb_near_dedup``); the SQL twin replicates the planting
+    arithmetic and recomputes the matrix with a self-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docling_graph_ray.stages.dedup import source_overlap
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        twins = b.filter(pa.array(ids % 50 == 3))
+        twins = twins.set_column(
+            twins.schema.get_field_index("source"), "source",
+            pa.array(["zz_twin"] * twins.num_rows, pa.string()))
+        return pa.concat_tables([b, twins])
+
+    return source_overlap(docs.map_batches(plant, batch_format="pyarrow"))
+
+
 def doc_zipf_fit(sf_dir: str):
     """Zipf-slope corpus statistic over the top-40 token frequencies.
     Oracle-checked (r5): SQL row_number rank (n DESC, token ASC) + the

@@ -1105,3 +1105,73 @@ def intradoc_window_dedup_batch(*, text_col: str = "text",
         })
 
     return fn
+
+
+def source_overlap(ds, *, text_col: str = "text",
+                   source_col: str = "source",
+                   num_partitions: int = 64):
+    """Cross-source exact-duplicate overlap matrix: for every source
+    pair ``(src_a < src_b)``, the number of DISTINCT texts present in
+    both — the "who is re-hosting whom" curation diagnostic that decides
+    which source to drop when a corpus is over budget.
+
+    Scale shape: rows reduce to ``(text_hash, source)`` immediately
+    (the text never shuffles; 64-bit blake2b, the repo-wide hash-only
+    shuffle contract — collision-free at any realistic corpus), one
+    hash-bucket shuffle co-locates each text's rows, and inside each of
+    the P partition calls everything is C-path: a grouped distinct, a
+    count filter for multi-source hashes (the minority — unique texts
+    emit nothing), and a pandas self-merge for the pairs.  Pair rows per
+    text are bounded by sources²/2 — the source domain is bounded by
+    contract, so the final grouped count is tiny."""
+    import pandas as pd
+
+    from docling_graph_ray.stages.bucketing import hash_partition_cols
+
+    hashed = ds.map_batches(add_text_hash(text_col), batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        t = b.select(["text_hash", source_col])
+        return t.append_column(
+            "_part", hash_partition_cols(t, ["text_hash"], num_partitions))
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "n_texts": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0 or "text_hash" not in g.schema.names:
+            return empty
+        # distinct (hash, source), keep only hashes seen in >= 2 sources
+        d = g.select(["text_hash", source_col]).combine_chunks() \
+            .group_by(["text_hash", source_col]).aggregate([])
+        multi = d.group_by("text_hash").aggregate([(source_col, "count")])
+        keep = multi.filter(
+            pc.greater_equal(multi.column(source_col + "_count"), 2)
+        ).column("text_hash")
+        d = d.filter(pc.is_in(d.column("text_hash"), value_set=keep))
+        if d.num_rows == 0:
+            return empty
+        df = d.to_pandas()
+        m = df.merge(df, on="text_hash")
+        m = m[m[source_col + "_x"] < m[source_col + "_y"]]
+        out = (
+            m.groupby([source_col + "_x", source_col + "_y"])
+            .size().reset_index(name="n_texts")
+        )
+        return pa.table({
+            "src_a": pa.array(out[source_col + "_x"], pa.string()),
+            "src_b": pa.array(out[source_col + "_y"], pa.string()),
+            "n_texts": pa.array(out["n_texts"], pa.int64()),
+        })
+
+    part_counts = (
+        hashed.map_batches(project, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pairs_partition, batch_format="pyarrow")
+    )
+    return bucketed_aggregate(
+        part_counts, ["src_a", "src_b"], [("n_texts", "sum")],
+        rename=["src_a", "src_b", "n_texts"], combine=True,
+    )

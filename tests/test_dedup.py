@@ -690,3 +690,28 @@ def test_semantic_dedup_hot_cluster_capped(ray_session):
     # first-K members collapse onto id 0; overflow members survive
     assert len(survivors) == 1 + (m - 1000)
     assert {r["n_overflow"] for r in rows} == {m - 1000}
+
+
+def test_source_overlap(ray_session):
+    """Planted cross-source duplicates produce exactly the expected
+    matrix; unique texts and same-source dups emit nothing."""
+    from docling_graph_ray.stages.dedup import source_overlap
+
+    rows = [
+        ("s1", "shared one"), ("s2", "shared one"), ("s3", "shared one"),
+        ("s1", "shared two"), ("s2", "shared two"),
+        ("s1", "only in s1"), ("s2", "only in s2"),
+        ("s3", "same src dup"), ("s3", "same src dup"),
+        ("s1", "shared one"),  # within-source repeat of a shared text
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "source": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+    })).repartition(3)
+    out = {(r["src_a"], r["src_b"]): r["n_texts"]
+           for r in source_overlap(ds).take_all()}
+    assert out == {
+        ("s1", "s2"): 2,   # shared one + shared two
+        ("s1", "s3"): 1,   # shared one
+        ("s2", "s3"): 1,   # shared one
+    }
