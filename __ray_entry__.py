@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-source duplicate overlap matrix (oracle-checked r5:
         # planted cross-source twins + a SQL self-join recompute)
         "doc_source_overlap": t.doc_source_overlap,
+        # corpus-drift KL divergence, en slice vs rest (oracle-checked
+        # r5: identical smoothed-log association, round 6 both sides)
+        "doc_corpus_kl": t.doc_corpus_kl,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1704,6 +1707,42 @@ FROM sb
                    CAST(COUNT(*) AS BIGINT) AS n_texts
             FROM d a JOIN d b ON a.v = b.v AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        # KL drift: identical smoothed-log association to stages/
+        # sketch.py:corpus_kl — p = (c+1)/(N+V) divided FIRST, then ln
+        "doc_corpus_kl": """
+            WITH words AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_p,
+                     unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            cnt AS (
+              SELECT token,
+                     CAST(SUM(is_p) AS DOUBLE) AS c_p,
+                     CAST(SUM(1 - is_p) AS DOUBLE) AS c_q
+              FROM words GROUP BY token
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vocab,
+                           SUM(c_p) AS n_p, SUM(c_q) AS n_q
+                    FROM cnt),
+            terms AS (
+              SELECT
+                SUM(((c_p + 1.0) / (n_p + vocab))
+                    * (ln((c_p + 1.0) / (n_p + vocab))
+                       - ln((c_q + 1.0) / (n_q + vocab)))) AS s_pq,
+                SUM(-((c_q + 1.0) / (n_q + vocab))
+                    * (ln((c_p + 1.0) / (n_p + vocab))
+                       - ln((c_q + 1.0) / (n_q + vocab)))) AS s_qp
+              FROM cnt, tot
+            )
+            SELECT CAST(vocab AS BIGINT) AS vocab,
+                   CAST(n_p AS BIGINT) AS n_p,
+                   CAST(n_q AS BIGINT) AS n_q,
+                   round(s_pq, 6) + 0.0 AS kl_pq,
+                   round(s_qp, 6) + 0.0 AS kl_qp
+            FROM terms, tot
         """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),

@@ -415,6 +415,19 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_corpus_kl(sf_dir: str):
+    """Token-distribution drift between the en slice and the rest:
+    add-1-smoothed KL(P‖Q) / KL(Q‖P) over the union vocabulary.
+    Oracle-checked (r5): identical smoothed-log association in SQL,
+    both divergences rounded to 6."""
+    from docling_graph_ray.stages.sketch import corpus_kl
+
+    return corpus_kl(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        split_col="lang", split_value="en",
+    )
+
+
 def doc_source_overlap(sf_dir: str):
     """Cross-source exact-duplicate overlap matrix (who re-hosts whom).
     The synthetic corpus has NO cross-source duplicate texts, so the

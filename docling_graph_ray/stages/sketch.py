@@ -299,3 +299,79 @@ def zipf_fit(ds, *, text_col: str = "text", k: int = 40):
         "slope": pa.array([round(slope, 6) + 0.0], pa.float64()),
         "intercept": pa.array([round(intercept, 6) + 0.0], pa.float64()),
     })
+
+
+def corpus_kl(ds, *, text_col: str = "text", split_col: str,
+              split_value, round_digits: int = 6):
+    """Token-distribution drift between a corpus slice and the rest:
+    add-1-smoothed KL(P‖Q) and KL(Q‖P), P = rows where
+    ``split_col == split_value``, Q = the others — the "did this
+    ingest/filter change what the corpus looks like" monitor.
+
+    Fully distributed: per-batch value_counts partials fold into a
+    narrow ``(token, c_p, c_q)`` table (the text never shuffles); the
+    vocabulary size and totals are C-path aggregates of that table, and
+    the KL terms fold with a second map over it — the vocabulary never
+    lands on the driver.  Both divergences round to ``round_digits``
+    (float-sum order drift ~1e-12 at any realistic vocabulary)."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        side = batch.column(split_col).to_pylist()
+        out = []
+        for want_p in (True, False):
+            mask = pa.array([(v == split_value) == want_p for v in side])
+            toks, counts, _ = _token_counts(batch.filter(mask), text_col)
+            out.append(pa.table({
+                "token": toks,
+                "c_p": counts.cast(pa.int64()) if want_p
+                       else pa.array([0] * len(toks), pa.int64()),
+                "c_q": pa.array([0] * len(toks), pa.int64()) if want_p
+                       else counts.cast(pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    counts = bucketed_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["token"], [("c_p", "sum"), ("c_q", "sum")],
+        rename=["token", "c_p", "c_q"], combine=True,
+    ).materialize()  # narrow (token, int64, int64); consumed 3x below
+
+    vocab = counts.count()
+    if vocab == 0:
+        return pa.table({
+            "vocab": pa.array([0], pa.int64()),
+            "n_p": pa.array([0], pa.int64()),
+            "n_q": pa.array([0], pa.int64()),
+            "kl_pq": pa.array([0.0], pa.float64()),
+            "kl_qp": pa.array([0.0], pa.float64()),
+        })
+    n_p = counts.sum("c_p") or 0
+    n_q = counts.sum("c_q") or 0
+    dp, dq = float(n_p + vocab), float(n_q + vocab)
+
+    def kl_terms(b: pa.Table) -> pa.Table:
+        cp = b.column("c_p").to_numpy(zero_copy_only=False).astype(np.float64)
+        cq = b.column("c_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (cp + 1.0) / dp
+        q = (cq + 1.0) / dq
+        lr = np.log(p) - np.log(q)
+        return pa.table({
+            "t_pq": pa.array([float(np.sum(p * lr))], pa.float64()),
+            "t_qp": pa.array([float(np.sum(-q * lr))], pa.float64()),
+        })
+
+    terms = counts.map_batches(kl_terms, batch_format="pyarrow")
+    # the smoothed tails: tokens absent from the union vocab contribute
+    # nothing (both sides smooth over the SAME union vocabulary)
+    kl_pq = round((terms.sum("t_pq") or 0.0), round_digits) + 0.0
+    kl_qp = round((terms.sum("t_qp") or 0.0), round_digits) + 0.0
+    return pa.table({
+        "vocab": pa.array([vocab], pa.int64()),
+        "n_p": pa.array([int(n_p)], pa.int64()),
+        "n_q": pa.array([int(n_q)], pa.int64()),
+        "kl_pq": pa.array([kl_pq], pa.float64()),
+        "kl_qp": pa.array([kl_qp], pa.float64()),
+    })

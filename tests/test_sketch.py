@@ -117,3 +117,49 @@ def test_zipf_fit(ray_session):
     assert abs(row["intercept"] - round(intercept, 6)) < 1e-6
     assert -1.15 < row["slope"] < -0.85  # the power law is recovered
     assert abs(row["intercept"] - math.log(120)) < 0.2
+
+
+def test_corpus_kl(ray_session):
+    """KL drift vs a dict brute force; zero divergence on identical
+    slices; asymmetry present on skewed ones."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_graph_ray.stages.sketch import corpus_kl
+
+    rows = [
+        ("en", "aa aa bb cc"), ("en", "aa bb bb dd"),
+        ("de", "aa cc cc ee"), ("de", "ee ee ff"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "lang": [r[0] for r in rows], "text": [r[1] for r in rows],
+    })).repartition(3)
+    row = corpus_kl(ds, split_col="lang", split_value="en").to_pylist()[0]
+
+    cp, cq = Counter(), Counter()
+    for lang, t in rows:
+        (cp if lang == "en" else cq).update(t.split())
+    vocab = len(set(cp) | set(cq))
+    n_p, n_q = sum(cp.values()), sum(cq.values())
+    kl_pq = kl_qp = 0.0
+    for tok in set(cp) | set(cq):
+        p = (cp.get(tok, 0) + 1.0) / (n_p + vocab)
+        q = (cq.get(tok, 0) + 1.0) / (n_q + vocab)
+        lr = math.log(p) - math.log(q)
+        kl_pq += p * lr
+        kl_qp += -q * lr
+    assert row["vocab"] == vocab and row["n_p"] == n_p and row["n_q"] == n_q
+    assert abs(row["kl_pq"] - round(kl_pq, 6)) < 1e-9
+    assert abs(row["kl_qp"] - round(kl_qp, 6)) < 1e-9
+    assert row["kl_pq"] > 0 and row["kl_qp"] > 0
+
+    # identical slices → both divergences exactly 0 after rounding
+    same = ray.data.from_arrow(pa.table({
+        "lang": ["en", "de"], "text": ["x y z", "x y z"],
+    }))
+    r0 = corpus_kl(same, split_col="lang", split_value="en").to_pylist()[0]
+    assert r0["kl_pq"] == 0.0 and r0["kl_qp"] == 0.0
+    assert str(r0["kl_pq"]) == "0.0"
