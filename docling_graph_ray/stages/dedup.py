@@ -486,6 +486,7 @@ def minhash_cc_dedup(
     bands: int = 16,
     shingle_words: int = 3,
     seed: int = 42,
+    driver_cc_max_edges: int = 2_000_000,
 ):
     """Transitive MinHash-LSH dedup: band-bucket collisions become
     edges, connected components merge clusters ACROSS bands, and the
@@ -529,8 +530,54 @@ def minhash_cc_dedup(
     # narrow (two int64 cols) and bounded by actual collisions — cheap
     # to materialize for the empty guard
     edges = pairs.map_batches(dup_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _finalize_reps(banded, empty_reps, id_col)
+
+    if n_edges <= driver_cc_max_edges:
+        # small edge set (the common case — collisions only): a driver
+        # union-find beats the distributed rounds, whose THREE joins per
+        # round each pay the ~2-4 s hash-join actor spin-up (the round-2
+        # measured fixed cost) — 22 s -> ~4 s on the sf0.1 bench corpus.
+        # The edge list is two int64s/row, so the collect is bounded by
+        # 16 B x driver_cc_max_edges; beyond that the bucketed
+        # label-propagation path below takes over.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in edges.take_all():
+            a, b = find(r[id_col]), find(r["rep_id"])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        lab_keys = list(parent)
+        keys_arr = pa.array(lab_keys, pa.int64())
+        vals_np = np.asarray([find(k) for k in lab_keys], np.int64)
+
+        def apply_labels(t: pa.Table) -> pa.Table:
+            # vectorized: docs with a component label take min(label,
+            # banded); the rest keep their banded (self) rep
+            ids = t.column(id_col).cast(pa.int64())
+            pos = pc.fill_null(
+                pc.index_in(ids, value_set=keys_arr), -1
+            ).to_numpy(zero_copy_only=False)
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            banded_np = t.column("rep_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            lab = np.where(pos >= 0, vals_np[np.maximum(pos, 0)], ids_np)
+            return pa.table({
+                id_col: ids,
+                "rep_id": pa.array(np.minimum(lab, banded_np)),
+            })
+
+        reps = banded.map_batches(apply_labels, batch_format="pyarrow")
+        return _finalize_reps(reps, empty_reps, id_col)
 
     from docling_graph_ray.stages.graphalgo import connected_components
 

@@ -163,6 +163,28 @@ def test_minhash_cc_property_matches_union_find(ray_session):
     run()
 
 
+def test_minhash_cc_distributed_path_agrees(ray_session):
+    """driver_cc_max_edges=0 forces the bucketed label-propagation
+    path; it must produce byte-identical reps to the driver union-find
+    fast path."""
+    from docling_graph_ray.stages.dedup import minhash_cc_dedup
+
+    texts = {1: BASE, 2: NEAR, 3: FAR, 4: BASE,
+             5: NEAR.replace("quick", "slow"), 6: ""}
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": [texts[i] for i in sorted(texts)],
+    }))
+    fast = sorted((r["doc_id"], r["rep_id"], r["is_dup"])
+                  for r in minhash_cc_dedup(ds).take_all())
+    dist = sorted((r["doc_id"], r["rep_id"], r["is_dup"])
+                  for r in minhash_cc_dedup(
+                      ds, driver_cc_max_edges=0).take_all())
+    assert fast == dist
+    assert fast == sorted((i, r, r != i)
+                          for i, r in _cc_reference(texts).items())
+
+
 def test_minhash_cc_all_wordless_corpus(ray_session):
     from docling_graph_ray.stages.dedup import minhash_cc_dedup
 
