@@ -191,6 +191,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-drift KL divergence, en slice vs rest (oracle-checked
         # r5: identical smoothed-log association, round 6 both sides)
         "doc_corpus_kl": t.doc_corpus_kl,
+        # tokenizer-coverage OOV rate vs the corpus top-30 vocabulary
+        # (oracle-checked r5: SQL top-k CTE + LEFT JOIN recount)
+        "doc_oov_rate": t.doc_oov_rate,
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
@@ -1743,6 +1746,33 @@ FROM sb
                    round(s_pq, 6) + 0.0 AS kl_pq,
                    round(s_qp, 6) + 0.0 AS kl_qp
             FROM terms, tot
+        """,
+        # OOV rate vs the top-30 vocab (n DESC, token ASC ties), the
+        # SAME integer division + round 6 as stages/sketch.py:oov_rate
+        "doc_oov_rate": """
+            WITH words AS (
+              SELECT doc_id, unnest(list_filter(
+                       regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       w -> w <> '')) AS token
+              FROM documents
+            ),
+            cnt AS (SELECT token, COUNT(*) AS n FROM words GROUP BY token),
+            vocab AS (
+              SELECT token FROM cnt
+              QUALIFY row_number() OVER (ORDER BY n DESC, token ASC) <= 30
+            ),
+            per AS (
+              SELECT w.doc_id, COUNT(*) AS n_tokens,
+                     SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                       AS n_oov
+              FROM words w LEFT JOIN vocab v USING (token)
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(round(p.n_oov / CAST(p.n_tokens AS DOUBLE), 6)
+                            + 0.0, 0.0) AS oov_rate
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "doc_simhash_dedup": _ND_SIMHASH_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),

@@ -415,6 +415,16 @@ def doc_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def doc_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary rate against the corpus top-30 tokens
+    (the synthetic vocabulary has ~50, so the tail is genuinely OOV).
+    Oracle-checked (r5): SQL top-k vocab CTE + per-doc LEFT JOIN count,
+    identical integer division + round 6."""
+    from docling_graph_ray.stages.sketch import oov_rate
+
+    return oov_rate(_docs(sf_dir, ["doc_id", "text"]), vocab_k=30)
+
+
 def doc_corpus_kl(sf_dir: str):
     """Token-distribution drift between the en slice and the rest:
     add-1-smoothed KL(P‖Q) / KL(Q‖P) over the union vocabulary.

@@ -375,3 +375,67 @@ def corpus_kl(ds, *, text_col: str = "text", split_col: str,
         "kl_pq": pa.array([kl_pq], pa.float64()),
         "kl_qp": pa.array([kl_qp], pa.float64()),
     })
+
+
+def oov_rate(ds, *, id_col: str = "doc_id", text_col: str = "text",
+             vocab_k: int = 1000, round_digits: int = 6):
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    vocabulary — the tokenizer-coverage check run before committing a
+    vocab to a training run.
+
+    Two passes: the top-k vocabulary folds exactly like
+    :func:`zipf_fit` (narrow count rows, ties broken by token), then
+    broadcasts into a vectorized membership scan (``pc.is_in`` on the
+    flattened token array + a per-doc segmented sum).  Rates round to
+    ``round_digits``; wordless docs report ``n_tokens 0, oov_rate 0``."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, counts, _ = _token_counts(batch, text_col)
+        return pa.table({"token": toks, "n": counts.cast(pa.int64())})
+
+    vocab_rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token").sum("n")
+        .sort(["sum(n)", "token"], descending=[True, False])
+        .limit(vocab_k).take_all()
+    )
+    vocab_arr = pa.array([r["token"] for r in vocab_rows], pa.string())
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "oov_rate": pa.array([], pa.float64()),
+            })
+        ids = batch.column(id_col)
+        col = batch.column(text_col).combine_chunks()
+        lists = pc.split_pattern_regex(pc.fill_null(col, ""), r"\s+")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ok = pc.and_(pc.not_equal(flat, ""),
+                     pc.is_in(flat, value_set=vocab_arr))
+        word = pc.not_equal(flat, "")
+        # segmented sums over the per-doc list offsets
+        offs = np.asarray(lists.offsets, np.int64)
+        in_v = np.add.reduceat(
+            np.concatenate([ok.to_numpy(zero_copy_only=False)
+                            .astype(np.int64), [0]]), offs[:-1]) \
+            * (np.diff(offs) > 0)
+        n_tok = np.add.reduceat(
+            np.concatenate([word.to_numpy(zero_copy_only=False)
+                            .astype(np.int64), [0]]), offs[:-1]) \
+            * (np.diff(offs) > 0)
+        rate = np.zeros(len(n_tok), np.float64)
+        nz = n_tok > 0
+        rate[nz] = np.round(
+            (n_tok[nz] - in_v[nz]) / n_tok[nz], round_digits) + 0.0
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(n_tok),
+            "oov_rate": pa.array(rate),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")

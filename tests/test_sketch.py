@@ -163,3 +163,37 @@ def test_corpus_kl(ray_session):
     r0 = corpus_kl(same, split_col="lang", split_value="en").to_pylist()[0]
     assert r0["kl_pq"] == 0.0 and r0["kl_qp"] == 0.0
     assert str(r0["kl_pq"]) == "0.0"
+
+
+def test_oov_rate(ray_session):
+    """OOV rate vs a Counter brute force; empty docs; exact top-k tie
+    handling (ties broken by token asc)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from docling_graph_ray.stages.sketch import oov_rate
+
+    texts = ["a a a b b c rare1", "b c c rare2 rare2", "", "   ",
+             "a b c", "rare3"]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": texts,
+    })).repartition(3)
+    k = 3
+    out = {r["doc_id"]: r for r in oov_rate(ds, vocab_k=k).take_all()}
+
+    c = Counter()
+    for t in texts:
+        c.update(t.split())
+    vocab = set(tok for tok, _ in
+                sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k])
+    assert vocab == {"a", "b", "c"}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        want_rate = (round(sum(1 for w in ws if w not in vocab) / len(ws), 6)
+                     if ws else 0.0)
+        assert out[i]["n_tokens"] == len(ws)
+        assert abs(out[i]["oov_rate"] - want_rate) < 1e-9, (i, out[i])
+    assert out[5]["oov_rate"] == 1.0 and out[2]["oov_rate"] == 0.0
