@@ -197,6 +197,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance selection, Xie et al. 2023 (oracle-checked
         # r5: CRC32-hashed n-gram multinomials recomputed in SQL)
         "doc_dsir_select": t.doc_dsir_select,
+        # hashed linear quality classifier, fastText/CCNet-style
+        # (oracle-checked r5: emitted-model weights; SQL recomputes the
+        # score pass via the CRC-CTE presence buckets.  Same shared-
+        # vocabulary corpus caveat as doc_dsir_select above — the
+        # hash-checked signal is the score column; the disjoint-vocab
+        # pytest corpus exercises real separation)
+        "doc_quality_classifier": t.doc_quality_classifier,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -899,6 +906,74 @@ FROM documents d LEFT JOIN scores s USING (doc_id)
 """
 
 
+# Hashed linear quality classifier (the emitted-model pattern): the
+# query trains the logistic model distributedly and writes the dense
+# weight table (bucket 0..1023 + the bias at bucket -1) to
+# CLF_WEIGHTS_OUT; the SQL twin recomputes ONLY the score pass --
+# distinct crc32(word) % 1024 presence buckets via the recursive-CTE
+# CRC table, weight join, sigmoid(bias + sum) -- because the training
+# sums float64 block partials in Ray-scheduled order (low weight bits
+# are run-dependent by design; training equivalence vs a sequential
+# numpy reference is pytest-checked instead).  `predicted` derives
+# from the logit rounded to 6 digits on BOTH sides so summation-order
+# drift (~1e-14) cannot flip the gate.
+_CLF_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+docs1 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     w -> w <> '') AS arr
+  FROM documents
+),
+words AS (
+  SELECT DISTINCT doc_id, arr[t.i] AS w
+  FROM docs1, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+),
+dfeat AS (SELECT DISTINCT w AS f FROM words),
+ffold AS (
+  SELECT f, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc FROM dfeat
+  UNION ALL
+  SELECT x.f, x.pos + 1, xor(t.entry, x.crc // 256)
+  FROM ffold x
+  JOIN crctab t
+    ON t.idx = CAST(xor(x.crc % 256,
+                        ord(substr(x.f, x.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE x.pos <= length(x.f)
+),
+fcrc AS MATERIALIZED (
+  SELECT f,
+         CAST(xor(crc, CAST(4294967295 AS UBIGINT)) % 1024 AS BIGINT)
+           AS bucket
+  FROM ffold WHERE pos = length(f) + 1
+),
+bkts AS (
+  SELECT DISTINCT wo.doc_id, fc.bucket
+  FROM words wo JOIN fcrc fc ON fc.f = wo.w
+),
+wt AS (SELECT bucket, weight
+       FROM read_parquet('/tmp/graft_oracle_clf_weights.parquet')),
+docsum AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS nf,
+         SUM(w.weight) AS s
+  FROM bkts b JOIN wt w USING (bucket)
+  GROUP BY b.doc_id
+),
+zed AS (
+  SELECT d.doc_id,
+         CAST(coalesce(ds.nf, 0) AS BIGINT) AS n_feat_buckets,
+         (SELECT weight FROM wt WHERE bucket = -1)
+           + coalesce(ds.s, 0.0) AS z
+  FROM documents d LEFT JOIN docsum ds USING (doc_id)
+)
+SELECT doc_id, n_feat_buckets,
+       round(1.0 / (1.0 + exp(-z)), 6) AS clf_score,
+       round(z, 6) >= 0.0 AS predicted
+FROM zed
+"""
+
+
 def _nd_perm_literals(num_perm: int, seed: int = 42) -> str:
     """(k, a, b) VALUES literals for the minhash permutation family --
     the same _perm_params(num_perm, seed) stream the stage draws
@@ -1592,6 +1667,7 @@ FROM sb
         "doc_minhash_cc_dedup": _ND_MINHASH_CC_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         # exact heavy hitters: the engine's 2-pass candidate scheme is
         # output-equivalent to the exact grouped count by construction
         # (candidates are a pigeonhole superset); the threshold is the

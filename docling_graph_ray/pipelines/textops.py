@@ -1961,3 +1961,29 @@ def pages_curation(sf_dir: str):
     shutil.rmtree(dump, ignore_errors=True)
     docs.write_parquet(dump)
     return curate_documents(docs, quality_mask=min_words_mask)
+
+
+# Fixed weight-table location shared with the static oracle SQL (the
+# runner executes the Ray query — which writes it — before the twin).
+CLF_WEIGHTS_OUT = "/tmp/graft_oracle_clf_weights.parquet"
+
+
+def doc_quality_classifier(sf_dir: str):
+    """fastText/CCNet-style hashed linear quality classifier: train a
+    presence-feature logistic model on the deterministic weak label
+    ``lang == 'en'`` (the same target predicate as ``doc_dsir_select``),
+    then score every document.  Oracle-checked (r5, the emitted-model
+    pattern): the trained dense weight table (+ bias row at bucket −1)
+    is written to ``CLF_WEIGHTS_OUT``; the DuckDB twin recomputes the
+    SCORE pass — distinct crc32(word) % 1024 presence buckets via the
+    recursive-CTE CRC table, weight join, σ(bias + Σw) — with both
+    sides rounded to 6 digits and ``predicted`` derived from the
+    rounded logit so summation-order drift cannot flip it."""
+    from docling_graph_ray.stages.classifier import quality_classifier
+
+    return quality_classifier(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        target_col="lang", target_value="en",
+        n_buckets=1024, iters=20, lr=2.0,
+        weights_out=CLF_WEIGHTS_OUT,
+    )
