@@ -161,6 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenize->pack training-data assembly (oracle-checked r5:
         # merge-replay counts feed the pack window cumsum)
         "doc_tokenize_pack": t.doc_tokenize_pack,
+        # binary token-shard sink: Megatron-style .bin shards + manifest
+        # (oracle-checked r5: DuckDB recomputes the placement -> shard
+        # arithmetic from the dumped token table; shard BYTES are
+        # pytest round-trip-verified incl. sha256)
+        "doc_token_shards": t.doc_token_shards,
         # HyperLogLog distinct estimate (oracle-checked r5: sha256 hash
         # family => registers AND estimate exactly recomputable in SQL)
         "doc_distinct_estimate": t.doc_distinct_estimate,
@@ -1668,6 +1673,38 @@ FROM sb
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        # token-shard manifest: the whole placement -> shard arithmetic
+        # recomputed from the dumped token table (the same window-cumsum
+        # the doc_pack_sequences oracle uses; shard span = 8 seqs x 64
+        # tokens = 512); binary content is pytest-verified instead
+        "doc_token_shards": """
+            WITH t AS (
+              SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS bucket,
+                     n_tokens, toks
+              FROM read_parquet(
+                  '/tmp/graft_oracle_token_shards_toks/*.parquet')
+              WHERE n_tokens > 0
+            ),
+            c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS off
+              FROM t
+            ),
+            tok AS (
+              SELECT bucket, doc_id, c.off + u.i - 1 AS pos,
+                     toks[u.i] AS tokv
+              FROM c, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+            )
+            SELECT bucket,
+                   CAST(pos // 512 AS BIGINT) AS shard_id,
+                   CAST(MAX(pos) % 512 // 64 + 1 AS BIGINT) AS n_seqs,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(tokv) AS BIGINT) AS token_sum
+            FROM tok GROUP BY bucket, pos // 512
+        """,
         # exact heavy hitters: the engine's 2-pass candidate scheme is
         # output-equivalent to the exact grouped count by construction
         # (candidates are a pigeonhole superset); the threshold is the

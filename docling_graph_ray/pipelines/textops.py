@@ -1987,3 +1987,51 @@ def doc_quality_classifier(sf_dir: str):
         n_buckets=1024, iters=20, lr=2.0,
         weights_out=CLF_WEIGHTS_OUT,
     )
+
+
+# Fixed locations shared with the static oracle SQL (the runner executes
+# the Ray query — which writes them — before the twin).
+TOKEN_SHARDS_OUT = "/tmp/graft_token_shards"
+TOKEN_SHARDS_TOKS_OUT = "/tmp/graft_oracle_token_shards_toks"
+
+
+def doc_token_shards(sf_dir: str):
+    """Binary token-shard sink (Megatron-style .bin layout): hash-
+    tokenize every document (crc32(word) % 65536 — deterministic ids),
+    pack into 64-token sequences in 4 bucket streams, materialize
+    8-sequence binary shards under ``TOKEN_SHARDS_OUT``, and return the
+    per-shard manifest.  Oracle-checked (r5, the dumped-intermediate
+    pattern of ``pages_curation``): the token table is written to
+    ``TOKEN_SHARDS_TOKS_OUT`` and DuckDB recomputes the whole
+    placement → shard arithmetic — per-bucket doc-ordered window
+    cumsum, global token position, shard = pos // 512, per-shard
+    counts/sums and the trailing-sequence count — from it.  The binary
+    files' byte content (incl. sha256) is pytest-verified round-trip."""
+    import shutil
+    import zlib
+
+    from docling_graph_ray.stages.token_shards import write_token_shards
+
+    def tok(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        toks = [
+            [zlib.crc32(w.encode()) % 65536 for w in (t or "").split()]
+            for t in texts
+        ]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "toks": pa.array(toks, pa.list_(pa.int64())),
+            "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+        })
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow").materialize()
+    shutil.rmtree(TOKEN_SHARDS_TOKS_OUT, ignore_errors=True)
+    toks.write_parquet(TOKEN_SHARDS_TOKS_OUT)
+    shutil.rmtree(TOKEN_SHARDS_OUT, ignore_errors=True)
+    manifest = write_token_shards(
+        toks, TOKEN_SHARDS_OUT,
+        seq_len=64, seqs_per_shard=8, num_buckets=4,
+        rows_hint=_docs_rows(sf_dir),
+    )
+    return manifest.drop_columns(["path", "sha256"])

@@ -1,0 +1,115 @@
+"""Binary token-shard sink (stages/token_shards.py): the emitted .bin
+bytes must reproduce a sequential reference packing exactly (including
+trailing padding and sha256), shards must be bounded by construction,
+and reruns with skip_existing must leave finished shards untouched."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from docling_graph_ray.stages.token_shards import write_token_shards
+
+L, SPS, NB = 8, 4, 2  # tiny: 8-token seqs, 4 seqs/shard, 2 buckets
+SPAN = L * SPS
+
+
+def _toks_table(docs):
+    return pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "toks": pa.array([d[1] for d in docs], pa.list_(pa.int64())),
+        "n_tokens": pa.array([len(d[1]) for d in docs], pa.int64()),
+    })
+
+
+def _reference_shards(docs, pad_id=0):
+    """Sequential recompute: per-bucket doc_id-ordered concatenation,
+    sliced into SPAN-token shards, trailing sequence padded."""
+    streams: dict[int, list[int]] = {}
+    for doc_id, toks in sorted(docs):
+        if toks:
+            streams.setdefault(doc_id % NB, []).extend(toks)
+    out = {}
+    for bucket, stream in streams.items():
+        for s in range(0, (len(stream) + SPAN - 1) // SPAN):
+            chunk = stream[s * SPAN: (s + 1) * SPAN]
+            n_seqs = (len(chunk) - 1) // L + 1
+            buf = np.full(n_seqs * L, pad_id, np.uint32)
+            buf[: len(chunk)] = chunk
+            out[(bucket, s)] = buf
+    return out
+
+
+DOCS = [
+    (0, [1, 2, 3]),
+    (1, [10] * 5),
+    (2, [7] * 40),            # spans two shards in its bucket
+    (3, [11, 12]),
+    (4, []),                  # empty → places nowhere
+    (5, [9] * (SPAN + 3)),    # giant: more tokens than one shard
+    (6, [4, 5, 6, 7, 8]),
+    (7, [2] * 13),
+]
+
+
+def _run(tmp_path, docs=DOCS, **kw):
+    ds = ray.data.from_arrow(_toks_table(docs))
+    out = str(tmp_path / "shards")
+    man = write_token_shards(
+        ds, out, seq_len=L, seqs_per_shard=SPS, num_buckets=NB,
+        rows_hint=len(docs), **kw,
+    ).take_all()
+    return out, {(m["bucket"], m["shard_id"]): m for m in man}
+
+
+def test_bytes_match_sequential_reference(ray_session, tmp_path):
+    out, man = _run(tmp_path)
+    ref = _reference_shards(DOCS)
+    assert set(man) == set(ref)
+    for (bucket, shard), buf in ref.items():
+        m = man[(bucket, shard)]
+        raw = open(m["path"], "rb").read()
+        assert raw == buf.astype("<u4").tobytes(), (bucket, shard)
+        assert m["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert m["n_seqs"] == len(buf) // L
+
+
+def test_manifest_counts(ray_session, tmp_path):
+    _, man = _run(tmp_path)
+    total = sum(m["n_tokens"] for m in man.values())
+    assert total == sum(len(t) for _, t in DOCS)
+    assert sum(m["token_sum"] for m in man.values()) \
+        == sum(sum(t) for _, t in DOCS)
+    # a full shard never exceeds its span — bounded by construction
+    assert all(m["n_tokens"] <= SPAN for m in man.values())
+    # the giant doc spans >1 shard and is counted in each
+    giant_shards = [m for m in man.values()
+                    if (5 % NB) == m["bucket"]]
+    assert sum(m["n_tokens"] for m in giant_shards) >= SPAN + 3
+
+
+def test_skip_existing_preserves_files(ray_session, tmp_path):
+    out, man = _run(tmp_path)
+    victim = next(iter(man.values()))["path"]
+    os.utime(victim, (1, 1))
+    ds = ray.data.from_arrow(_toks_table(DOCS))
+    man2 = {(m["bucket"], m["shard_id"]): m for m in write_token_shards(
+        ds, out, seq_len=L, seqs_per_shard=SPS, num_buckets=NB,
+        rows_hint=len(DOCS), skip_existing=True,
+    ).take_all()}
+    assert os.stat(victim).st_mtime == 1  # untouched
+    assert man2 == {(m["bucket"], m["shard_id"]): m for m in man.values()} \
+        or all(man2[k]["sha256"] == v["sha256"]
+               for k, v in man.items())  # manifest still exact
+
+
+def test_rerun_is_byte_identical(ray_session, tmp_path):
+    _, a = _run(tmp_path / "a")
+    _, b = _run(tmp_path / "b")
+    assert {k: v["sha256"] for k, v in a.items()} \
+        == {k: v["sha256"] for k, v in b.items()}
