@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-checked signal is the score column; the disjoint-vocab
         # pytest corpus exercises real separation)
         "doc_quality_classifier": t.doc_quality_classifier,
+        # URL domain-blocklist gate (oracle-checked r5: emitted
+        # blocklist side-table; SQL re-synthesizes the messy-url
+        # universe and picks the longest matching label-boundary suffix)
+        "doc_url_blocklist": t.doc_url_blocklist,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -1673,6 +1677,51 @@ FROM sb
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        # URL blocklist: the messy-url synthesis CTE of doc_url_dedup,
+        # host = lowercased, port-stripped authority; the longest
+        # matching suffix (label-boundary: equality or '%.'||domain)
+        # from the emitted blocklist wins, '' when clean
+        "doc_url_blocklist": r"""
+            WITH m AS (
+                SELECT doc_id, doc_id % 6 AS k,
+                       ((doc_id // 6) % 50)::VARCHAR AS site,
+                       ((doc_id // 6) % 40)::VARCHAR AS page,
+                       ((doc_id // 6) % 3)::VARCHAR AS q
+                FROM documents
+            ), u AS (
+                SELECT doc_id, CASE k
+                    WHEN 0 THEN 'HTTP://site' || site || '.com/page' || page || '?q=' || q
+                    WHEN 1 THEN 'http://Site' || site || '.COM/page' || page || '?q=' || q || '#top'
+                    WHEN 2 THEN 'http://site' || site || '.com:80/page' || page || '?q=' || q
+                    WHEN 3 THEN 'http://site' || site || '.com/page' || page || '?utm_source=a&utm_medium=b&q=' || q
+                    WHEN 4 THEN 'http://site' || site || '.com/page' || page || '?q=' || q || '&fbclid=Zz9'
+                    ELSE 'https://site' || site || '.com:443/page' || page || '?q=' || q
+                END AS url FROM m
+            ), h AS (
+                SELECT doc_id, url,
+                       regexp_replace(
+                           lower(regexp_extract(url,
+                               '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)',
+                               1)),
+                           ':[0-9]+$', '') AS host
+                FROM u
+            ), bl AS (
+                SELECT domain FROM read_parquet(
+                    '/tmp/graft_oracle_url_blocklist.parquet')
+            ), ann AS (
+                SELECT doc_id, url, host,
+                       (SELECT domain FROM bl
+                        WHERE h.host = domain
+                           OR h.host LIKE '%.' || domain
+                        ORDER BY length(domain) DESC, domain
+                        LIMIT 1) AS hit
+                FROM h
+            )
+            SELECT doc_id, url, host,
+                   hit IS NOT NULL AS blocked,
+                   COALESCE(hit, '') AS blocked_by
+            FROM ann
+        """,
         # token-shard manifest: the whole placement -> shard arithmetic
         # recomputed from the dumped token table (the same window-cumsum
         # the doc_pack_sequences oracle uses; shard span = 8 seqs x 64

@@ -2035,3 +2035,46 @@ def doc_token_shards(sf_dir: str):
         rows_hint=_docs_rows(sf_dir),
     )
     return manifest.drop_columns(["path", "sha256"])
+
+
+# Fixed blocklist location shared with the static oracle SQL (the
+# runner executes the Ray query — which writes it — before the twin).
+URL_BLOCKLIST_OUT = "/tmp/graft_oracle_url_blocklist.parquet"
+
+
+def doc_url_blocklist(sf_dir: str):
+    """URL domain-blocklist annotation (the UT1-style curation gate):
+    synthesize the deterministic messy-url universe of ``doc_url_dedup``
+    (so hosts carry case noise and explicit ports), block every 7th
+    site's registrable domain, and annotate each row with the matched
+    entry.  The blocklist also carries two label-boundary traps —
+    ``ite1.com`` (a substring of ``site1.com`` that must NOT match) and
+    ``page.site1.com`` (a never-occurring subdomain) — so the oracle
+    checks the suffix semantics, not just membership.  Oracle-checked
+    (r5, emitted-side-table): DuckDB re-synthesizes the urls, extracts
+    lowercased port-stripped hosts by regexp, and picks the longest
+    matching suffix from the emitted blocklist parquet."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.urlfilter import blocklist_annotate
+    from docling_graph_ray.stages.urlops import synth_messy_urls
+
+    blocked = [f"site{n}.com" for n in range(50) if n % 7 == 3]
+    blocked += ["ite1.com", "page.site1.com"]  # label-boundary traps
+    pq.write_table(
+        pa.table({"domain": pa.array(sorted(blocked))}), URL_BLOCKLIST_OUT)
+
+    def add_url(b: pa.Table) -> pa.Table:
+        return b.append_column("url", synth_messy_urls(b.column("doc_id")))
+
+    annotated = blocklist_annotate(
+        _docs(sf_dir, ["doc_id"]).map_batches(
+            add_url, batch_format="pyarrow"),
+        blocked,
+    )
+    return annotated.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("blocked_by"), "blocked_by",
+            pc.fill_null(b.column("blocked_by"), "")),
+        batch_format="pyarrow",
+    )
