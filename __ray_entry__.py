@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocklist side-table; SQL re-synthesizes the messy-url
         # universe and picks the longest matching label-boundary suffix)
         "doc_url_blocklist": t.doc_url_blocklist,
+        # cross-document n-gram novelty, WIMBD-style (oracle-checked
+        # r5: CRC-CTE trigram hashes, doc-frequency join, rounded ratio)
+        "doc_ngram_novelty": t.doc_ngram_novelty,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -983,6 +986,59 @@ FROM zed
 """
 
 
+# Cross-document n-gram novelty: per-doc distinct trigram hashes (the
+# CRC fold over each distinct gram string, distinctness re-applied at
+# the HASH level exactly as the engine), doc-frequency join, rounded
+# ratio; docs with < 3 words score 1.0 by contract.
+_NOVELTY_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+docs1 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     w -> w <> '') AS arr
+  FROM documents
+),
+gall AS (
+  SELECT doc_id,
+         arr[t.i] || ' ' || arr[t.i + 1] || ' ' || arr[t.i + 2] AS f
+  FROM docs1, LATERAL unnest(range(1, len(arr) - 1)) AS t(i)
+),
+dfeat AS (SELECT DISTINCT f FROM gall),
+ffold AS (
+  SELECT f, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc FROM dfeat
+  UNION ALL
+  SELECT x.f, x.pos + 1, xor(t.entry, x.crc // 256)
+  FROM ffold x
+  JOIN crctab t
+    ON t.idx = CAST(xor(x.crc % 256,
+                        ord(substr(x.f, x.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE x.pos <= length(x.f)
+),
+fcrc AS MATERIALIZED (
+  SELECT f, CAST(xor(crc, CAST(4294967295 AS UBIGINT)) AS BIGINT) AS h
+  FROM ffold WHERE pos = length(f) + 1
+),
+dg AS (
+  SELECT DISTINCT g.doc_id, fc.h FROM gall g JOIN fcrc fc USING (f)
+),
+dfreq AS (SELECT h, COUNT(*) AS nd FROM dg GROUP BY h),
+agg AS (
+  SELECT dg.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_common
+  FROM dg JOIN dfreq USING (h) GROUP BY dg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.n_common, 0) AS BIGINT) AS n_common,
+       CASE WHEN a.doc_id IS NULL THEN 1.0
+            ELSE round(1.0 - a.n_common::DOUBLE / a.n_grams, 6)
+       END AS novelty_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _nd_perm_literals(num_perm: int, seed: int = 42) -> str:
     """(k, a, b) VALUES literals for the minhash permutation family --
     the same _perm_params(num_perm, seed) stream the stage draws
@@ -1677,6 +1733,7 @@ FROM sb
             CRCTAB=_ND_CRCTAB_SQL, PERMS=_nd_perm_literals(128)),
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        "doc_ngram_novelty": _NOVELTY_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         # URL blocklist: the messy-url synthesis CTE of doc_url_dedup,
         # host = lowercased, port-stripped authority; the longest
         # matching suffix (label-boundary: equality or '%.'||domain)

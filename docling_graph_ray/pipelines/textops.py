@@ -2078,3 +2078,17 @@ def doc_url_blocklist(sf_dir: str):
             pc.fill_null(b.column("blocked_by"), "")),
         batch_format="pyarrow",
     )
+
+
+def doc_ngram_novelty(sf_dir: str):
+    """Cross-document n-gram novelty (WIMBD-style corpus analysis):
+    per document, the fraction of its distinct word trigrams that occur
+    in at least 2 documents — partial-duplication/boilerplate signal
+    the exact and near-dup passes miss.  Oracle-checked (r5): DuckDB
+    recomputes the trigram set via the recursive-CTE CRC fold (per-doc
+    distinctness at the HASH level on both sides), the doc-frequency
+    join and the rounded ratio."""
+    from docling_graph_ray.stages.novelty import ngram_novelty
+
+    return ngram_novelty(
+        _docs(sf_dir, ["doc_id", "text"]), n=3, min_docs=2)
