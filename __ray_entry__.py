@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-document n-gram novelty, WIMBD-style (oracle-checked
         # r5: CRC-CTE trigram hashes, doc-frequency join, rounded ratio)
         "doc_ngram_novelty": t.doc_ngram_novelty,
+        # langid-drift evaluation rollup (oracle-checked r5: the
+        # doc_langid stopword recompute crossed with the label)
+        "doc_langid_confusion": t.doc_langid_confusion,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -1734,6 +1737,36 @@ FROM sb
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_ngram_novelty": _NOVELTY_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        # langid confusion matrix: the doc_langid stopword-regex
+        # recompute crossed with the corpus label — integer counts only
+        "doc_langid_confusion": """
+            WITH c AS (
+                SELECT doc_id, lang,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:the|and|of|is|was|with|that|this|are|for|have|which|not)\\b'
+                  )) AS BIGINT) AS en,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:le|les|des|une|est|sont|dans|avec|pour|qui|leur|aux)\\b'
+                  )) AS BIGINT) AS fr,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:der|die|das|und|ist|nicht|mit|für|auf|ein|welche|hatte)\\b'
+                  )) AS BIGINT) AS de,
+                  CAST(length(regexp_extract_all(text,
+                    '(?i)\\b(?:el|los|las|es|son|para|con|por|una|del|más|como)\\b'
+                  )) AS BIGINT) AS es
+                FROM documents
+            ), p AS (
+                SELECT lang,
+                       CASE WHEN en + fr + de + es = 0 THEN 'und'
+                            WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+                            WHEN fr >= de AND fr >= es THEN 'fr'
+                            WHEN de >= es THEN 'de'
+                            ELSE 'es' END AS pred_lang
+                FROM c
+            )
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY lang, pred_lang
+        """,
         # URL blocklist: the messy-url synthesis CTE of doc_url_dedup,
         # host = lowercased, port-stripped authority; the longest
         # matching suffix (label-boundary: equality or '%.'||domain)

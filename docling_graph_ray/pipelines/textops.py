@@ -2092,3 +2092,30 @@ def doc_ngram_novelty(sf_dir: str):
 
     return ngram_novelty(
         _docs(sf_dir, ["doc_id", "text"]), n=3, min_docs=2)
+
+
+def doc_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the heuristic detector's
+    prediction (``ta.langid_batch``) crossed with the corpus label —
+    the evaluation rollup a curation pipeline watches to catch langid
+    drift.  Pure integer counts (one tiny (label × pred) groupby after
+    a streaming predict pass), so the oracle compares exactly.
+    Oracle-checked (r5): the SQL twin reuses the ``doc_langid``
+    stopword-regex recompute joined to the label column."""
+    def predict(b: pa.Table) -> pa.Table:
+        pred = ta.langid_batch(b)  # row-aligned
+        return pa.table({
+            "lang": b.column("lang"),
+            "pred_lang": pred.column("pred_lang"),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(predict, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["lang", "pred_lang", "n"]),
+            batch_format="pyarrow",
+        )
+    )
