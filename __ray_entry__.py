@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # emitted and every assignment recomputed via cross join+argmax;
         # the iterative fit itself stays python)
         "emb_kmeans": t.emb_kmeans,
+        # per-cluster semantic outliers, embedding QC (oracle-checked
+        # r5: emitted codebook; SQL recomputes every assignment and the
+        # bottom-k ranking by (round(sim,6) ASC, vec_id ASC))
+        "emb_outliers": t.emb_outliers,
         # distributed PCA (oracle-checked r5: the fitted model is
         # emitted and every projection recomputed as an unnest-join
         # dot product; the eigensolve itself stays numpy)
@@ -1148,6 +1152,42 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                   FROM sims)
             WHERE rn = 1
+        """,
+        # per-cluster bottom-k outliers against the emitted codebook
+        # (queries()["emb_outliers"] writes it first); assignment =
+        # argmax cosine with cluster-asc tiebreak (the emb_kmeans
+        # arithmetic), ranking = (round(sim,6) ASC, vec_id ASC)
+        "emb_outliers": """
+            WITH cents AS (
+              SELECT cluster, centroid
+              FROM read_parquet(
+                  '/tmp/graft_oracle_outlier_centroids.parquet')
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cluster,
+                     list_cosine_similarity(e.embedding, c.centroid) AS s
+              FROM embeddings e, cents c
+            ),
+            best AS (
+              SELECT vec_id, cluster, s
+              FROM (SELECT vec_id, cluster, s,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY s DESC,
+                                                       cluster ASC) AS rn
+                    FROM sims)
+              WHERE rn = 1
+            ),
+            ranked AS (
+              SELECT cluster, vec_id,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY round(s, 6) ASC,
+                                                 vec_id ASC)
+                       AS outlier_rank
+              FROM best
+            )
+            SELECT cluster, CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(outlier_rank AS BIGINT) AS outlier_rank
+            FROM ranked WHERE outlier_rank <= 5
         """,
         # PCA projection recompute against the emitted model
         # (queries()["emb_pca"] writes it first): proj[v, c] =

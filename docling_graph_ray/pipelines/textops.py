@@ -2119,3 +2119,39 @@ def doc_langid_confusion(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+# Fixed codebook location shared with the static oracle SQL (the runner
+# executes the Ray query — which writes it — before its DuckDB twin).
+OUTLIER_CENTROIDS_OUT = "/tmp/graft_oracle_outlier_centroids.parquet"
+
+
+def emb_outliers(sf_dir: str, k: int = 5, n_clusters: int = 8,
+                 iters: int = 5):
+    """Per-cluster semantic outliers (embedding QC): fit k-means, then
+    surface the 5 vectors least similar to their own centroid in each
+    cluster.  Oracle-checked (r5, the emitted-codebook pattern of
+    ``emb_kmeans``): DuckDB recomputes every assignment (argmax cosine,
+    cluster-asc tiebreak) and the per-cluster bottom-k ranking by
+    (round(sim, 6) ASC, vec_id ASC); the float similarity itself stays
+    out of the compared output, exactly like ``emb_kmeans``."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import (
+        _normalize,
+        cluster_outliers,
+        kmeans_fit,
+    )
+
+    embs = _embs(sf_dir, ["vec_id", "embedding"])
+    cent = kmeans_fit(embs, k=n_clusters, iters=iters)
+    norm = _normalize(np.asarray(cent, dtype=np.float64))
+    pq.write_table(
+        pa.table({
+            "cluster": pa.array(range(len(norm)), pa.int64()),
+            "centroid": pa.array([[float(x) for x in c] for c in norm],
+                                 pa.list_(pa.float64())),
+        }),
+        OUTLIER_CENTROIDS_OUT,
+    )
+    return cluster_outliers(embs, cent, k=k)

@@ -458,3 +458,60 @@ def pca_project(ds, components: np.ndarray, mean: np.ndarray, *,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_outliers(ds, centroids: np.ndarray, *, k: int = 5,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Per-cluster semantic outliers: the ``k`` vectors LEAST similar
+    to their own assigned centroid — the embedding-QC pass that
+    surfaces mislabeled/garbage vectors a mean-distance histogram
+    hides (the inverse of SemDeDup's within-cluster prune).
+
+    Scale shape: one broadcast-codebook assignment pass (see
+    ``kmeans_assign``), then a per-block partial bottom-k per cluster
+    (≤ k × n_clusters narrow rows leave each block) and a tiny
+    per-cluster merge — the full assignment table never shuffles.
+    Ordering is total on both sides of the oracle: (rounded sim ASC,
+    id ASC)."""
+    assigned = kmeans_assign(ds, centroids, id_col=id_col, emb_col=emb_col)
+
+    def _bottom_k(cl, sim, vid):
+        order = np.lexsort((vid, sim, cl))  # cluster, then sim, then id
+        cls = cl[order]
+        change = np.r_[True, cls[1:] != cls[:-1]] if len(cls) else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        pos = np.arange(len(cls)) - starts[run_id] if len(cls) else \
+            np.empty(0, np.int64)
+        return order[pos < k], pos[pos < k]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        cl = b.column("cluster").to_numpy(zero_copy_only=False)
+        sim = b.column("sim").to_numpy(zero_copy_only=False)
+        vid = b.column(id_col).to_numpy(zero_copy_only=False)
+        keep, _ = _bottom_k(cl, sim, vid)
+        return pa.table({
+            id_col: pa.array(vid[keep], pa.int64()),
+            "cluster": pa.array(cl[keep], pa.int64()),
+            "sim": pa.array(sim[keep], pa.float64()),
+        })
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        cl = g.column("cluster").to_numpy(zero_copy_only=False)
+        sim = g.column("sim").to_numpy(zero_copy_only=False)
+        vid = g.column(id_col).to_numpy(zero_copy_only=False)
+        keep, pos = _bottom_k(cl, sim, vid)
+        return pa.table({
+            "cluster": pa.array(cl[keep], pa.int64()),
+            id_col: pa.array(vid[keep], pa.int64()),
+            "outlier_rank": pa.array(pos + 1, pa.int64()),
+        })
+
+    return (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(finalize, batch_format="pyarrow")
+    )

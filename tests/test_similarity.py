@@ -180,3 +180,45 @@ def test_pca_survives_empty_blocks_and_large_offset(ray_session):
     empty = ray.data.from_arrow(t.slice(0, 0))
     with pytest.raises(ValueError, match="empty"):
         pca_fit(empty, emb_col="embedding", q=2)
+
+
+def test_cluster_outliers_matches_bruteforce(ray_session):
+    """Planted far-from-centroid vectors must rank first, and the
+    distributed partial-bottom-k must equal a sequential recompute."""
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.similarity import (
+        _normalize,
+        cluster_outliers,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    # two tight clusters + planted stragglers halfway between
+    a = rng.normal(0, 0.05, (40, 8)) + np.r_[np.ones(4), np.zeros(4)]
+    b = rng.normal(0, 0.05, (40, 8)) + np.r_[np.zeros(4), np.ones(4)]
+    stragglers = rng.normal(0, 0.05, (4, 8)) + 0.5
+    X = np.vstack([a, b, stragglers])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X],
+                              pa.list_(pa.float64())),
+    }))
+    cent = kmeans_fit(ds, k=2, iters=5)
+    out = cluster_outliers(ds, cent, k=5).take_all()
+    assert len(out) == 10  # 5 per cluster
+    # sequential recompute from the same assignment pass
+    rows = kmeans_assign(ds, cent).take_all()
+    ref = {}
+    for c in (0, 1):
+        grp = sorted(((r["sim"], r["vec_id"]) for r in rows
+                      if r["cluster"] == c))
+        ref[c] = [(v, i + 1) for i, (_, v) in enumerate(grp[:5])]
+    got = {c: sorted(((r["vec_id"], r["outlier_rank"])
+                      for r in out if r["cluster"] == c),
+                     key=lambda t: t[1]) for c in (0, 1)}
+    assert got == ref
+    # every planted straggler appears among the outliers
+    flagged = {r["vec_id"] for r in out}
+    assert set(range(80, 84)) <= flagged
