@@ -223,6 +223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # langid-drift evaluation rollup (oracle-checked r5: the
         # doc_langid stopword recompute crossed with the label)
         "doc_langid_confusion": t.doc_langid_confusion,
+        # duplicate-cluster size histogram (oracle-checked r5: two
+        # grouped counts; clusters keyed by text directly in SQL —
+        # equal 64-bit content hashes <=> equal text absent collisions)
+        "doc_dup_cluster_sizes": t.doc_dup_cluster_sizes,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -1777,6 +1781,26 @@ FROM sb
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_ngram_novelty": _NOVELTY_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        # duplicate-cluster size histogram: SQL groups by the text
+        # itself where the engine groups by its 64-bit content hash —
+        # output-equivalent absent hash collisions (the doc_exact_dedup
+        # contract, pinned by its own green oracle)
+        "doc_dup_cluster_sizes": """
+            WITH corpus AS (
+                SELECT text FROM documents
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 50 = 0
+            ),
+            clusters AS (
+                SELECT text, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM corpus GROUP BY text
+            )
+            SELECT cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters
+            FROM clusters GROUP BY cluster_size
+        """,
         # langid confusion matrix: the doc_langid stopword-regex
         # recompute crossed with the corpus label — integer counts only
         "doc_langid_confusion": """

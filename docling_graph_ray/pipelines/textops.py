@@ -2155,3 +2155,45 @@ def emb_outliers(sf_dir: str, k: int = 5, n_clusters: int = 8,
         OUTLIER_CENTROIDS_OUT,
     )
     return cluster_outliers(embs, cent, k=k)
+
+
+def doc_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size histogram — the corpus-health statistic
+    a dedup pass is judged by: how many exact-content clusters have
+    size 1, 2, 3… (cluster = identical ``text``).  Two tiny grouped
+    counts over narrow hash rows (text never shuffles: the 64-bit
+    content hash rides, the same contract as ``doc_exact_dedup``);
+    integer counts, so the oracle compares exactly.
+
+    The raw corpus has no exact duplicates at any sf (the histogram
+    would be one row), so the query plants deterministic copies —
+    every doc_id % 10 == 0 twice, every doc_id % 50 == 0 three times —
+    mirrored by a UNION ALL in the twin; sizes 1/2/3 all appear."""
+    from docling_graph_ray.stages.dedup import add_text_hash
+
+    hash_fn = add_text_hash("text")
+
+    def hashes(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = pa.table({"text_hash": hash_fn(b).column("text_hash")})
+        planted = [t, t.filter(pa.array(ids % 10 == 0)),
+                   t.filter(pa.array(ids % 50 == 0))]
+        return pa.concat_tables(planted)
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hashes, batch_format="pyarrow")
+        .groupby("text_hash")
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["text_hash", "cluster_size"])
+                       .select(["cluster_size"]),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster_size")
+        .count()
+        .map_batches(
+            lambda b: b.rename_columns(["cluster_size", "n_clusters"]),
+            batch_format="pyarrow",
+        )
+    )
