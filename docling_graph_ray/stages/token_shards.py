@@ -95,7 +95,11 @@ def write_token_shards(
         toks_ds.select_columns([id_col, counts_col]),
         seq_len=seq_len, id_col=id_col, tokens_col=counts_col,
         num_buckets=num_buckets,
-    )
+    ).materialize()  # post-groupby barrier output, narrow by contract
+    if placement.count() == 0:  # degenerate: nothing has tokens
+        import ray.data as _rd
+
+        return _rd.from_arrow(MANIFEST_SCHEMA.empty_table())
     attached = lookup_join_auto(
         toks_ds, placement, on=id_col,
         value_cols=["seq_first", "offset_in_first"],

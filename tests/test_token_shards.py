@@ -113,3 +113,25 @@ def test_rerun_is_byte_identical(ray_session, tmp_path):
     _, b = _run(tmp_path / "b")
     assert {k: v["sha256"] for k, v in a.items()} \
         == {k: v["sha256"] for k, v in b.items()}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_doc_toks = st.lists(st.integers(min_value=0, max_value=1000),
+                     max_size=2 * SPAN + 3)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_toks, min_size=1, max_size=12))
+def test_property_bytes_match_reference(ray_session, tmp_path_factory, tok_lists):
+    docs = list(enumerate(tok_lists))
+    out, man = _run(tmp_path_factory.mktemp("prop"), docs=docs)
+    ref = _reference_shards(docs)
+    assert set(man) == set(ref)
+    for key, buf in ref.items():
+        raw = open(man[key]["path"], "rb").read()
+        assert raw == buf.astype("<u4").tobytes(), key
+    # manifest totals reconcile with the input
+    assert sum(m["n_tokens"] for m in man.values()) == sum(
+        len(t) for _, t in docs)
