@@ -321,6 +321,46 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_shards(args: argparse.Namespace) -> int:
+    """documents parquet → binary training shards + manifest parquet
+    (whitespace tokens hashed to ids; plug a BPE pass upstream for
+    real vocabularies — the sink only needs (doc_id, toks, n_tokens))."""
+    owns = _ray_init(args.num_cpus)
+    import zlib
+
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    from docling_graph_ray.stages.token_shards import write_token_shards
+
+    def tok(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        toks = [
+            [zlib.crc32(w.encode()) % args.vocab for w in (t or "").split()]
+            for t in texts
+        ]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "toks": pa.array(toks, pa.list_(pa.int64())),
+            "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+        })
+
+    docs = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    man = write_token_shards(
+        docs.map_batches(tok, batch_format="pyarrow"),
+        args.out,
+        seq_len=args.seq_len, seqs_per_shard=args.seqs_per_shard,
+        num_buckets=args.num_buckets, skip_existing=args.resume,
+    ).materialize()  # manifest: one tiny row per shard
+    man.write_parquet(args.out + "/_manifest")
+    print(f"shards: wrote {man.count()} shards + manifest → {args.out}")
+    if owns:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -399,6 +439,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="temperature (1 keeps all, 0 equalizes languages)")
     cu.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     cu.set_defaults(fn=cmd_curate)
+
+    sh = sub.add_parser(
+        "shards",
+        help="documents parquet → binary training shards (.bin) + "
+             "manifest (tokenize → pack → shard-bounded assembly)",
+    )
+    sh.add_argument("--input", required=True,
+                    help="documents parquet dir/file (doc_id, text)")
+    sh.add_argument("--out", required=True, help="shard output dir")
+    sh.add_argument("--seq-len", type=int, default=2048, dest="seq_len")
+    sh.add_argument("--seqs-per-shard", type=int, default=1024,
+                    dest="seqs_per_shard")
+    sh.add_argument("--num-buckets", type=int, default=64,
+                    dest="num_buckets")
+    sh.add_argument("--vocab", type=int, default=65536,
+                    help="hashed-token vocabulary size")
+    sh.add_argument("--resume", action="store_true",
+                    help="skip shards whose file already exists")
+    sh.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    sh.set_defaults(fn=cmd_shards)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -135,3 +135,35 @@ def test_property_bytes_match_reference(ray_session, tmp_path_factory, tok_lists
     # manifest totals reconcile with the input
     assert sum(m["n_tokens"] for m in man.values()) == sum(
         len(t) for _, t in docs)
+
+
+def test_shards_cli_roundtrip(ray_session, tmp_path):
+    """The `shards` CLI writes .bin files + a manifest parquet whose
+    checksums match the files on disk."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.__main__ import main
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": [f"tok{i} tok{i+1} tok{i+2} shared words" for i in range(20)],
+    }), str(src))
+    out = tmp_path / "shards"
+    rc = main(["shards", "--input", str(src), "--out", str(out),
+               "--seq-len", "8", "--seqs-per-shard", "4",
+               "--num-buckets", "2"])
+    assert rc == 0
+    man = pq.read_table(str(out / "_manifest"))
+    assert man.num_rows > 0
+    for row in man.to_pylist():
+        raw = open(row["path"], "rb").read()
+        assert hashlib.sha256(raw).hexdigest() == row["sha256"]
+        assert len(raw) == row["n_seqs"] * 8 * 4  # seq_len x uint32
+    # resume: a second run with --resume skips existing files
+    victim = man.to_pylist()[0]["path"]
+    os.utime(victim, (1, 1))
+    assert main(["shards", "--input", str(src), "--out", str(out),
+                 "--seq-len", "8", "--seqs-per-shard", "4",
+                 "--num-buckets", "2", "--resume"]) == 0
+    assert os.stat(victim).st_mtime == 1
