@@ -71,3 +71,33 @@ def test_empty_blocklist_keeps_everything(ray_session):
 def test_whitespace_entries_ignored(ray_session):
     out = blocklist_annotate(_ds(), ["  ", "", "bad.example"]).take_all()
     assert sum(r["blocked"] for r in out) == 5
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label = st.sampled_from(["a", "bb", "bad", "example", "net", "x1"])
+_host = st.lists(_label, min_size=1, max_size=4).map(".".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_host, min_size=1, max_size=12),
+       st.lists(_host, max_size=5))
+def test_property_matches_brute_suffix(ray_session, hosts, blocked):
+    """Engine verdicts equal a brute-force label-boundary suffix check
+    with longest-entry-wins for arbitrary host/blocklist mixes."""
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(hosts)), pa.int64()),
+        "url": [f"http://{h}/p" for h in hosts],
+    }))
+    out = {r["doc_id"]: r for r in blocklist_annotate(ds, blocked).take_all()}
+    bl = {d.strip().lower() for d in blocked if d.strip()}
+    for i, h in enumerate(hosts):
+        labels = h.split(".")
+        cands = [".".join(labels[k:]) for k in range(len(labels))]
+        hits = [c for c in cands if c in bl]
+        best = max(hits, key=lambda c: (len(c), c)) if hits else None
+        # longest suffix of one host is unique per depth, so first-hit
+        # (engine) == longest (brute)
+        assert out[i]["blocked"] == (best is not None), (h, blocked)
+        assert out[i]["blocked_by"] == (best or None), (h, blocked)
