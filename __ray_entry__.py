@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped counts; clusters keyed by text directly in SQL —
         # equal 64-bit content hashes <=> equal text absent collisions)
         "doc_dup_cluster_sizes": t.doc_dup_cluster_sizes,
+        # winnowing (MOSS) local fingerprints (oracle-checked r5:
+        # CRC-CTE gram hashes + window-min with rightmost-argmin join)
+        "doc_winnow_fingerprints": t.doc_winnow_fingerprints,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -1050,6 +1053,68 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# Winnowing fingerprints: per-position trigram CRC hashes, window-of-4
+# minimum with rightmost tie-break (MAX(wi) among window rows equal to
+# the window min), distinct selected positions; docs without a full
+# window emit nothing (the engine contract).
+_WINNOW_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+docs1 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                     w -> w <> '') AS arr
+  FROM documents
+),
+gall AS (
+  SELECT doc_id, t.i AS wi,
+         arr[t.i] || ' ' || arr[t.i + 1] || ' ' || arr[t.i + 2] AS f
+  FROM docs1, LATERAL unnest(range(1, len(arr) - 1)) AS t(i)
+),
+dfeat AS (SELECT DISTINCT f FROM gall),
+ffold AS (
+  SELECT f, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc FROM dfeat
+  UNION ALL
+  SELECT x.f, x.pos + 1, xor(t.entry, x.crc // 256)
+  FROM ffold x
+  JOIN crctab t
+    ON t.idx = CAST(xor(x.crc % 256,
+                        ord(substr(x.f, x.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE x.pos <= length(x.f)
+),
+fcrc AS MATERIALIZED (
+  SELECT f, CAST(xor(crc, CAST(4294967295 AS UBIGINT)) AS BIGINT) AS h
+  FROM ffold WHERE pos = length(f) + 1
+),
+gh AS MATERIALIZED (
+  SELECT g.doc_id, g.wi, fc.h FROM gall g JOIN fcrc fc USING (f)
+),
+mm AS (SELECT doc_id, COUNT(*) AS n_grams FROM gh GROUP BY doc_id),
+wmin AS (
+  SELECT doc_id, wi AS wstart,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY wi
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm
+  FROM gh
+),
+fullw AS (
+  SELECT w.doc_id, w.wstart, w.wm
+  FROM wmin w JOIN mm USING (doc_id)
+  WHERE w.wstart <= mm.n_grams - 3
+),
+sel AS (
+  SELECT f.doc_id, f.wstart, MAX(g.wi) AS wsel
+  FROM fullw f
+  JOIN gh g ON g.doc_id = f.doc_id
+           AND g.wi BETWEEN f.wstart AND f.wstart + 3
+           AND g.h = f.wm
+  GROUP BY f.doc_id, f.wstart
+),
+fp AS (SELECT DISTINCT doc_id, wsel FROM sel)
+SELECT f.doc_id, CAST(f.wsel - 1 AS BIGINT) AS pos, g.h AS gram_hash
+FROM fp f JOIN gh g ON g.doc_id = f.doc_id AND g.wi = f.wsel
+"""
+
+
 def _nd_perm_literals(num_perm: int, seed: int = 42) -> str:
     """(k, a, b) VALUES literals for the minhash permutation family --
     the same _perm_params(num_perm, seed) stream the stage draws
@@ -1781,6 +1846,8 @@ FROM sb
         "doc_dsir_select": _DSIR_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_quality_classifier": _CLF_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_ngram_novelty": _NOVELTY_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
+        "doc_winnow_fingerprints": _WINNOW_SQL.format(
+            CRCTAB=_ND_CRCTAB_SQL),
         # duplicate-cluster size histogram: SQL groups by the text
         # itself where the engine groups by its 64-bit content hash —
         # output-equivalent absent hash collisions (the doc_exact_dedup

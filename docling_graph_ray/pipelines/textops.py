@@ -2197,3 +2197,14 @@ def doc_dup_cluster_sizes(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) local fingerprints per document: word-trigram
+    crc hashes, window-of-4 min selection, rightmost ties — rows
+    (doc_id, pos, gram_hash).  Batch-local, zero shuffle.
+    Oracle-checked (r5): DuckDB recomputes the gram hashes via the CRC
+    CTE and the window selection as min-over-following-rows plus a
+    rightmost-argmin join."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: ta.winnow_fingerprint_batch(b), batch_format="pyarrow")

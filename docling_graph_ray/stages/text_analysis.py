@@ -798,3 +798,58 @@ def byte_entropy_batch(batch: pa.Table, text_col: str = "text",
         "n_bytes": pa.array(n_bytes),
         "entropy": pa.array(ent),
     })
+
+
+def winnow_fingerprint_batch(batch: pa.Table, *, text_col: str = "text",
+                             id_col: str = "doc_id", k: int = 3,
+                             w: int = 4) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprinting algorithm): hash every
+    word ``k``-gram, slide a ``w``-hash window, and in each window
+    select the minimum hash (rightmost position on ties).  The selected
+    (position, hash) set is a provably position-robust fingerprint —
+    any shared substring of at least ``k + w - 1`` words yields at
+    least one shared selected hash — which is what plagiarism/mirror
+    detection needs and a single whole-document hash
+    (``fingerprint_batch``) cannot give.
+
+    Batch-local and fully vectorized (one sliding-window argmin per
+    document); documents shorter than ``k + w - 1`` words emit no rows
+    (no full window exists — the SQL twin mirrors this contract).
+    Hashes are crc32 of the space-joined gram — the oracle-expressible
+    family.  Output rows: ``(id, pos, gram_hash)``, distinct per doc."""
+    import zlib
+
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    out_id, out_pos, out_h = [], [], []
+    for d, t in zip(ids, texts):
+        words = (t or "").split()
+        m = len(words) - k + 1
+        if m < w:
+            continue
+        h = np.fromiter(
+            (zlib.crc32(" ".join(words[i: i + k]).encode())
+             for i in range(m)),
+            np.int64, count=m)
+        win = sliding_window_view(h, w)          # (m - w + 1, w)
+        idx = (w - 1) - win[:, ::-1].argmin(axis=1)  # rightmost min
+        pos = np.arange(m - w + 1) + idx
+        sel = np.unique(pos)
+        out_id.append(np.full(len(sel), d, np.int64))
+        out_pos.append(sel)
+        out_h.append(h[sel])
+    if not out_id:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "gram_hash": pa.array([], pa.int64()),
+        })
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_id)),
+        "pos": pa.array(np.concatenate(out_pos)),
+        "gram_hash": pa.array(np.concatenate(out_h)),
+    })

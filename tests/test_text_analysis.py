@@ -264,3 +264,63 @@ def test_byte_entropy_batch(ray_session):
     assert got[1]["entropy"] == 0.0          # single byte: exactly +0.0
     assert str(got[1]["entropy"]) == "0.0"   # not "-0.0"
     assert got[6]["entropy"] == 3.0          # eight equiprobable bytes
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints
+
+
+def _winnow_brute(text, k=3, w=4):
+    import zlib
+
+    words = (text or "").split()
+    m = len(words) - k + 1
+    if m < w:
+        return set()
+    h = [zlib.crc32(" ".join(words[i: i + k]).encode()) for i in range(m)]
+    sel = set()
+    for s in range(m - w + 1):
+        win = h[s: s + w]
+        mn = min(win)
+        # rightmost minimum
+        j = max(i for i in range(w) if win[i] == mn)
+        sel.add((s + j, h[s + j]))
+    return sel
+
+
+def test_winnow_matches_bruteforce(ray_session):
+    import pyarrow as pa
+
+    from docling_graph_ray.stages.text_analysis import winnow_fingerprint_batch
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c a b c a b c a b c"),      # heavy ties → rightmost rule
+        (3, "x y z"),                        # exactly one gram: no window
+        (4, ""),                             # empty
+        (5, "one two three four five six"),
+        (6, "a b c d e f g h i j"),          # dup of 1: identical rows
+    ]
+    batch = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": [d[1] for d in docs],
+    })
+    out = winnow_fingerprint_batch(batch)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["gram_hash"]))
+    for i, t in docs:
+        assert got.get(i, set()) == _winnow_brute(t), i
+    # winnowing guarantee: identical docs share identical fingerprints
+    assert got[1] == got[6]
+
+
+def test_winnow_shared_substring_shares_a_hash():
+    """Any shared run of >= k + w - 1 words must yield at least one
+    shared selected hash — the winnowing coverage guarantee."""
+    shared = "the quick brown fox jumps over six words"
+    a = "prefix words here " + shared + " suffix tail"
+    b = "totally different opening " + shared + " other ending words"
+    ha = {h for _, h in _winnow_brute(a)}
+    hb = {h for _, h in _winnow_brute(b)}
+    assert ha & hb
