@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # winnowing (MOSS) local fingerprints (oracle-checked r5:
         # CRC-CTE gram hashes + window-min with rightmost-argmin join)
         "doc_winnow_fingerprints": t.doc_winnow_fingerprints,
+        # prefix-cluster keep-best dedup (oracle-checked r5: planted
+        # truncated recrawls; packed-int64 argmax == SQL argmax join)
+        "doc_prefix_dedup": t.doc_prefix_dedup,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -1867,6 +1870,44 @@ FROM sb
             SELECT cluster_size,
                    CAST(COUNT(*) AS BIGINT) AS n_clusters
             FROM clusters GROUP BY cluster_size
+        """,
+        # prefix-cluster keep-best dedup: same planted truncated
+        # recrawls (UNION ALL), cluster = first-6-word prefix, keeper =
+        # argmax(n_tok) with ties to min doc_id — the engine's packed
+        # int64 max(n_tok * 2^42 - doc_id) decoded, recomputed here as
+        # an explicit max + argmin join
+        "doc_prefix_dedup": """
+            WITH base AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents
+            ),
+            corpus AS (
+                SELECT doc_id, w, len(w) AS n_tok FROM base
+                UNION ALL
+                SELECT doc_id + 2000000000,
+                       w[1:(len(w) + 1) // 2], (len(w) + 1) // 2
+                FROM base WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 4000000000,
+                       w[1:(3 * len(w) + 3) // 4], (3 * len(w) + 3) // 4
+                FROM base WHERE doc_id % 21 = 0
+            ),
+            keyed AS (
+                SELECT doc_id, n_tok,
+                       array_to_string(w[1:least(6, len(w))], ' ') AS pfx
+                FROM corpus
+            ),
+            best AS (
+                SELECT pfx, max(n_tok) AS kept_tokens,
+                       CAST(count(*) AS BIGINT) AS n_members
+                FROM keyed GROUP BY pfx
+            )
+            SELECT CAST(min(k.doc_id) AS BIGINT) AS keeper_id,
+                   b.n_members,
+                   CAST(b.kept_tokens AS BIGINT) AS kept_tokens
+            FROM keyed k
+            JOIN best b ON k.pfx = b.pfx AND k.n_tok = b.kept_tokens
+            GROUP BY b.pfx, b.n_members, b.kept_tokens
         """,
         # langid confusion matrix: the doc_langid stopword-regex
         # recompute crossed with the corpus label — integer counts only

@@ -2208,3 +2208,97 @@ def doc_winnow_fingerprints(sf_dir: str):
     rightmost-argmin join."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: ta.winnow_fingerprint_batch(b), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# prefix-cluster keep-best dedup (truncated-recrawl case)
+
+
+_PREFIX_WORDS = 6
+_PRIO_SHIFT = 42          # doc_id must fit 42 bits (4.4e12 docs)
+_PRIO_TOK_MAX = 1 << 21   # n_tok must stay below 2^21 so prio fits int64
+
+
+def doc_prefix_dedup(sf_dir: str):
+    """Prefix-cluster keep-best dedup: cluster documents by their
+    first-6-word prefix (the truncated-recrawl / WET-vs-WARC twin
+    case) and keep the LONGEST member, ties to the lowest doc_id —
+    quality-aware representative selection, where the exact-dedup
+    family keeps whichever copy hashes first.
+
+    The raw corpus has no truncated twins at any sf, so the query
+    plants deterministic ones (mirrored by a UNION ALL in the SQL
+    twin): every doc_id % 7 == 0 gains a half-length recrawl at
+    doc_id + 2e9, every doc_id % 21 == 0 a 3/4-length one at
+    doc_id + 4e9 — cluster sizes 1/2/3 all appear.
+
+    Scale shape: the text never shuffles — each batch emits only
+    ``(prefix, doc_id, n_tok)`` narrow rows (prefix ≤ 6 words), the
+    argmax folds as ONE packed-int64 max through
+    ``bucketed_aggregate(combine=True)`` (map-side combiner, hash-
+    bucket shuffle): prio = n_tok * 2^42 - doc_id, so max(prio) is
+    "longest member, ties to lowest id" in a single C-path pass.
+    Packing bounds (doc_id < 2^42, n_tok < 2^21 ≈ 10 MB docs) are
+    asserted per batch.  Words split on a single space to mirror
+    DuckDB ``string_split(text, ' ')`` exactly (the segment-dedup
+    convention, stages/dedup.py:segment_rows_udf)."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    def narrow(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(b.column("text"), " ")
+        n_tok = pc.list_value_length(words).cast(pa.int64())
+        pfx = pc.binary_join(
+            pc.list_slice(words, 0, _PREFIX_WORDS), " ")
+        n = n_tok.to_numpy(zero_copy_only=False)
+        if len(n) and (n.max() >= _PRIO_TOK_MAX or ids.max() >= 1 << _PRIO_SHIFT):
+            raise ValueError("doc_prefix_dedup packing bound exceeded")
+        parts = [pa.table({
+            "pfx": pfx, "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_tok": n_tok,
+        })]
+        # planted truncated recrawls (variable-length slice → small
+        # Python loop over just the planted subset, 1/7 + 1/21 of rows)
+        wl = words.to_pylist()
+        for mod, off, num, den in ((7, 2_000_000_000, 1, 2),
+                                   (21, 4_000_000_000, 3, 4)):
+            sel = np.flatnonzero(ids % mod == 0)
+            if not len(sel):
+                continue
+            t_pfx, t_id, t_n = [], [], []
+            for i in sel:
+                w = wl[i]
+                k = (num * len(w) + den - 1) // den
+                t_pfx.append(" ".join(w[:min(_PREFIX_WORDS, k)]))
+                t_id.append(int(ids[i]) + off)
+                t_n.append(k)
+            parts.append(pa.table({
+                "pfx": pa.array(t_pfx, pa.string()),
+                "doc_id": pa.array(t_id, pa.int64()),
+                "n_tok": pa.array(t_n, pa.int64()),
+            }))
+        out = pa.concat_tables(parts)
+        prio = pc.subtract(
+            pc.shift_left(out.column("n_tok"), _PRIO_SHIFT),
+            out.column("doc_id"))
+        return pa.table({"pfx": out.column("pfx"), "prio": prio})
+
+    agg = bucketed_aggregate(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            narrow, batch_format="pyarrow"),
+        ["pfx"], [("prio", "max"), ("", "count_all")],
+        rename=["pfx", "prio", "n_members"], combine=True,
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        prio = b.column("prio").to_numpy(zero_copy_only=False)
+        # ceil((prio + doc_id) / 2^42) with doc_id in [0, 2^42)
+        kept = (prio + (1 << _PRIO_SHIFT) - 1) >> _PRIO_SHIFT
+        keeper = (kept << _PRIO_SHIFT) - prio
+        return pa.table({
+            "keeper_id": pa.array(keeper, pa.int64()),
+            "n_members": b.column("n_members").cast(pa.int64()),
+            "kept_tokens": pa.array(kept, pa.int64()),
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")

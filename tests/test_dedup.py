@@ -737,3 +737,80 @@ def test_source_overlap(ray_session):
         ("s1", "s3"): 1,   # shared one
         ("s2", "s3"): 1,   # shared one
     }
+
+
+# ---------------------------------------------------------------------------
+# prefix-cluster keep-best dedup
+
+
+def test_prefix_dedup_matches_bruteforce(ray_session, tmp_path):
+    """doc_prefix_dedup == brute-force keep-longest-then-min-id over
+    the same planted corpus, on a contrived table exercising ties,
+    doc_id 0, empty text, and sub-6-word docs."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.pipelines.textops import doc_prefix_dedup
+
+    texts = [
+        "a b c d e f g h i j",          # 10 words, %7==0 plants half
+        "a b c d e f g h",              # same 6-word prefix, 8 words
+        "a b c d e f g h i j",          # exact twin of doc 0 (tie on len)
+        "short one",                    # 2-word prefix cluster
+        "",                             # empty text -> [''] single token
+        "x y",                          # distinct prefix
+        "short one extra words here",   # longer member of 'short one'? no —
+                                        # different 5-word prefix, own cluster
+    ]
+    ids = [0, 1, 2, 3, 7, 14, 21]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "lang": pa.array(["en"] * len(ids)),
+                  "source": pa.array(["s"] * len(ids)),
+                  "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        tmp_path / "documents.parquet")
+
+    got = {
+        (r["keeper_id"], r["n_members"], r["kept_tokens"])
+        for r in doc_prefix_dedup(str(tmp_path)).take_all()
+    }
+
+    # brute force, mirroring the planted corpus
+    corpus = []
+    for i, t in zip(ids, texts):
+        w = t.split(" ")
+        corpus.append((i, w))
+        if i % 7 == 0:
+            k = (len(w) + 1) // 2
+            corpus.append((i + 2_000_000_000, w[:k]))
+        if i % 21 == 0:
+            k = (3 * len(w) + 3) // 4
+            corpus.append((i + 4_000_000_000, w[:k]))
+    clusters: dict[str, list[tuple[int, int]]] = {}
+    for i, w in corpus:
+        clusters.setdefault(" ".join(w[:6]), []).append((i, len(w)))
+    want = set()
+    for members in clusters.values():
+        kept = max(n for _, n in members)
+        keeper = min(i for i, n in members if n == kept)
+        want.add((keeper, len(members), kept))
+    assert got == want
+    # the planted half-recrawl of doc 0 must lose to the full doc, and
+    # the tie between docs 0 and 2 must resolve to the lower id
+    assert any(k == 0 and n >= 4 for k, n, _ in got)
+
+
+def test_prefix_dedup_packing_bound(ray_session, tmp_path):
+    """Packing-bound guard: a doc_id above 2^42 raises rather than
+    silently corrupting the packed argmax."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from docling_graph_ray.pipelines.textops import doc_prefix_dedup
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1 << 42], pa.int64()),
+                  "text": pa.array(["a b c"], pa.string())}),
+        tmp_path / "documents.parquet")
+    with _pytest.raises(Exception):
+        doc_prefix_dedup(str(tmp_path)).take_all()
