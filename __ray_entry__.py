@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prefix-cluster keep-best dedup (oracle-checked r5: planted
         # truncated recrawls; packed-int64 argmax == SQL argmax join)
         "doc_prefix_dedup": t.doc_prefix_dedup,
+        # per-source exact length quantiles (oracle-checked r5: grouped
+        # value histogram == DuckDB quantile_disc ... GROUP BY source)
+        "doc_source_quantiles": t.doc_source_quantiles,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -2884,6 +2887,21 @@ FROM sb
                 FROM documents
             )
             SELECT q, value FROM qv
+        """,
+        # per-source exact length quantiles: quantile_disc per source,
+        # the two aggregate lists unnested zipped (the engine's grouped
+        # value-histogram walk implements the same disc rule)
+        "doc_source_quantiles": """
+            WITH agg AS (
+                SELECT source,
+                       quantile_disc(n_chars,
+                           [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vs
+                FROM documents GROUP BY source
+            )
+            SELECT source,
+                   unnest([0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS q,
+                   unnest(vs) AS value
+            FROM agg
         """,
         # top-5 tf-idf keywords per doc; idf = ln(N/df) with N = docs
         # holding >= 1 token; (score DESC, token ASC) is a total order

@@ -2302,3 +2302,18 @@ def doc_prefix_dedup(sf_dir: str):
         })
 
     return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def doc_source_quantiles(sf_dir: str):
+    """Exact per-source document-length quantiles (p0/25/50/75/90/99/100
+    of n_chars per source domain) — the per-slice length profile a
+    curation run is tuned against.  Same bounded value-histogram shape
+    as doc_length_quantiles, keyed by (source, n_chars); the shuffle
+    moves the tiny histogram, never rows.  Rule matches DuckDB
+    quantile_disc grouped by source."""
+    from docling_graph_ray.stages.text_analysis import grouped_value_quantiles
+
+    return grouped_value_quantiles(
+        _docs(sf_dir, ["source", "n_chars"]), "source", "n_chars",
+        [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+    )
