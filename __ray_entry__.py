@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source exact length quantiles (oracle-checked r5: grouped
         # value histogram == DuckDB quantile_disc ... GROUP BY source)
         "doc_source_quantiles": t.doc_source_quantiles,
+        # count-min sketch vs exact head counts (oracle-checked r5:
+        # full counter table replayed via the CRC CTE, integer compare)
+        "doc_cms_counts": t.doc_cms_counts,
         "doc_simhash_dedup": t.doc_simhash_dedup,
         "doc_ngram_jaccard_dedup": t.doc_ngram_jaccard_dedup,
         # embedding near-dup (oracle-checked r5: emitted-model planes;
@@ -1059,6 +1062,54 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# Count-min sketch: the full (4 x 512) counter table replayed exactly —
+# salt = i || ':' || token, bucket = crc32(salt) % 512, counter = sum of
+# the token's global count into its bucket per row; estimate = min over
+# the 4 rows.  Evaluated for the exact top-20 vocabulary head.
+_CMS_SQL = r"""
+WITH RECURSIVE
+{CRCTAB},
+toks AS (
+  SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS token
+  FROM documents WHERE TRIM(text) <> ''
+),
+cnt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+),
+topk AS (
+  SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 20
+),
+salted AS (
+  SELECT c.token, c.n, s.i, CAST(s.i AS VARCHAR) || ':' || c.token AS s
+  FROM cnt c, (SELECT unnest(range(0, 4)) AS i) s
+),
+sfold AS (
+  SELECT token, n, i, s, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc
+  FROM salted
+  UNION ALL
+  SELECT f.token, f.n, f.i, f.s, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM sfold f
+  JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256,
+                        ord(substr(f.s, f.pos, 1))::UBIGINT) AS INTEGER)
+  WHERE f.pos <= length(f.s)
+),
+scrc AS (
+  SELECT token, n, i,
+         CAST(xor(crc, CAST(4294967295 AS UBIGINT)) % 512 AS BIGINT)
+           AS bucket
+  FROM sfold WHERE pos = length(s) + 1
+),
+counters AS (
+  SELECT i, bucket, SUM(n) AS c FROM scrc GROUP BY i, bucket
+)
+SELECT t.token, t.n AS n_exact, CAST(MIN(c.c) AS BIGINT) AS cms_est
+FROM topk t
+JOIN scrc s2 ON s2.token = t.token
+JOIN counters c ON c.i = s2.i AND c.bucket = s2.bucket
+GROUP BY t.token, t.n
+"""
+
 # Winnowing fingerprints: per-position trigram CRC hashes, window-of-4
 # minimum with rightmost tie-break (MAX(wi) among window rows equal to
 # the window min), distinct selected positions; docs without a full
@@ -1854,6 +1905,7 @@ FROM sb
         "doc_ngram_novelty": _NOVELTY_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         "doc_winnow_fingerprints": _WINNOW_SQL.format(
             CRCTAB=_ND_CRCTAB_SQL),
+        "doc_cms_counts": _CMS_SQL.format(CRCTAB=_ND_CRCTAB_SQL),
         # duplicate-cluster size histogram: SQL groups by the text
         # itself where the engine groups by its 64-bit content hash —
         # output-equivalent absent hash collisions (the doc_exact_dedup

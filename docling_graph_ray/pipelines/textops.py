@@ -2317,3 +2317,26 @@ def doc_source_quantiles(sf_dir: str):
         _docs(sf_dir, ["source", "n_chars"]), "source", "n_chars",
         [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
     )
+
+
+def doc_cms_counts(sf_dir: str, k: int = 20):
+    """Count-min-sketch token frequencies evaluated against exact
+    counts for the top-k vocabulary head — the sketch-accuracy report
+    a streaming frequency pass ships with.  The sketch itself is ONE
+    corpus pass folding (4 × 512) counter partials (mergeable,
+    payload independent of vocabulary); the exact side reuses the
+    doc_top_tokens combiner shape and exists only to ground the
+    estimates.  Deterministic crc32 salts, so the DuckDB twin replays
+    the whole sketch bit-exactly through the CRC CTE; integer
+    columns, exact compare."""
+    from docling_graph_ray.stages.sketch import cms_estimate, cms_sketch
+
+    counters = cms_sketch(_docs(sf_dir, ["text"]))
+    top = doc_top_tokens(sf_dir, k=k).take_all()
+    tokens = [r["token"] for r in top]
+    est = cms_estimate(counters, tokens)
+    return pa.table({
+        "token": pa.array(tokens, pa.string()),
+        "n_exact": pa.array([r["n"] for r in top], pa.int64()),
+        "cms_est": pa.array(est, pa.int64()),
+    })

@@ -439,3 +439,74 @@ def oov_rate(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # buckets per row
+
+
+def _cms_buckets(tokens: list, d: int, w: int) -> np.ndarray:
+    """Deterministic (d, len(tokens)) bucket matrix: row i uses
+    crc32(f"{i}:{token}") % w — the salt convention the DuckDB twin
+    replays through the CRC CTE."""
+    import zlib
+
+    out = np.empty((d, len(tokens)), np.int64)
+    for j, tok in enumerate(tokens):
+        b = str(tok).encode("utf-8", "surrogatepass")
+        for i in range(d):
+            out[i, j] = zlib.crc32(b"%d:%s" % (i, b)) % w
+    return out
+
+
+def cms_sketch(ds, *, text_col: str = "text", d: int = CMS_D,
+               w: int = CMS_W) -> np.ndarray:
+    """Count-min sketch of the corpus token multiset: ONE streaming
+    pass, each batch folds its local token counts into a (d, w) int64
+    counter partial (only nonzero slots leave the batch), partials
+    merge with a slot-keyed sum — the mergeable-sketch shape (same
+    contract as the HLL registers above).  At 100 TB the shuffle
+    payload is ≤ batches × d × w slot rows, independent of corpus
+    token volume or vocabulary."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.schema([("slot", pa.int64()),
+                           ("n", pa.int64())]).empty_table()
+        if b.num_rows == 0 or text_col not in b.schema.names:
+            return empty
+        toks, counts, _ = _token_counts(b, text_col)
+        if len(toks) == 0:
+            return empty
+        ns = counts.to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = _cms_buckets(toks.to_pylist(), d, w)
+        counters = np.zeros((d, w), np.int64)
+        for i in range(d):
+            np.add.at(counters[i], buckets[i], ns)
+        flat = counters.ravel()
+        nz = np.flatnonzero(flat)
+        return pa.table({"slot": pa.array(nz, pa.int64()),
+                         "n": pa.array(flat[nz], pa.int64())})
+
+    counters = np.zeros((d, w), np.int64)
+    for r in bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["slot"], [("n", "sum")], rename=["slot", "n"], combine=True,
+    ).take_all():
+        counters[r["slot"] // w, r["slot"] % w] = r["n"]
+    return counters
+
+
+def cms_estimate(counters: np.ndarray, tokens: list) -> np.ndarray:
+    """Point-query the sketch: est(token) = min over rows of the
+    token's bucket counter.  Never underestimates the true count."""
+    d, w = counters.shape
+    if not tokens:
+        return np.zeros(0, np.int64)
+    buckets = _cms_buckets(tokens, d, w)
+    return np.min(
+        np.stack([counters[i, buckets[i]] for i in range(d)]), axis=0)

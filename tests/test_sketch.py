@@ -197,3 +197,49 @@ def test_oov_rate(ray_session):
         assert out[i]["n_tokens"] == len(ws)
         assert abs(out[i]["oov_rate"] - want_rate) < 1e-9, (i, out[i])
     assert out[5]["oov_rate"] == 1.0 and out[2]["oov_rate"] == 0.0
+
+
+# count-min sketch
+
+
+def test_cms_never_underestimates_and_merges(ray_session):
+    """CMS point estimates are >= true counts (never under), equal the
+    truth when the vocabulary is far smaller than the bucket space,
+    and the sketch of a union equals the elementwise sum of the
+    parts' sketches (the mergeable contract)."""
+    import collections
+
+    import numpy as np
+    import ray
+
+    from docling_graph_ray.stages.sketch import cms_estimate, cms_sketch
+
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i}" for i in range(40)]
+    docs_a = [" ".join(rng.choice(vocab, rng.randint(5, 60)))
+              for _ in range(120)]
+    docs_b = [" ".join(rng.choice(vocab, rng.randint(5, 60)))
+              for _ in range(80)]
+
+    def exact(docs):
+        c = collections.Counter()
+        for d in docs:
+            c.update(d.split())
+        return c
+
+    def tbl(docs):
+        return ray.data.from_arrow(
+            pa.table({"text": pa.array(docs)})).repartition(5)
+
+    sk_a = cms_sketch(tbl(docs_a))
+    sk_b = cms_sketch(tbl(docs_b))
+    sk_ab = cms_sketch(tbl(docs_a + docs_b))
+    assert (sk_ab == sk_a + sk_b).all()          # mergeable
+
+    truth = exact(docs_a + docs_b)
+    est = cms_estimate(sk_ab, vocab)
+    true = np.array([truth[t] for t in vocab])
+    assert (est >= true).all()                    # CMS guarantee
+    # 40 tokens x 4 rows into 512 buckets: collisions possible but the
+    # min over 4 independent rows resolves them at this density
+    assert (est == true).all()
