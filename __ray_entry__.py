@@ -267,6 +267,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # header-only probe vs the fixture's declared metadata
         # (oracle-checked r5)
         "media_probe": t.media_probe,
+        # train/test split-leakage audit (oracle-checked r5: planted
+        # recrawl twins; clusters keyed by text directly in SQL)
+        "doc_split_leakage": t.doc_split_leakage,
+        # per-source tokenizer fertility (oracle-checked r5: emitted
+        # merge list + the proven replay CTE; ROUND(…,6) ratios over
+        # exact integer sums)
+        "doc_bpe_fertility": t.doc_bpe_fertility,
     }
 
 
@@ -3541,5 +3548,87 @@ FROM sb
             SELECT 'D_' || p.url, p.url, p.val, CAST(-1 AS INTEGER),
                    'derived', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
             FROM probes p WHERE p.url NOT IN (SELECT url FROM hits)
+        """,
+        # split-leakage audit: same planted recrawl twins (UNION ALL),
+        # the proven mix32 split arithmetic, clusters keyed by text
+        # (equal 64-bit content hashes <=> equal text absent collisions)
+        "doc_split_leakage": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT doc_id + 20000000, text FROM documents
+                WHERE doc_id % 50 = 0
+            ),
+            m1 AS (SELECT doc_id, text,
+                          xor(doc_id >> 16, doc_id) * 73244475
+                            % 4294967296 AS x
+                   FROM corpus),
+            m2 AS (SELECT doc_id, text,
+                          xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            s AS (SELECT doc_id, text,
+                         CASE WHEN xor(x >> 16, x) % 100 < 80 THEN 'train'
+                              WHEN xor(x >> 16, x) % 100 < 90 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM m2),
+            c AS (
+                SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs,
+                       SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                         AS n_train,
+                       SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                         AS n_val,
+                       SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                         AS n_test
+                FROM s GROUP BY text
+            )
+            SELECT CAST(keeper_id AS BIGINT) AS keeper_id,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_train AS BIGINT) AS n_train,
+                   CAST(n_val AS BIGINT) AS n_val,
+                   CAST(n_test AS BIGINT) AS n_test,
+                   concat_ws('+',
+                       CASE WHEN n_train > 0 THEN 'train' END,
+                       CASE WHEN n_val > 0 THEN 'val' END,
+                       CASE WHEN n_test > 0 THEN 'test' END) AS splits
+            FROM c
+            WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
+                   + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) >= 2
+        """,
+        # per-source tokenizer fertility: replay the emitted merge list
+        # (the proven doc_bpe_apply CTE), join source, exact integer
+        # sums, ROUND(…,6) ratios
+        "doc_bpe_fertility": _bpe_replay_cte(
+            "/tmp/graft_oracle_bpe_fert_merges.parquet") + """
+            , wcount AS (
+              SELECT word, CAST(len(ts) AS BIGINT) AS wn FROM toks
+              WHERE k = (SELECT count(*) FROM merges)
+            ),
+            docwords AS (
+              SELECT doc_id, source, unnest(regexp_split_to_array(
+                  trim(coalesce(text,'')), '\\s+')) AS word
+              FROM documents
+            ),
+            perdoc AS (
+              SELECT d.doc_id, d.source,
+                     COUNT(*) AS nw, SUM(COALESCE(w.wn, 0)) AS nt
+              FROM docwords d LEFT JOIN wcount w USING (word)
+              GROUP BY 1, 2
+            ),
+            chars AS (SELECT doc_id,
+                             length(coalesce(text,'')) AS nc
+                      FROM documents)
+            SELECT p.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(p.nw) AS BIGINT) AS n_words,
+                   CAST(SUM(c.nc) AS BIGINT) AS n_chars,
+                   CAST(SUM(p.nt) AS BIGINT) AS n_bpe_tokens,
+                   ROUND(SUM(p.nt) * 1.0 / SUM(p.nw), 6) AS tokens_per_word,
+                   ROUND(SUM(c.nc) * 1.0 / SUM(p.nt), 6) AS chars_per_token
+            FROM perdoc p JOIN chars c USING (doc_id)
+            GROUP BY 1
         """,
     }

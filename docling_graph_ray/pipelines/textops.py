@@ -229,9 +229,15 @@ def _fit_bigram_model(docs):
         .map_batches(lambda t: t.rename_columns(["pair", "n"]),
                      batch_format="pyarrow")
     )
-    model = build_bigram_model(pa.concat_tables(
-        ray.get(summed.to_arrow_refs())
-    ))
+    # an aggregate partition with no rows materializes as a SCHEMA-LESS
+    # empty block (Ray emits "new schema: ." warnings) — concat_tables
+    # refuses the mixed schemas, so drop empties before the fold
+    parts = [t for t in ray.get(summed.to_arrow_refs()) if t.num_rows]
+    model = build_bigram_model(
+        pa.concat_tables(parts) if parts else pa.table(
+            {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    )
     return ray.put(model)
 
 
@@ -2340,3 +2346,156 @@ def doc_cms_counts(sf_dir: str, k: int = 20):
         "n_exact": pa.array([r["n"] for r in top], pa.int64()),
         "cms_est": pa.array(est, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# train/test split-leakage audit + tokenizer fertility
+
+
+def doc_split_leakage(sf_dir: str):
+    """Train/val/test contamination audit: exact-content clusters whose
+    members land in MORE THAN ONE split — the data-leakage report every
+    training-data pipeline ships before a model sees the splits (cf. the
+    decontamination rung, which handles *benchmark* leakage; this is the
+    *internal* train->test variant).
+
+    The raw corpus has no exact duplicates at any sf, so the query
+    plants deterministic recrawl twins (every ``doc_id % 10 == 0`` again
+    at ``id + 10_000_000``, every ``% 50 == 0`` a third time at
+    ``id + 20_000_000`` — fresh ids draw independent ``mix32`` splits),
+    mirrored by a UNION ALL in the DuckDB twin.
+
+    Scale shape: per-batch planting + split assignment are row-local;
+    only ``(text_hash, min-id, split-flag)`` rows shuffle through ONE
+    combiner-first bucketed aggregate (text never moves); the leaked
+    filter runs over cluster rows.  Output one row per leaked cluster:
+    ``(keeper_id, n_docs, n_train, n_val, n_test, splits)``.
+    """
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.dedup import add_text_hash
+    from docling_graph_ray.stages.sampling import split_assign_batch
+
+    hash_fn = add_text_hash("text")
+    split_fn = split_assign_batch("doc_id")
+
+    def plant_and_flag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        planted = [b]
+        for mod, off in ((10, 10_000_000), (50, 20_000_000)):
+            tw = b.filter(pa.array(ids % mod == 0))
+            planted.append(tw.set_column(
+                tw.schema.get_field_index("doc_id"), "doc_id",
+                pc.add(tw.column("doc_id"), off)))
+        full = split_fn(hash_fn(pa.concat_tables(planted)))
+        split = full.column("split").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "text_hash": full.column("text_hash"),
+            "doc_id": full.column("doc_id"),
+            "is_train": pa.array((split == "train").astype(np.int64)),
+            "is_val": pa.array((split == "val").astype(np.int64)),
+            "is_test": pa.array((split == "test").astype(np.int64)),
+        })
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant_and_flag, batch_format="pyarrow")
+    agg = bucketed_aggregate(
+        rows, ["text_hash"],
+        [("doc_id", "min"), ("", "count_all"),
+         ("is_train", "sum"), ("is_val", "sum"), ("is_test", "sum")],
+        rename=["text_hash", "keeper_id", "n_docs",
+                "n_train", "n_val", "n_test"],
+        combine=True,
+    )
+
+    def leaked_only(t: pa.Table) -> pa.Table:
+        ntr = t.column("n_train").to_numpy(zero_copy_only=False)
+        nv = t.column("n_val").to_numpy(zero_copy_only=False)
+        nt = t.column("n_test").to_numpy(zero_copy_only=False)
+        keep = ((ntr > 0).astype(np.int64) + (nv > 0) + (nt > 0)) >= 2
+        t = t.filter(pa.array(keep))
+        ntr, nv, nt = ntr[keep], nv[keep], nt[keep]
+        # leaked clusters are rare by construction — the python join
+        # below runs over the handful of survivors, not the corpus
+        splits = pa.array([
+            "+".join(s for s, f in (("train", a), ("val", b), ("test", c))
+                     if f)
+            for a, b, c in zip(ntr, nv, nt)
+        ], pa.string())
+        return pa.table({
+            "keeper_id": t.column("keeper_id").cast(pa.int64()),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_train": t.column("n_train").cast(pa.int64()),
+            "n_val": t.column("n_val").cast(pa.int64()),
+            "n_test": t.column("n_test").cast(pa.int64()),
+            "splits": splits,
+        })
+
+    return agg.map_batches(leaked_only, batch_format="pyarrow")
+
+
+# Fixed emitted-merge-list location for the fertility oracle (its own
+# file — no cross-query ordering dependency).
+BPE_MERGES_FERT_OUT = "/tmp/graft_oracle_bpe_fert_merges.parquet"
+
+
+def doc_bpe_fertility(sf_dir: str, merges: int = 20):
+    """Per-source tokenizer fertility: tokens/word and chars/token by
+    crawl source under the corpus-trained BPE — the tokenizer-choice
+    evaluation every multilingual/multi-source training set runs (high
+    fertility on a source = that source pays more sequence length per
+    word).  Train (one pass) -> tokenize (actor pool, ``carry_cols``
+    rides ``source`` through) -> combiner-first per-source sums (the
+    group domain is the source catalog, a true dim).
+
+    Oracle-checked (emitted-model pattern): merges parquet ->
+    ``_bpe_replay_cte`` re-derives every word's token count; ratios
+    ROUND(…, 6) both sides over exact integer sums."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.text_analysis import BPETokenizer, bpe_train
+
+    learned = bpe_train(_docs(sf_dir, ["text"]), merges=merges)
+    _write_bpe_merges(learned, BPE_MERGES_FERT_OUT)
+
+    def with_chars(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_chars_raw",
+            pc.utf8_length(pc.fill_null(b.column("text"), "")).cast(pa.int64()))
+
+    per_doc = (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(with_chars, batch_format="pyarrow")
+        .map_batches(
+            BPETokenizer,
+            fn_constructor_kwargs={
+                "merges": learned,
+                "carry_cols": ("source", "n_chars_raw"),
+                "emit_word_count": True,
+            },
+            batch_format="pyarrow",
+            concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
+                                  batch_size=1024),
+        )
+    )
+    agg = bucketed_aggregate(
+        per_doc, ["source"],
+        [("", "count_all"), ("n_words", "sum"),
+         ("n_chars_raw", "sum"), ("n_bpe_tokens", "sum")],
+        rename=["source", "n_docs", "n_words", "n_chars", "n_bpe_tokens"],
+        combine=True,
+    )
+
+    def ratios(t: pa.Table) -> pa.Table:
+        nw = t.column("n_words").to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        ntok = t.column("n_bpe_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs").cast(pa.int64()),
+            "n_words": t.column("n_words").cast(pa.int64()),
+            "n_chars": t.column("n_chars").cast(pa.int64()),
+            "n_bpe_tokens": t.column("n_bpe_tokens").cast(pa.int64()),
+            "tokens_per_word": pa.array(np.round(ntok / nw, 6)),
+            "chars_per_token": pa.array(np.round(nc / ntok, 6)),
+        })
+
+    return agg.map_batches(ratios, batch_format="pyarrow")

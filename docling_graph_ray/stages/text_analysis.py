@@ -716,16 +716,22 @@ class BPETokenizer:
     factorize + a groupby-sum.  Encoding applies merges in rank order
     (equivalent to lowest-rank-adjacent-pair iteration).
 
-    Emits ``(id_col, n_bpe_tokens)``.
+    Emits ``(id_col, n_bpe_tokens)``; ``carry_cols`` appends extra input
+    columns unchanged (rows are 1:1 with input) and ``emit_word_count``
+    appends the whitespace word count — both additive, default off, so
+    existing callers and their oracles are untouched.
     """
 
     def __init__(self, merges: list, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", carry_cols: tuple = (),
+                 emit_word_count: bool = False):
         self.merges = [(l, r) for _, l, r, *_ in merges] if (
             merges and len(merges[0]) >= 4
         ) else list(merges)
         self.text_col = text_col
         self.id_col = id_col
+        self.carry_cols = tuple(carry_cols)
+        self.emit_word_count = bool(emit_word_count)
         self.cache: dict[str, int] = {}  # word -> token count
 
     def _encode_len(self, w: str) -> int:
@@ -759,10 +765,15 @@ class BPETokenizer:
         tok_per_word = per_unique[codes] if len(codes) else np.zeros(0, np.int64)
         sums = np.zeros(len(counts), np.int64)
         np.add.at(sums, doc_ix, tok_per_word)
-        return pa.table({
+        cols = {
             self.id_col: batch.column(self.id_col),
             "n_bpe_tokens": pa.array(sums),
-        })
+        }
+        if self.emit_word_count:
+            cols["n_words"] = pa.array(counts)
+        for c in self.carry_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
 
 def byte_entropy_batch(batch: pa.Table, text_col: str = "text",
