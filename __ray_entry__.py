@@ -255,6 +255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the float32 scale defaults stay — the queries pass float64)
         "emb_lsh_topk": t.emb_lsh_topk,
         "emb_ivf_topk": t.emb_ivf_topk,
+        # product-quantization ADC top-k (oracle-checked r5: emitted
+        # per-subspace codebooks; SQL recomputes encoding, LUT, ADC
+        # sums and the rounded ranking)
+        "emb_pq_topk": t.emb_pq_topk,
         "pages_flagship": t.pages_flagship,
         # same corpus ingested from WARC containers (cross-lane equality
         # oracle vs the Parquet-lane dump; also pytest-checked)
@@ -3597,6 +3601,58 @@ FROM sb
             WHERE (CASE WHEN n_train > 0 THEN 1 ELSE 0 END
                    + CASE WHEN n_val > 0 THEN 1 ELSE 0 END
                    + CASE WHEN n_test > 0 THEN 1 ELSE 0 END) >= 2
+        """,
+        # product-quantization ADC top-k against the emitted codebooks
+        # (queries()["emb_pq_topk"] writes them first): per-subspace
+        # encoding = L2 argmin with code-asc ties (numpy argmin = first
+        # min; list_distance is the monotone sqrt of the engine's
+        # squared L2), LUT = subvector inner products, ADC = SUM of m
+        # lookups, ranking by (round(ip,6) DESC, vec_id ASC) — the same
+        # key the engine's partial AND final top-k sort by
+        "emb_pq_topk": """
+            WITH cb AS (
+              SELECT sub, code, centroid
+              FROM read_parquet('/tmp/graft_oracle_pq_codebooks.parquet')
+            ),
+            subs AS (SELECT unnest(range(0, 8)) AS sub),
+            vsub AS (
+              SELECT e.vec_id, s.sub,
+                     list_slice(e.embedding::DOUBLE[],
+                                s.sub * 8 + 1, s.sub * 8 + 8) AS v
+              FROM embeddings e, subs s
+            ),
+            enc AS (
+              SELECT vec_id, sub, code FROM (
+                SELECT v.vec_id, v.sub, cb.code,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, v.sub
+                           ORDER BY list_distance(v.v, cb.centroid) ASC,
+                                    cb.code ASC) AS rn
+                FROM vsub v JOIN cb USING (sub))
+              WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ),
+            lut AS (
+              SELECT q.query_id, cb.sub, cb.code,
+                     list_inner_product(
+                         list_slice(q.qe, cb.sub * 8 + 1, cb.sub * 8 + 8),
+                         cb.centroid) AS ip
+              FROM q, cb
+            ),
+            adc AS (
+              SELECT l.query_id, e.vec_id, SUM(l.ip) AS ip
+              FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+              GROUP BY 1, 2
+            )
+            SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id,
+                   ROUND(ip, 6) AS adc
+            FROM adc
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY ROUND(ip, 6) DESC, vec_id ASC) <= 10
         """,
         # per-source tokenizer fertility: replay the emitted merge list
         # (the proven doc_bpe_apply CTE), join source, exact integer

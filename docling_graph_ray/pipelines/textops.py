@@ -1227,6 +1227,46 @@ def emb_ivf_topk(sf_dir: str, k: int = 10):
     )
 
 
+# Fixed emitted-codebook location for the PQ oracle.
+PQ_CODEBOOKS_OUT = "/tmp/graft_oracle_pq_codebooks.parquet"
+
+
+def emb_pq_topk(sf_dir: str, k: int = 10):
+    """Product-quantization ADC top-k (Jégou et al. 2011) — the
+    memory-compression ANN scale path: vectors live as m uint8 codes
+    (32x smaller than f32), queries scan a per-query lookup table
+    instead of full-dimension dots.  Oracle-checked (the emitted-model
+    pattern): the trained ``(sub, code, centroid)`` codebooks are
+    written to ``PQ_CODEBOOKS_OUT``; the DuckDB twin recomputes every
+    vector's per-subspace encoding (L2 argmin, code-asc ties), every
+    query's LUT, the ADC sums and the final ranking by
+    ``(round(ip, 6) DESC, vec_id ASC)``.  The Lloyd's training stays
+    numpy; the claimed encoding + ranking are fully SQL-verified."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    q, qids = _query_matrix(sf_dir)
+    embs = _embs(sf_dir, ["vec_id", "embedding"])
+    cb = pq_train_codebooks(embs, m=8, n_codes=16, iters=5)
+    m, n_codes, _sub = cb.shape
+    pq.write_table(
+        pa.table({
+            "sub": pa.array([s for s in range(m) for _ in range(n_codes)],
+                            pa.int64()),
+            "code": pa.array(list(range(n_codes)) * m, pa.int64()),
+            "centroid": pa.array(
+                [cb[s, c].tolist() for s in range(m) for c in range(n_codes)],
+                pa.list_(pa.float64())),
+        }),
+        PQ_CODEBOOKS_OUT,
+    )
+    return pq_adc_topk(embs, q, cb, k=k, query_ids=qids)
+
+
 def template_field_profile(sf_dir: str):
     """Distributed field profiling of the documents table for template
     induction (templategen.profile_columns + exact distinct counts):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _as_matrix(col, dtype=np.float32) -> np.ndarray:
@@ -515,3 +516,152 @@ def cluster_outliers(ds, centroids: np.ndarray, *, k: int = 5,
         .groupby("cluster")
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-compression ANN scale path
+
+
+def pq_train_codebooks(ds, *, m: int = 8, n_codes: int = 16,
+                       emb_col: str = "embedding", id_col: str = "vec_id",
+                       iters: int = 5) -> np.ndarray:
+    """Train per-subspace PQ codebooks ``(m, n_codes, sub_dim)`` float64.
+
+    The 100 TB rationale: PQ stores each vector as ``m`` uint8 codes
+    (64-dim f32 -> 8 bytes, a 32x compression), so a corpus-scale
+    embedding store fits the object store and ADC scans run off a tiny
+    LUT (Jégou et al. 2011).  Training is Lloyd's per subspace, ALL
+    subspaces folded in ONE streaming pass per iteration — the reduce
+    payload is ``m × n_codes × (sub_dim + 1)`` floats per batch, never
+    the corpus.  Init is deterministic: the subvectors of the
+    ``n_codes`` lowest-``id_col`` rows (a per-block partial min-k, so
+    block order cannot leak into the seed).  Assignment is squared-L2
+    argmin with first-min (code-ascending) ties; empty codes keep their
+    previous centroid (the standard Lloyd fallback)."""
+    import ray
+
+    # --- deterministic init: n_codes lowest ids, per-block partial min-k
+    def low_k(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[(id_col, "ascending")])
+        return batch.select([id_col, emb_col]).take(idx[:n_codes])
+
+    seed_parts = [
+        b for b in ds.map_batches(low_k, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    seed = pa.concat_tables(seed_parts)
+    seed = seed.take(pc.sort_indices(
+        seed, sort_keys=[(id_col, "ascending")])[:n_codes])
+    dim = len(seed.column(emb_col)[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    init = _as_matrix(seed.column(emb_col), np.float64)
+    if init.shape[0] < n_codes:
+        raise ValueError(
+            f"need >= {n_codes} rows to seed PQ codebooks, got {init.shape[0]}")
+    cb = init.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()  # (m,K,sub)
+
+    for _ in range(iters):
+        ref = ray.put(cb)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)  # (m, K, sub)
+            v = _as_matrix(batch.column(emb_col), np.float64)
+            vs = v.reshape(len(v), m, sub)
+            subs, codes_out, sums_out, ns = [], [], [], []
+            for s in range(m):
+                d = ((vs[:, s, None, :] - c[s][None, :, :]) ** 2).sum(-1)
+                a = d.argmin(axis=1)  # first min = code-asc ties
+                sums = np.zeros((n_codes, sub), dtype=np.float64)
+                np.add.at(sums, a, vs[:, s, :])
+                cnt = np.bincount(a, minlength=n_codes).astype(np.int64)
+                subs.extend([s] * n_codes)
+                codes_out.extend(range(n_codes))
+                sums_out.extend(list(sums))
+                ns.extend(cnt.tolist())
+            return pa.table({
+                "sub": pa.array(subs, pa.int64()),
+                "code": pa.array(codes_out, pa.int64()),
+                "vsum": pa.array(sums_out, pa.list_(pa.float64())),
+                "n": pa.array(ns, pa.int64()),
+            })
+
+        sums = np.zeros((m, n_codes, sub), dtype=np.float64)
+        counts = np.zeros((m, n_codes), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            ss = b.column("sub").to_numpy(zero_copy_only=False)
+            cc = b.column("code").to_numpy(zero_copy_only=False)
+            vs = np.asarray(b.column("vsum").to_pylist(), dtype=np.float64)
+            nn = b.column("n").to_numpy(zero_copy_only=False)
+            np.add.at(sums, (ss, cc), vs)
+            np.add.at(counts, (ss, cc), nn)
+        nonzero = counts > 0
+        cb = np.where(nonzero[..., None],
+                      sums / np.maximum(counts, 1)[..., None], cb)
+    return cb
+
+
+def pq_adc_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
+                k: int = 10, id_col: str = "vec_id",
+                emb_col: str = "embedding",
+                query_ids: list[int] | None = None):
+    """Asymmetric-distance (ADC) inner-product top-k over PQ codes.
+
+    One streaming pass: each batch encodes its vectors (squared-L2
+    argmin per subspace against the broadcast codebooks) and scores
+    every query via the per-query LUT ``lut[m, code] = <q_m, c_mcode>``
+    — the approximate IP is a sum of ``m`` table lookups, no
+    full-dimension dot per candidate.  Partial per-block top-k rows are
+    ranked by ``(round(ip, 6) DESC, id ASC)`` — the SAME key the final
+    merge and the DuckDB twin use, so the block boundary cannot flip a
+    rounded tie.  Returns ``(query_id, vec_id, adc)`` with k rows per
+    query; ``adc`` is the rounded approximate inner product."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    m, n_codes, sub = codebooks.shape
+    qids = query_ids if query_ids is not None else list(range(q.shape[0]))
+    # lut[j, s, c] = <q_j restricted to subspace s, codebook[s, c]>
+    qs = q.reshape(q.shape[0], m, sub)
+    lut = np.einsum("jms,mcs->jmc", qs, codebooks)
+    ref = ray.put((codebooks, lut))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        c, lt = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        v = _as_matrix(batch.column(emb_col), np.float64)
+        vs = v.reshape(len(v), m, sub)
+        codes = np.empty((len(v), m), dtype=np.int64)
+        for s in range(m):
+            d = ((vs[:, s, None, :] - c[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d.argmin(axis=1)
+        # adc[j, i] = sum_s lut[j, s, codes[i, s]]
+        adc = lt[:, np.arange(m)[None, :], codes].sum(axis=2)  # (nq, n)
+        out_q, out_v, out_a = [], [], []
+        kk = min(k, len(ids))
+        for j in range(q.shape[0]):
+            r = np.round(adc[j], 6)
+            order = np.lexsort((ids, -r))[:kk]  # round desc, id asc
+            out_q.extend([qids[j]] * kk)
+            out_v.extend(ids[order].tolist())
+            out_a.extend(r[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "adc": pa.array(out_a, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("adc", "descending"), (id_col, "ascending")]
+        )
+        return group.take(idx[:k])
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow")
