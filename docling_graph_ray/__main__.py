@@ -36,7 +36,100 @@ def _ray_init(num_cpus: int | None) -> bool:
     return True
 
 
+_INIT_CONFIG = """\
+# docling_graph_ray pipeline configuration (written by `init`).
+# Values here are DEFAULTS for `extract --config <this file>`; explicit
+# CLI flags always win.  Reference analogue: cli/commands/init.py
+# (interactive); this scaffold is non-interactive by design — edit it.
+input: ./pages_parquet      # pages parquet dir/file (url, warc_ts, html, text, lang)
+out: ./extract_run          # run output dir (partitioned parquet + manifests)
+partitions: 64              # url-hash partitions (resume granularity)
+num_cpus: null              # null = let ray size the local session
+resume: true                # skip partitions with committed manifests
+shuffle_codec: zlib         # zlib | null — text payload through the shuffle
+"""
+
+
+def cmd_init(args: argparse.Namespace) -> int:
+    path = args.out or "docling_graph_ray.yaml"
+    if os.path.exists(path) and not args.force:
+        print(f"init: {path} already exists (use --force to overwrite)")
+        return 1
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_INIT_CONFIG)
+    print(f"init: wrote {path}\nnext: edit it, then run\n"
+          f"  python -m docling_graph_ray extract --config {path}")
+    return 0
+
+
+def cmd_inspect(args: argparse.Namespace) -> int:
+    """Graph export (nodes.csv/edges.csv dir, or graph.json) →
+    self-contained interactive HTML (reference: cli/commands/inspect.py
+    — browser-opening dropped; the HTML file is the product)."""
+    from docling_graph_ray.visualize import export_graph_html
+
+    path = args.path
+    fmt = args.format
+    if fmt == "auto":
+        fmt = "json" if os.path.isfile(path) else "csv"
+    if fmt == "json":
+        from docling_graph_ray.stages.exporters import import_graph_json
+
+        nodes, edges, _meta = import_graph_json(path)
+    elif fmt == "csv":
+        import pandas as pd
+
+        nodes_p = os.path.join(path, "nodes.csv")
+        edges_p = os.path.join(path, "edges.csv")
+        for p in (nodes_p, edges_p):
+            if not os.path.exists(p):
+                print(f"inspect: missing {p}")
+                return 1
+        nodes = pd.read_csv(nodes_p).to_dict("records")
+        edges = pd.read_csv(edges_p).to_dict("records")
+    else:
+        print(f"inspect: unknown format {fmt!r} (csv | json)")
+        return 1
+    out = args.out or (
+        path[: -len(".json")] + ".html" if fmt == "json"
+        else os.path.join(path, "graph.html"))
+    export_graph_html(nodes, edges, out,
+                      max_nodes=args.max_nodes,
+                      title=os.path.basename(path.rstrip("/")))
+    print(f"inspect: wrote {out} ({len(nodes)} nodes, {len(edges)} edges)")
+    return 0
+
+
+def _apply_config(args: argparse.Namespace) -> None:
+    """Fill unset extract args from a YAML config (CLI flags win)."""
+    if not getattr(args, "config", None):
+        if not args.input or not args.out:
+            raise SystemExit("extract: --input/--out required "
+                             "(or pass --config)")
+        if args.partitions is None:
+            args.partitions = 64
+        return
+    import yaml
+
+    with open(args.config, encoding="utf-8") as f:
+        cfg = yaml.safe_load(f) or {}
+    args.input = args.input or cfg.get("input")
+    args.out = args.out or cfg.get("out")
+    if args.partitions is None:
+        args.partitions = int(cfg.get("partitions") or 64)
+    if args.num_cpus is None and cfg.get("num_cpus"):
+        args.num_cpus = int(cfg["num_cpus"])
+    if not args.no_resume and cfg.get("resume") is False:
+        args.no_resume = True
+    if not args.no_shuffle_codec and cfg.get("shuffle_codec", "zlib") in (
+            None, "null", "none"):
+        args.no_shuffle_codec = True
+    if not args.input or not args.out:
+        raise SystemExit("extract: input/out missing from flags AND config")
+
+
 def cmd_extract(args: argparse.Namespace) -> int:
+    _apply_config(args)
     owns = _ray_init(args.num_cpus)
     import ray
     import ray.data
@@ -365,10 +458,28 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="docling_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    ini = sub.add_parser("init", help="write a pipeline config scaffold")
+    ini.add_argument("--out", default=None,
+                     help="config path (default docling_graph_ray.yaml)")
+    ini.add_argument("--force", action="store_true")
+    ini.set_defaults(fn=cmd_init)
+
+    ins = sub.add_parser(
+        "inspect", help="graph export (csv dir / graph.json) → HTML view")
+    ins.add_argument("path", help="nodes.csv+edges.csv dir, or graph.json")
+    ins.add_argument("--format", default="auto",
+                     choices=["auto", "csv", "json"])
+    ins.add_argument("--out", default=None, help="output HTML path")
+    ins.add_argument("--max-nodes", type=int, default=2000,
+                     dest="max_nodes")
+    ins.set_defaults(fn=cmd_inspect)
+
     ex = sub.add_parser("extract", help="pages parquet → extraction run")
-    ex.add_argument("--input", required=True, help="pages parquet dir/file")
-    ex.add_argument("--out", required=True, help="run output dir")
-    ex.add_argument("--partitions", type=int, default=64)
+    ex.add_argument("--input", default=None, help="pages parquet dir/file")
+    ex.add_argument("--out", default=None, help="run output dir")
+    ex.add_argument("--config", default=None,
+                    help="YAML config (from `init`); flags win")
+    ex.add_argument("--partitions", type=int, default=None)
     ex.add_argument("--no-resume", action="store_true")
     ex.add_argument("--no-shuffle-codec", action="store_true",
                     dest="no_shuffle_codec",
