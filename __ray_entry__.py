@@ -259,6 +259,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-subspace codebooks; SQL recomputes encoding, LUT, ADC
         # sums and the rounded ranking)
         "emb_pq_topk": t.emb_pq_topk,
+        # IVF-PQ composite index (oracle-checked r5: emitted coarse
+        # centroids + residual codebooks; SQL recomputes assignment,
+        # residual, encoding, probe sets and the <q,c>+Σlut ranking)
+        "emb_ivfpq_topk": t.emb_ivfpq_topk,
         "pages_flagship": t.pages_flagship,
         # same corpus ingested from WARC containers (cross-lane equality
         # oracle vs the Parquet-lane dump; also pytest-checked)
@@ -3645,6 +3649,97 @@ FROM sb
             adc AS (
               SELECT l.query_id, e.vec_id, SUM(l.ip) AS ip
               FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+              GROUP BY 1, 2
+            )
+            SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id,
+                   ROUND(ip, 6) AS adc
+            FROM adc
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY ROUND(ip, 6) DESC, vec_id ASC) <= 10
+        """,
+        # IVF-PQ recompute against the emitted coarse centroids +
+        # residual codebooks (queries()["emb_ivfpq_topk"] writes both):
+        # list assignment / residual encode = L2 argmin with asc ties
+        # (list_distance = monotone sqrt of the engine's squared L2),
+        # residual = exact element-wise f64 subtraction (identical both
+        # sides), probe set = n_probe nearest lists per query, ranking
+        # by round(<q,c_list> + Σ_m lut, 6) DESC, vec_id ASC
+        "emb_ivfpq_topk": """
+            WITH coarse AS (
+              SELECT lst, centroid
+              FROM read_parquet('/tmp/graft_oracle_ivfpq_coarse.parquet')
+            ),
+            cb AS (
+              SELECT sub, code, centroid
+              FROM read_parquet('/tmp/graft_oracle_ivfpq_codebooks.parquet')
+            ),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            assign AS (
+              SELECT vec_id, e, lst, cvec FROM (
+                SELECT v.vec_id, v.e, c.lst, c.centroid AS cvec,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_distance(v.e, c.centroid) ASC,
+                                    c.lst ASC) AS rn
+                FROM v, coarse c) WHERE rn = 1
+            ),
+            res AS (
+              SELECT vec_id, lst,
+                     list_transform(
+                         list_zip(e, cvec),
+                         x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       AS r
+              FROM assign
+            ),
+            subs AS (SELECT unnest(range(0, 8)) AS sub),
+            rsub AS (
+              SELECT vec_id, lst, s.sub,
+                     list_slice(r, s.sub * 8 + 1, s.sub * 8 + 8) AS rv
+              FROM res, subs s
+            ),
+            enc AS (
+              SELECT vec_id, lst, sub, code FROM (
+                SELECT r.vec_id, r.lst, r.sub, cb.code,
+                       row_number() OVER (
+                           PARTITION BY r.vec_id, r.sub
+                           ORDER BY list_distance(r.rv, cb.centroid) ASC,
+                                    cb.code ASC) AS rn
+                FROM rsub r JOIN cb USING (sub)) WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ),
+            qprobe AS (
+              SELECT query_id, lst FROM (
+                SELECT q.query_id, c.lst,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_distance(q.qe, c.centroid) ASC,
+                                    c.lst ASC) AS pr
+                FROM q, coarse c) WHERE pr <= 4
+            ),
+            qc AS (
+              SELECT q.query_id, c.lst,
+                     list_inner_product(q.qe, c.centroid) AS cip
+              FROM q, coarse c
+            ),
+            lut AS (
+              SELECT q.query_id, cb.sub, cb.code,
+                     list_inner_product(
+                         list_slice(q.qe, cb.sub * 8 + 1, cb.sub * 8 + 8),
+                         cb.centroid) AS ip
+              FROM q, cb
+            ),
+            adc AS (
+              SELECT l.query_id, e.vec_id,
+                     ANY_VALUE(c.cip) + SUM(l.ip) AS ip
+              FROM enc e
+              JOIN qprobe p ON p.lst = e.lst
+              JOIN lut l ON l.query_id = p.query_id
+                        AND l.sub = e.sub AND l.code = e.code
+              JOIN qc c ON c.query_id = p.query_id AND c.lst = e.lst
               GROUP BY 1, 2
             )
             SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id,

@@ -1267,6 +1267,50 @@ def emb_pq_topk(sf_dir: str, k: int = 10):
     return pq_adc_topk(embs, q, cb, k=k, query_ids=qids)
 
 
+# Fixed emitted-model locations for the IVF-PQ oracle.
+IVFPQ_COARSE_OUT = "/tmp/graft_oracle_ivfpq_coarse.parquet"
+IVFPQ_CODEBOOKS_OUT = "/tmp/graft_oracle_ivfpq_codebooks.parquet"
+
+
+def emb_ivfpq_topk(sf_dir: str, k: int = 10, n_probe: int = 4):
+    """IVF-PQ approximate top-k — the full FAISS-style index: coarse
+    inverted lists bound the candidate set, residual PQ codes bound the
+    memory (8 B + 1 list id per vector).  Oracle-checked (the
+    emitted-model pattern): both the coarse centroids and the residual
+    codebooks are written; the DuckDB twin recomputes every vector's
+    list assignment, residual, per-subspace encoding, each query's
+    probe set and the final ``<q,c> + Σ lut`` ranking."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.stages.similarity import ivfpq_topk, ivfpq_train
+
+    q, qids = _query_matrix(sf_dir)
+    embs = _embs(sf_dir, ["vec_id", "embedding"])
+    coarse, cb = ivfpq_train(embs, n_lists=16, m=8, n_codes=16, iters=5)
+    pq.write_table(
+        pa.table({
+            "lst": pa.array(range(len(coarse)), pa.int64()),
+            "centroid": pa.array([c.tolist() for c in coarse],
+                                 pa.list_(pa.float64())),
+        }),
+        IVFPQ_COARSE_OUT,
+    )
+    m, n_codes, _sub = cb.shape
+    pq.write_table(
+        pa.table({
+            "sub": pa.array([s for s in range(m) for _ in range(n_codes)],
+                            pa.int64()),
+            "code": pa.array(list(range(n_codes)) * m, pa.int64()),
+            "centroid": pa.array(
+                [cb[s, c].tolist() for s in range(m) for c in range(n_codes)],
+                pa.list_(pa.float64())),
+        }),
+        IVFPQ_CODEBOOKS_OUT,
+    )
+    return ivfpq_topk(embs, q, coarse, cb, k=k, n_probe=n_probe,
+                      query_ids=qids)
+
+
 def template_field_profile(sf_dir: str):
     """Distributed field profiling of the documents table for template
     induction (templategen.profile_columns + exact distinct counts):

@@ -665,3 +665,117 @@ def pq_adc_topk(ds, queries: np.ndarray, codebooks: np.ndarray, *,
 
     return partials.groupby("query_id").map_groups(
         final_topk, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization
+
+
+def ivfpq_train(ds, *, n_lists: int = 16, m: int = 8, n_codes: int = 16,
+                emb_col: str = "embedding", id_col: str = "vec_id",
+                iters: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Train the FAISS-style IVF-PQ index model: an L2 coarse quantizer
+    (``n_lists`` full-dimension centroids) plus per-subspace PQ
+    codebooks over the RESIDUALS ``v - c_list(v)``.
+
+    Both stages reuse :func:`pq_train_codebooks`'s streaming Lloyd's —
+    the coarse quantizer is literally PQ with ``m=1`` (one subspace =
+    the whole vector), so the deterministic lowest-id seeding, the
+    one-pass-per-iteration fold and the empty-code fallback are shared
+    code, not re-implementations.  Returns ``(coarse, codebooks)`` with
+    shapes ``(n_lists, dim)`` / ``(m, n_codes, dim//m)`` float64."""
+    import ray
+
+    coarse = pq_train_codebooks(
+        ds, m=1, n_codes=n_lists, emb_col=emb_col, id_col=id_col,
+        iters=iters)[0]  # (n_lists, dim)
+    ref = ray.put(coarse)
+
+    def to_residual(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = _as_matrix(batch.column(emb_col), np.float64)
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        lst = d.argmin(axis=1)
+        r = v - c[lst]
+        return pa.table({
+            id_col: batch.column(id_col),
+            emb_col: pa.array([row.tolist() for row in r],
+                              pa.list_(pa.float64())),
+        })
+
+    residuals = ds.map_batches(to_residual, batch_format="pyarrow")
+    codebooks = pq_train_codebooks(
+        residuals, m=m, n_codes=n_codes, emb_col=emb_col, id_col=id_col,
+        iters=iters)
+    return coarse, codebooks
+
+
+def ivfpq_topk(ds, queries: np.ndarray, coarse: np.ndarray,
+               codebooks: np.ndarray, *, k: int = 10, n_probe: int = 4,
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               query_ids: list[int] | None = None):
+    """IVF-PQ approximate inner-product top-k in ONE streaming pass.
+
+    Each batch assigns its vectors to a coarse list (squared-L2 argmin,
+    code-asc ties), keeps only rows whose list is in a query's
+    ``n_probe`` probe set (smallest query-to-centroid L2, list-asc
+    ties), encodes the residual per subspace and scores
+    ``adc = <q, c_list> + Σ_m lut[m, code_m]`` — the exact
+    ``<q, c + r̂>`` decomposition, so the coarse term is a lookup too.
+    Partial AND final top-k rank by ``(round(ip,6) DESC, id ASC)``, the
+    same key the DuckDB twin uses."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    m, n_codes, sub = codebooks.shape
+    n_lists = coarse.shape[0]
+    qids = query_ids if query_ids is not None else list(range(q.shape[0]))
+    # probe sets: n_probe nearest coarse centroids per query (L2)
+    qd = ((q[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)  # (nq, L)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]  # list-asc ties
+    qc_ip = q @ coarse.T  # (nq, L) — the <q, c_list> term
+    qs = q.reshape(q.shape[0], m, sub)
+    lut = np.einsum("jms,mcs->jmc", qs, codebooks)  # (nq, m, n_codes)
+    ref = ray.put((coarse, codebooks, probe, qc_ip, lut))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        c, cb, pr, qc, lt = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        v = _as_matrix(batch.column(emb_col), np.float64)
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        lst = d.argmin(axis=1)  # (n,)
+        r = (v - c[lst]).reshape(len(v), m, sub)
+        codes = np.empty((len(v), m), dtype=np.int64)
+        for s in range(m):
+            dd = ((r[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = dd.argmin(axis=1)
+        out_q, out_v, out_a = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(lst, pr[j])
+            if not mask.any():
+                continue
+            sel = np.flatnonzero(mask)
+            adc = qc[j, lst[sel]] + lt[
+                j, np.arange(m)[None, :], codes[sel]].sum(axis=1)
+            rr = np.round(adc, 6)
+            kk = min(k, len(sel))
+            order = np.lexsort((ids[sel], -rr))[:kk]
+            out_q.extend([qids[j]] * kk)
+            out_v.extend(ids[sel][order].tolist())
+            out_a.extend(rr[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "adc": pa.array(out_a, pa.float64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[("adc", "descending"), (id_col, "ascending")]
+        )
+        return group.take(idx[:k])
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow")

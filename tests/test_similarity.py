@@ -299,3 +299,49 @@ def test_pq_topk_approximates_exact(ray_session):
     # neighbor comes from the query's own cluster (ids 0..59), whose ADC
     # dominates the cross-cluster ones
     assert len(got) == 10 and got <= set(range(60))
+
+
+def test_ivfpq_matches_sequential_recompute(ray_session):
+    from docling_graph_ray.stages.similarity import ivfpq_topk, ivfpq_train
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    n, d, m, L = 300, 32, 4, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+    }))
+    coarse, cb = ivfpq_train(ds, n_lists=L, m=m, n_codes=16, iters=3)
+    assert coarse.shape == (L, d) and cb.shape == (m, 16, d // m)
+
+    q = np.asarray(X[:2], dtype=np.float64)
+    n_probe = 3
+    out = ivfpq_topk(ds, q, coarse, cb, k=5, n_probe=n_probe,
+                     query_ids=[0, 1]).take_all()
+
+    # sequential recompute
+    Xf = np.asarray(X, dtype=np.float64)
+    dist = ((Xf[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    lst = dist.argmin(axis=1)
+    r = (Xf - coarse[lst]).reshape(n, m, d // m)
+    codes = np.empty((n, m), dtype=np.int64)
+    for s in range(m):
+        dd = ((r[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = dd.argmin(axis=1)
+    qd = ((q[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    qc = q @ coarse.T
+    lut = np.einsum("jms,mcs->jmc", q.reshape(2, m, d // m), cb)
+    for j in (0, 1):
+        sel = np.flatnonzero(np.isin(lst, probe[j]))
+        adc = qc[j, lst[sel]] + lut[
+            j, np.arange(m)[None, :], codes[sel]].sum(axis=1)
+        rr = np.round(adc, 6)
+        order = np.lexsort((sel, -rr))[:5]
+        want = [(int(sel[i]), float(rr[i])) for i in order]
+        got = sorted(((row["vec_id"], row["adc"]) for row in out
+                      if row["query_id"] == j),
+                     key=lambda t: (-t[1], t[0]))
+        assert got == want
+        # every returned neighbor lives in a probed list
+        assert all(lst[v] in probe[j] for v, _ in got)
