@@ -282,6 +282,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge list + the proven replay CTE; ROUND(…,6) ratios over
         # exact integer sums)
         "doc_bpe_fertility": t.doc_bpe_fertility,
+        # DoReMi-flavored domain reweighting (oracle-checked r5: the
+        # proven bigram-LM CTE grouped by source + excess-loss softmax;
+        # per-doc scores rounded to 6 before the sums on BOTH sides)
+        "doc_domain_reweight": t.doc_domain_reweight,
     }
 
 
@@ -3657,6 +3661,35 @@ FROM sb
             QUALIFY row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY ROUND(ip, 6) DESC, vec_id ASC) <= 10
+        """,
+        # DoReMi-flavored domain reweighting: the proven bigram-LM CTE,
+        # per-doc bpb rounded to 6 (the doc_lm_score convention) BEFORE
+        # the per-source sums, then the identical softmax arithmetic —
+        # the only cross-impl float risk is exp(), one libm vs another,
+        # papered by the 6-decimal round like the rest of the family
+        "doc_domain_reweight": _LM_SCORED_CTE + """
+            , perdoc AS (
+              SELECT d.doc_id, d.source,
+                     round(coalesce(s.bpb, 8.0), 6) AS bpb
+              FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            ),
+            persrc AS (
+              SELECT source, COUNT(*) AS n, SUM(bpb) AS bpb_sum
+              FROM perdoc GROUP BY source
+            ),
+            tot AS (SELECT SUM(bpb_sum) / SUM(n) AS corpus_mean
+                    FROM persrc),
+            sm AS (
+              SELECT source, n, bpb_sum / n AS mean_raw,
+                     bpb_sum / n - t.corpus_mean AS excess_raw,
+                     exp(-(bpb_sum / n - t.corpus_mean) / 0.5) AS w
+              FROM persrc, tot t
+            )
+            SELECT source, CAST(n AS BIGINT) AS n_docs,
+                   round(mean_raw, 6) AS mean_bpb,
+                   round(excess_raw, 6) AS excess,
+                   round(w / (SELECT SUM(w) FROM sm), 6) AS weight
+            FROM sm
         """,
         # IVF-PQ recompute against the emitted coarse centroids +
         # residual codebooks (queries()["emb_ivfpq_topk"] writes both):

@@ -2583,3 +2583,56 @@ def doc_bpe_fertility(sf_dir: str, merges: int = 20):
         })
 
     return agg.map_batches(ratios, batch_format="pyarrow")
+
+
+def doc_domain_reweight(sf_dir: str, tau: float = 0.5):
+    """DoReMi-flavored domain (source) reweighting: sources whose mean
+    LM score (bits-per-byte under the corpus byte-bigram model) is
+    WORSE than the corpus mean get down-weighted through an
+    excess-loss softmax ``w_s ∝ exp(-(mean_s - corpus_mean)/tau)`` —
+    the deterministic single-pass stand-in for DoReMi's proxy-model
+    minimax (Xie et al. 2023), reusing the proven ``doc_lm_score``
+    scoring pass.
+
+    Ray shape: one scoring pass (actor pool, ``source`` rides
+    ``extra_cols``), a combiner-first per-source sum (group domain =
+    the source catalog), and a driver-side softmax over ≤ |sources|
+    rows.  Every per-doc score is rounded to 6 BEFORE the sums — both
+    sides fold identical values, so mean/excess/weight agree at the
+    6-decimal compare."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.text_analysis import BigramScorer
+
+    model_ref = _fit_bigram_model(_docs(sf_dir, ["doc_id", "text"]))
+    scored = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        BigramScorer,
+        fn_constructor_args=(model_ref,),
+        fn_constructor_kwargs={"extra_cols": ("source",)},
+        batch_format="pyarrow",
+        concurrency=auto_pool(rows_hint=_docs_rows(sf_dir),
+                              batch_size=1024),
+    )
+    agg = bucketed_aggregate(
+        scored.map_batches(
+            lambda t: t.select(["source", "bits_per_byte"]),
+            batch_format="pyarrow"),
+        ["source"],
+        [("", "count_all"), ("bits_per_byte", "sum")],
+        rename=["source", "n_docs", "bpb_sum"],
+        combine=True,
+    )
+    rows = sorted(agg.take_all(), key=lambda r: r["source"])
+    n = np.array([r["n_docs"] for r in rows], dtype=np.float64)
+    s = np.array([r["bpb_sum"] for r in rows], dtype=np.float64)
+    mean = s / n
+    corpus_mean = s.sum() / n.sum()
+    excess = mean - corpus_mean
+    w = np.exp(-excess / tau)
+    weight = w / w.sum()
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array(n.astype(np.int64)),
+        "mean_bpb": pa.array(np.round(mean, 6)),
+        "excess": pa.array(np.round(excess, 6)),
+        "weight": pa.array(np.round(weight, 6)),
+    })

@@ -129,3 +129,32 @@ def test_bpe_tokenizer_carry_cols_and_word_count():
     # default behavior unchanged
     plain = BPETokenizer(merges=[("l", "o")])(batch)
     assert plain.column_names == ["doc_id", "n_bpe_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# domain reweighting
+
+
+def test_domain_reweight_downweights_noisy_source(ray_session, tmp_path):
+    """A source of high-entropy gibberish scores worse under the corpus
+    bigram LM and must receive LESS mixture weight than a clean,
+    self-similar source; weights sum to 1."""
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.pipelines.textops import doc_domain_reweight
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "source": "clean",
+                     "text": "the quick brown fox " * 20})
+    for i in range(60, 120):
+        junk = "".join(chr(33 + int(c)) for c in rng.integers(0, 88, 300))
+        rows.append({"doc_id": i, "source": "noisy", "text": junk})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = doc_domain_reweight(str(tmp_path)).to_pandas().set_index("source")
+    assert abs(out["weight"].sum() - 1.0) < 1e-4
+    assert out.loc["clean", "weight"] > out.loc["noisy", "weight"]
+    assert out.loc["noisy", "excess"] > 0 > out.loc["clean", "excess"]
+    assert (out["n_docs"] == 60).all()
