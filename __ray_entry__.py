@@ -286,6 +286,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # proven bigram-LM CTE grouped by source + excess-loss softmax;
         # per-doc scores rounded to 6 before the sums on BOTH sides)
         "doc_domain_reweight": t.doc_domain_reweight,
+        # windowed funnel analysis (oracle-checked r5: per-step greedy
+        # MIN-chain recomputed as three grouped-min CTEs; integer
+        # counts, exact compare)
+        "events_funnel": r.events_funnel,
     }
 
 
@@ -3661,6 +3665,37 @@ FROM sb
             QUALIFY row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY ROUND(ip, 6) DESC, vec_id ASC) <= 10
+        """,
+        # windowed funnel (ClickHouse windowFunnel semantics): greedy
+        # first-match chain — step i+1 strictly after matched step i,
+        # within 30 days of the matched step 1; per-step user counts
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, MIN(e.ts) AS t2
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+                AND e.ts <= v.t1 + INTERVAL 30 DAY
+              GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, MIN(e.ts) AS t3
+              FROM events e
+              JOIN c ON e.user_id = c.user_id
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                AND e.ts <= v.t1 + INTERVAL 30 DAY
+              GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   (SELECT COUNT(*) FROM v) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
         """,
         # DoReMi-flavored domain reweighting: the proven bigram-LM CTE,
         # per-doc bpb rounded to 6 (the doc_lm_score convention) BEFORE

@@ -668,3 +668,89 @@ def orders_followup_window(sf_dir: str, days: int = 30):
             batch_format="pyarrow",
         )
     )
+
+
+def events_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase"),
+                  window_days: int = 30):
+    """Windowed funnel analysis (the ClickHouse ``windowFunnel``
+    analogue, beyond the reference like the as-of/range joins): per
+    user, greedily match the ordered step sequence — step i+1 must
+    occur STRICTLY after the matched step i and within ``window_days``
+    of the matched step 1 — and report how many users reach each depth.
+
+    Scale shape: one shuffle of ``(user, ts, type)`` rows bucketed by
+    ``hash(user) % P`` (all of one user's events co-locate — the same
+    partitioning contract as sessionize); inside each of the P calls
+    the greedy chain is a per-step ``np.minimum.at`` fold over the
+    sorted run — no Python loop over users or events.  Each partition
+    emits one count row per step; the final sum is |steps| × P rows."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("event_type"),
+                                    value_set=pa.array(list(steps)))),
+        batch_format="pyarrow",
+    )
+    window_us = np.int64(window_days) * 86_400_000_000
+    sentinel = np.iinfo(np.int64).max
+
+    def funnel_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "step": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "n_users": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return empty
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx).combine_chunks()
+        ts = (g.column("ts").to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        starts, lens = run_starts(g, ["user_id"])
+        u = len(starts)
+        uidx = np.repeat(np.arange(u, dtype=np.int64), lens)
+        types = g.column("event_type")
+        t_prev = None
+        t_first = None
+        counts = []
+        for i, step in enumerate(steps):
+            is_step = pc.equal(types, step).to_numpy(zero_copy_only=False)
+            is_step = np.asarray(is_step, dtype=bool)
+            if i == 0:
+                mask = is_step
+            else:
+                # sentinel + window would overflow int64; users without
+                # a step-1 match already fail ts > t_prev, so cap the
+                # deadline at the sentinel instead of adding past it
+                deadline = np.where(t_first < sentinel - window_us,
+                                    t_first + window_us, sentinel)
+                mask = (is_step & (ts > t_prev[uidx])
+                        & (ts <= deadline[uidx]))
+            t_i = np.full(u, sentinel, dtype=np.int64)
+            if mask.any():
+                np.minimum.at(t_i, uidx[mask], ts[mask])
+            counts.append(int((t_i < sentinel).sum()))
+            t_prev = t_i
+            t_first = t_i if i == 0 else t_first
+        return pa.table({
+            "step": pa.array(range(1, len(steps) + 1), pa.int64()),
+            "event_type": pa.array(list(steps), pa.string()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = (
+        ev.map_batches(add_part(["user_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(funnel_partition, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby(["step", "event_type"]).sum("n_users")
+        .map_batches(
+            lambda t: t.rename_columns(["step", "event_type", "n_users"]),
+            batch_format="pyarrow")
+    )
