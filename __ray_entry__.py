@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MIN-chain recomputed as three grouped-min CTEs; integer
         # counts, exact compare)
         "events_funnel": r.events_funnel,
+        # cohort retention (oracle-checked r5: epoch-day integers
+        # end-to-end; DISTINCT (user, day) + grouped counts)
+        "events_retention": r.events_retention,
     }
 
 
@@ -3665,6 +3668,22 @@ FROM sb
             QUALIFY row_number() OVER (
                 PARTITION BY query_id
                 ORDER BY ROUND(ip, 6) DESC, vec_id ASC) <= 10
+        """,
+        # cohort retention: users cohorted by first active day; count
+        # active members per (cohort, day-offset); epoch-day integers
+        "events_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     CAST(CAST(date_trunc('day', ts) AS DATE)
+                          - DATE '1970-01-01' AS BIGINT) AS day
+              FROM events
+            ),
+            fst AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY 1)
+            SELECT f.cohort AS cohort_day,
+                   a.day - f.cohort AS day_offset,
+                   COUNT(*) AS n_users
+            FROM act a JOIN fst f USING (user_id)
+            GROUP BY 1, 2
         """,
         # windowed funnel (ClickHouse windowFunnel semantics): greedy
         # first-match chain — step i+1 strictly after matched step i,

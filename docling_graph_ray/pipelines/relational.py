@@ -754,3 +754,76 @@ def events_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase"),
             lambda t: t.rename_columns(["step", "event_type", "n_users"]),
             batch_format="pyarrow")
     )
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention (the growth-analytics classic): users cohorted
+    by their FIRST active day; for each (cohort, day-offset) count how
+    many cohort members were active that day.  Days ride as
+    epoch-day integers end-to-end — no timezone or date-render
+    ambiguity in the oracle compare.
+
+    Scale shape: activity pre-dedups to (user, day) INSIDE each batch
+    (map-side combiner — events never shuffle), one user-hash bucketed
+    shuffle co-locates each user's day set, and every partition emits
+    exact (cohort, offset) count partials; the final sum is
+    days² × P rows at most."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        days = (day.to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(np.int64))
+        t = pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "day": pa.array(days, pa.int64()),
+        })
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def retention_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "cohort_day": pa.array([], pa.int64()),
+            "day_offset": pa.array([], pa.int64()),
+            "n_users": pa.array([], pa.int64()),
+        })
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return empty
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        # the bucketed rows may repeat a (user, day) pair across source
+        # batches — dedup once per partition before the fold
+        g = g.group_by(["user_id", "day"]).aggregate([])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("day", "ascending")])
+        g = g.take(idx).combine_chunks()
+        days = g.column("day").to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["user_id"])
+        cohort = np.repeat(days[starts], lens)  # per-user min day
+        off = days - cohort
+        t = pa.table({
+            "cohort_day": pa.array(cohort, pa.int64()),
+            "day_offset": pa.array(off, pa.int64()),
+        })
+        cnt = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [([], "count_all")])
+        return pa.table({
+            "cohort_day": cnt.column("cohort_day"),
+            "day_offset": cnt.column("day_offset"),
+            "n_users": cnt.column("count_all").cast(pa.int64()),
+        })
+
+    partials = (
+        ev.map_batches(day_pairs, batch_format="pyarrow")
+        .map_batches(add_part(["user_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(retention_partition, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby(["cohort_day", "day_offset"]).sum("n_users")
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["cohort_day", "day_offset", "n_users"]),
+            batch_format="pyarrow")
+    )

@@ -116,3 +116,34 @@ def test_events_funnel_greedy_window_semantics(ray_session, tmp_path):
     assert out.loc[2, "n_users"] == 2   # users 1 and 3 click after view
     assert out.loc[3, "n_users"] == 1   # only user 1 completes
     assert list(out["event_type"]) == ["view", "click", "purchase"]
+
+
+def test_events_retention_cohort_offsets(ray_session, tmp_path):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from docling_graph_ray.pipelines.relational import events_retention
+
+    def ev(eid, user, day, hour=0):
+        return {"event_id": eid, "user_id": user, "event_type": "view",
+                "ts": dt.datetime(2024, 1, day, hour), "value": 1.0,
+                "props": "{}"}
+
+    rows = [
+        # user 1: first day 1, active days 1, 2, 5 (two events on day 1
+        # must dedup to one activity)
+        ev(0, 1, 1), ev(1, 1, 1, 6), ev(2, 1, 2), ev(3, 1, 5),
+        # user 2: first day 2, active days 2, 5
+        ev(4, 2, 2), ev(5, 2, 5),
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "events.parquet"))
+    out = events_retention(str(tmp_path)).to_pandas()
+    d1 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {
+        (d1, 0): 1, (d1, 1): 1, (d1, 4): 1,      # user 1's cohort
+        (d1 + 1, 0): 1, (d1 + 1, 3): 1,          # user 2's cohort
+    }
