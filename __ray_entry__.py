@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_trial_eval": t.template_trial_eval,
         # per-label edge fanout (oracle-checked r5: two-level GROUP BY)
         "graph_edge_fanout": g.graph_edge_fanout,
+        # exact triangle census, degree-oriented wedge generation
+        # (oracle-checked r5: DuckDB three-way self-join on the
+        # distinct canonical part co-purchase pairs)
+        "graph_triangle_count": g.graph_triangle_count,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -2294,6 +2298,29 @@ FROM sb
                 FROM orders GROUP BY 1, 2
             )
             GROUP BY label
+        """,
+        # exact triangle count over the part co-purchase graph: the
+        # distributed degree-oriented census must equal the brute
+        # three-way self-join over distinct canonical pairs
+        "graph_triangle_count": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )
+            SELECT
+                (SELECT COUNT(*) FROM
+                    (SELECT u FROM pairs UNION SELECT v FROM pairs))
+                    AS n_nodes,
+                (SELECT COUNT(*) FROM pairs) AS n_edges,
+                (SELECT COUNT(*) FROM pairs e1
+                   JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+                   JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
+                    AS n_triangles
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -788,6 +788,59 @@ def graph_edge_fanout(sf_dir: str):
                        src_col="o_custkey")
 
 
+def graph_triangle_count(sf_dir: str):
+    """Exact triangle census of the part co-purchase graph: parts are
+    vertices, an (undirected) edge links two parts that appear in the
+    same order.  Pair enumeration is bounded — TPC-H orders carry ≤7
+    lineitems, so the per-order triu blowup is O(1) — and the census
+    itself runs the degree-oriented distributed ``triangle_count``
+    (stages/graphalgo.py), whose wedge work is O(m^1.5) regardless of
+    hub degree.  Oracle: DuckDB three-way self-join over the distinct
+    canonical pair list."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+    from docling_graph_ray.stages.graphalgo import triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    in_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_partkey", pa.int64())])
+    edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "l_orderkey" not in g.schema.names:
+            return edge_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        # distinct part per order, then run-sorted triu pair expansion
+        g = g.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("l_orderkey", "ascending"), ("l_partkey", "ascending")])
+        g = g.take(idx).combine_chunks()
+        parts = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["l_orderkey"])
+        outs = []
+        for d in np.unique(lens[lens >= 2]):
+            runs_d = starts[lens == d]
+            iu, ju = np.triu_indices(int(d), 1)
+            outs.append((parts[(runs_d[:, None] + iu[None, :]).ravel()],
+                         parts[(runs_d[:, None] + ju[None, :]).ravel()]))
+        if not outs:
+            return edge_schema.empty_table()
+        return pa.table({
+            "src": pa.array(np.concatenate([o[0] for o in outs]),
+                            pa.int64()),
+            "dst": pa.array(np.concatenate([o[1] for o in outs]),
+                            pa.int64()),
+        })
+
+    edges = (
+        li.map_batches(add_part(["l_orderkey"], 64, in_schema),
+                       batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(pairs_partition, batch_format="pyarrow")
+    )
+    return triangle_count(edges, num_partitions=64)
+
+
 def graph_pagerank(sf_dir: str, iters: int = 5):
     """PageRank over the supplier→nation→region hierarchy (suppliers
     endorse their nation, nations their region; regions are dangling).

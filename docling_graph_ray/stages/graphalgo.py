@@ -37,6 +37,7 @@ want that anyway so labels shuffle as fixed-width ints, not text).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -338,3 +339,184 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
         }).cast(rank_schema)
 
     return ranks.map_batches(final_round, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact triangle counting (degree-oriented node-iterator)
+
+
+def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int = 64):
+    """Exact triangle count of an undirected graph — the classic
+    MapReduce node-iterator with DEGREE ORIENTATION (Suri & Vassilvitskii
+    2011): edges orient from the (degree, id)-lower endpoint to the
+    higher, so every wedge is generated exactly once at its lowest-rank
+    vertex and total wedge work is O(m^1.5) regardless of hub degrees —
+    a hub of degree 1e6 generates no wedge unless BOTH neighbors
+    outrank it.
+
+    Stages (all bucketed, no whole-graph state anywhere):
+    1. canonicalize (min-id, max-id), drop self-loops, distinct —
+       one bucketed aggregate over (u, v) hash buckets;
+    2. degrees — bucketed count over vertex buckets;
+    3. rank attach — two lookup joins (broadcast under the measured
+       crossover, partition-bucketed above it);
+    4. wedges — per-source pair enumeration inside P ``map_groups``
+       calls (vectorized triu indices per out-degree class);
+    5. close — wedge keys co-bucket with canonical edges on the min
+       endpoint; per bucket a sorted searchsorted membership test.
+
+    Returns ``(n_nodes, n_edges, n_triangles)`` as a 1-row table."""
+    import ray
+
+    from docling_graph_ray.stages.bucketing import (
+        add_part,
+        bucketed_aggregate,
+        run_starts,
+    )
+    from docling_graph_ray.stages.joins import lookup_join_auto
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).cast(pa.int64())
+        d = b.column(dst_col).cast(pa.int64())
+        # the close stage packs a pair into one int64 (hi*2^32 + lo):
+        # ids must sit in [0, 2^31) or the packing overflows silently
+        for arr in (s, d):
+            mn, mx = pc.min_max(arr).values()
+            if mn.is_valid and (mn.as_py() < 0 or mx.as_py() >= (1 << 31)):
+                raise ValueError(
+                    "triangle_count requires vertex ids in [0, 2^31); "
+                    f"saw range [{mn.as_py()}, {mx.as_py()}] — re-key ids "
+                    "(e.g. dense-rank) before calling")
+        u = pc.min_element_wise(s, d)
+        v = pc.max_element_wise(s, d)
+        t = pa.table({"u": u, "v": v}).filter(pc.not_equal(u, v))
+        return t.group_by(["u", "v"]).aggregate([])  # batch-local dedup
+
+    canon_edges = bucketed_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"], [("", "count_all")],
+        rename=["u", "v", "_n"], combine=True,
+        num_partitions=num_partitions,
+    ).map_batches(lambda t: t.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+    n_edges = canon_edges.count()
+
+    def vert_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"vertex": pa.concat_arrays([
+            b.column("u").combine_chunks(),
+            b.column("v").combine_chunks()])})
+        g = t.group_by("vertex").aggregate([([], "count_all")])
+        return pa.table({"vertex": g.column("vertex"),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    degrees = bucketed_aggregate(
+        canon_edges.map_batches(vert_partial, batch_format="pyarrow"),
+        ["vertex"], [("deg", "sum")], rename=["vertex", "deg"],
+        combine=True, num_partitions=num_partitions,
+    ).materialize()
+    n_nodes = degrees.count()
+
+    with_deg = lookup_join_auto(
+        lookup_join_auto(
+            canon_edges, degrees, on="u", key_col="vertex",
+            value_cols=["deg"], probe_rows=n_nodes,
+            num_partitions=num_partitions,
+        ).map_batches(lambda t: t.rename_columns(["u", "v", "deg_u"]),
+                      batch_format="pyarrow"),
+        degrees, on="v", key_col="vertex", value_cols=["deg"],
+        probe_rows=n_nodes, num_partitions=num_partitions,
+    ).map_batches(lambda t: t.rename_columns(["u", "v", "deg_u", "deg_v"]),
+                  batch_format="pyarrow")
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        du = b.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = b.column("deg_v").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        bb = np.where(u_first, v, u)
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(bb, pa.int64()),
+            "rank_b": pa.array(np.where(u_first, dv, du), pa.int64()),
+        })
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow")
+
+    def wedges_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({"wu": pa.array([], pa.int64()),
+                          "wv": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "a" not in g.schema.names:
+            return empty
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        # sort by (a, rank_b, b): pairs come out rank-ordered per source
+        idx = pc.sort_indices(g, sort_keys=[
+            ("a", "ascending"), ("rank_b", "ascending"), ("b", "ascending")])
+        g = g.take(idx).combine_chunks()
+        nbr = g.column("b").to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["a"])
+        outs = []
+        for d in np.unique(lens[lens >= 2]):
+            runs_d = starts[lens == d]
+            iu, ju = np.triu_indices(int(d), 1)
+            bi = nbr[(runs_d[:, None] + iu[None, :]).ravel()]
+            ci = nbr[(runs_d[:, None] + ju[None, :]).ravel()]
+            outs.append((np.minimum(bi, ci), np.maximum(bi, ci)))
+        if not outs:
+            return empty
+        wu = np.concatenate([o[0] for o in outs])
+        wv = np.concatenate([o[1] for o in outs])
+        return pa.table({"wu": pa.array(wu, pa.int64()),
+                         "wv": pa.array(wv, pa.int64())})
+
+    wedges = (
+        oriented.map_batches(add_part(["a"], num_partitions),
+                             batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(wedges_partition, batch_format="pyarrow")
+    )
+
+    # close: co-bucket wedges and edges on the min endpoint, then a
+    # sorted membership test per bucket (exact — no hashing of pairs)
+    tagged_e = canon_edges.map_batches(
+        lambda t: pa.table({"wu": t.column("u"), "wv": t.column("v"),
+                            "is_edge": pa.array(
+                                np.ones(t.num_rows, bool))}),
+        batch_format="pyarrow")
+    tagged_w = wedges.map_batches(
+        lambda t: t.append_column(
+            "is_edge", pa.array(np.zeros(t.num_rows, bool))),
+        batch_format="pyarrow")
+
+    def close_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "wu" not in g.schema.names:
+            return pa.table({"n": pa.array([], pa.int64())})
+        mask = g.column("is_edge").to_numpy(zero_copy_only=False)
+        wu = g.column("wu").to_numpy(zero_copy_only=False)
+        wv = g.column("wv").to_numpy(zero_copy_only=False)
+        ek = np.sort(wu[mask] * (1 << 32) + wv[mask] if wu.size else
+                     np.array([], np.int64))
+        qk = wu[~mask] * (1 << 32) + wv[~mask]
+        if not len(qk) or not len(ek):
+            n = 0
+        else:
+            pos = np.searchsorted(ek, qk)
+            pos = np.minimum(pos, len(ek) - 1)
+            n = int((ek[pos] == qk).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    counts = (
+        tagged_e.union(tagged_w)
+        .map_batches(add_part(["wu"], num_partitions),
+                     batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(close_partition, batch_format="pyarrow")
+    )
+    n_tri = sum(r["n"] for r in counts.take_all())
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+    })

@@ -75,3 +75,64 @@ def test_pagerank_matches_dense_reference(ray_session):
     for n in want:
         assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# triangle_count: degree-oriented exact census vs a dense brute force
+
+
+def _tri_brute(src, dst, n):
+    import numpy as np
+
+    A = np.zeros((n, n), bool)
+    for a, b in zip(src, dst):
+        if a != b:
+            A[a, b] = A[b, a] = True
+    tri = int(np.trace(np.linalg.matrix_power(A.astype(np.int64), 3)) // 6)
+    return int(A.any(axis=0).sum()), int(A.sum() // 2), tri
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    import numpy as np
+
+    from docling_graph_ray.stages.graphalgo import triangle_count
+
+    rng = np.random.default_rng(7)
+    n, m = 60, 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    got = triangle_count(ds, num_partitions=8).to_pydict()
+    n_nodes, n_edges, tri = _tri_brute(src, dst, n)
+    assert got["n_nodes"][0] == n_nodes
+    assert got["n_edges"][0] == n_edges
+    assert got["n_triangles"][0] == tri
+
+
+def test_triangle_count_hub_star_has_no_triangles(ray_session):
+    # a star (hub 0 → 1..200): degree orientation must generate ZERO
+    # wedges at the hub (every neighbor outranks nothing), so the
+    # census is cheap and exact
+    from docling_graph_ray.stages.graphalgo import triangle_count
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0] * 200, pa.int64()),
+        "dst": pa.array(list(range(1, 201)), pa.int64())}))
+    got = triangle_count(ds, num_partitions=4).to_pydict()
+    assert got["n_triangles"][0] == 0
+    assert got["n_edges"][0] == 200
+    assert got["n_nodes"][0] == 201
+
+
+def test_triangle_count_rejects_ids_outside_packing_range(ray_session):
+    import pytest
+
+    from docling_graph_ray.stages.graphalgo import triangle_count
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1 << 31], pa.int64()),
+        "dst": pa.array([3], pa.int64())}))
+    with pytest.raises(Exception, match="2\\^31|vertex ids"):
+        triangle_count(ds, num_partitions=2)
