@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle-checked r5: DuckDB three-way self-join on the
         # distinct canonical part co-purchase pairs)
         "graph_triangle_count": g.graph_triangle_count,
+        # per-vertex Watts-Strogatz clustering coefficient (oracle-
+        # checked r5: corner-credit recount via the same three-way
+        # self-join; the one float division is bit-identical)
+        "graph_local_clustering": g.graph_local_clustering,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -2321,6 +2325,44 @@ FROM sb
                    JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
                    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
                     AS n_triangles
+        """,
+        # per-vertex clustering coefficient: corner credits from the
+        # brute triangle list; COALESCE folds triangle-free vertices
+        "graph_local_clustering": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT x AS vertex, COUNT(*) AS deg FROM (
+                    SELECT u AS x FROM pairs
+                    UNION ALL SELECT v FROM pairs)
+                GROUP BY x
+            ),
+            tris AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+                JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+            ),
+            tv AS (
+                SELECT vertex, COUNT(*) AS n_tri FROM (
+                    SELECT a AS vertex FROM tris
+                    UNION ALL SELECT b FROM tris
+                    UNION ALL SELECT c FROM tris)
+                GROUP BY vertex
+            )
+            SELECT d.vertex, d.deg,
+                   COALESCE(tv.n_tri, 0) AS n_tri,
+                   CAST(2 * COALESCE(tv.n_tri, 0) AS DOUBLE)
+                       / (d.deg * (d.deg - 1)) AS coeff
+            FROM deg d LEFT JOIN tv USING (vertex)
+            WHERE d.deg >= 2
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

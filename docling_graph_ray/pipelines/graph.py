@@ -788,17 +788,12 @@ def graph_edge_fanout(sf_dir: str):
                        src_col="o_custkey")
 
 
-def graph_triangle_count(sf_dir: str):
-    """Exact triangle census of the part co-purchase graph: parts are
-    vertices, an (undirected) edge links two parts that appear in the
-    same order.  Pair enumeration is bounded — TPC-H orders carry ≤7
-    lineitems, so the per-order triu blowup is O(1) — and the census
-    itself runs the degree-oriented distributed ``triangle_count``
-    (stages/graphalgo.py), whose wedge work is O(m^1.5) regardless of
-    hub degree.  Oracle: DuckDB three-way self-join over the distinct
-    canonical pair list."""
+def _copurchase_edges(sf_dir: str):
+    """Part co-purchase graph: parts are vertices, an (undirected)
+    edge links two parts that appear in the same order.  Pair
+    enumeration is bounded — TPC-H orders carry ≤7 lineitems, so the
+    per-order triu blowup is O(1) per row."""
     from docling_graph_ray.stages.bucketing import add_part, run_starts
-    from docling_graph_ray.stages.graphalgo import triangle_count
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     in_schema = pa.schema([("l_orderkey", pa.int64()),
@@ -832,13 +827,34 @@ def graph_triangle_count(sf_dir: str):
                             pa.int64()),
         })
 
-    edges = (
+    return (
         li.map_batches(add_part(["l_orderkey"], 64, in_schema),
                        batch_format="pyarrow")
         .groupby("_part")
         .map_groups(pairs_partition, batch_format="pyarrow")
     )
-    return triangle_count(edges, num_partitions=64)
+
+
+def graph_triangle_count(sf_dir: str):
+    """Exact triangle census of the part co-purchase graph via the
+    degree-oriented distributed ``triangle_count``
+    (stages/graphalgo.py), whose wedge work is O(m^1.5) regardless of
+    hub degree.  Oracle: DuckDB three-way self-join over the distinct
+    canonical pair list."""
+    from docling_graph_ray.stages.graphalgo import triangle_count
+
+    return triangle_count(_copurchase_edges(sf_dir), num_partitions=64)
+
+
+def graph_local_clustering(sf_dir: str):
+    """Per-vertex local clustering coefficient (Watts–Strogatz) of the
+    part co-purchase graph: wedges carry their generating center so
+    each closed triangle credits all three corners; coeff =
+    2·tri/(deg·(deg−1)) is one IEEE division on exact integers, so it
+    hashes identically to the DuckDB oracle's same expression."""
+    from docling_graph_ray.stages.graphalgo import local_clustering
+
+    return local_clustering(_copurchase_edges(sf_dir), num_partitions=64)
 
 
 def graph_pagerank(sf_dir: str, iters: int = 5):

@@ -342,38 +342,20 @@ def pagerank(edges, *, src_col: str = "src", dst_col: str = "dst",
 
 
 # ---------------------------------------------------------------------------
-# exact triangle counting (degree-oriented node-iterator)
+# exact triangle census (degree-oriented node-iterator)
 
 
-def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
-                   num_partitions: int = 64):
-    """Exact triangle count of an undirected graph — the classic
-    MapReduce node-iterator with DEGREE ORIENTATION (Suri & Vassilvitskii
-    2011): edges orient from the (degree, id)-lower endpoint to the
-    higher, so every wedge is generated exactly once at its lowest-rank
-    vertex and total wedge work is O(m^1.5) regardless of hub degrees —
-    a hub of degree 1e6 generates no wedge unless BOTH neighbors
-    outrank it.
-
-    Stages (all bucketed, no whole-graph state anywhere):
-    1. canonicalize (min-id, max-id), drop self-loops, distinct —
-       one bucketed aggregate over (u, v) hash buckets;
-    2. degrees — bucketed count over vertex buckets;
-    3. rank attach — two lookup joins (broadcast under the measured
-       crossover, partition-bucketed above it);
-    4. wedges — per-source pair enumeration inside P ``map_groups``
-       calls (vectorized triu indices per out-degree class);
-    5. close — wedge keys co-bucket with canonical edges on the min
-       endpoint; per bucket a sorted searchsorted membership test.
-
-    Returns ``(n_nodes, n_edges, n_triangles)`` as a 1-row table."""
-    import ray
-
-    from docling_graph_ray.stages.bucketing import (
-        add_part,
-        bucketed_aggregate,
-        run_starts,
-    )
+def _oriented_graph(edges, src_col: str, dst_col: str,
+                    num_partitions: int):
+    """Shared prelude for the triangle family: canonical undirected
+    edge list (self-loops dropped, distinct), exact degrees, and the
+    DEGREE-ORIENTED arc list (Suri & Vassilvitskii 2011 — every edge
+    points from its (degree, id)-lower endpoint to the higher, so each
+    wedge is generated exactly once at its lowest-rank vertex and wedge
+    work is O(m^1.5) regardless of hub degree).  Returns
+    ``(canon_edges, degrees, oriented, n_nodes, n_edges)`` — the first
+    two materialized (they are consumed twice), ``oriented`` lazy."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
     from docling_graph_ray.stages.joins import lookup_join_auto
 
     def canon(b: pa.Table) -> pa.Table:
@@ -385,7 +367,7 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
             mn, mx = pc.min_max(arr).values()
             if mn.is_valid and (mn.as_py() < 0 or mx.as_py() >= (1 << 31)):
                 raise ValueError(
-                    "triangle_count requires vertex ids in [0, 2^31); "
+                    "triangle census requires vertex ids in [0, 2^31); "
                     f"saw range [{mn.as_py()}, {mx.as_py()}] — re-key ids "
                     "(e.g. dense-rank) before calling")
         u = pc.min_element_wise(s, d)
@@ -443,10 +425,22 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
         })
 
     oriented = with_deg.map_batches(orient, batch_format="pyarrow")
+    return canon_edges, degrees, oriented, n_nodes, n_edges
+
+
+def _wedges(oriented, num_partitions: int, *, carry_center: bool):
+    """Wedge generation: per-source pair enumeration inside P
+    ``map_groups`` calls (vectorized triu indices per out-degree
+    class).  With ``carry_center`` each wedge row keeps its generating
+    vertex so closed triangles can credit all three corners."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    cols = {"wu": pa.int64(), "wv": pa.int64()}
+    if carry_center:
+        cols["wc"] = pa.int64()
+    empty = pa.schema(list(cols.items())).empty_table()
 
     def wedges_partition(g: pa.Table) -> pa.Table:
-        empty = pa.table({"wu": pa.array([], pa.int64()),
-                          "wv": pa.array([], pa.int64())})
         if g.num_rows == 0 or "a" not in g.schema.names:
             return empty
         if "_part" in g.schema.names:
@@ -456,6 +450,7 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
             ("a", "ascending"), ("rank_b", "ascending"), ("b", "ascending")])
         g = g.take(idx).combine_chunks()
         nbr = g.column("b").to_numpy(zero_copy_only=False)
+        ctr = g.column("a").to_numpy(zero_copy_only=False)
         starts, lens = run_starts(g, ["a"])
         outs = []
         for d in np.unique(lens[lens >= 2]):
@@ -463,28 +458,43 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
             iu, ju = np.triu_indices(int(d), 1)
             bi = nbr[(runs_d[:, None] + iu[None, :]).ravel()]
             ci = nbr[(runs_d[:, None] + ju[None, :]).ravel()]
-            outs.append((np.minimum(bi, ci), np.maximum(bi, ci)))
+            cc = np.repeat(ctr[runs_d], len(iu))
+            outs.append((np.minimum(bi, ci), np.maximum(bi, ci), cc))
         if not outs:
             return empty
-        wu = np.concatenate([o[0] for o in outs])
-        wv = np.concatenate([o[1] for o in outs])
-        return pa.table({"wu": pa.array(wu, pa.int64()),
-                         "wv": pa.array(wv, pa.int64())})
+        data = {"wu": pa.array(np.concatenate([o[0] for o in outs]),
+                               pa.int64()),
+                "wv": pa.array(np.concatenate([o[1] for o in outs]),
+                               pa.int64())}
+        if carry_center:
+            data["wc"] = pa.array(np.concatenate([o[2] for o in outs]),
+                                  pa.int64())
+        return pa.table(data)
 
-    wedges = (
+    return (
         oriented.map_batches(add_part(["a"], num_partitions),
                              batch_format="pyarrow")
         .groupby("_part")
         .map_groups(wedges_partition, batch_format="pyarrow")
     )
 
-    # close: co-bucket wedges and edges on the min endpoint, then a
-    # sorted membership test per bucket (exact — no hashing of pairs)
-    tagged_e = canon_edges.map_batches(
-        lambda t: pa.table({"wu": t.column("u"), "wv": t.column("v"),
-                            "is_edge": pa.array(
-                                np.ones(t.num_rows, bool))}),
-        batch_format="pyarrow")
+
+def _closed_wedges(canon_edges, wedges, num_partitions: int, close_fn,
+                   carry_center: bool):
+    """Close stage: co-bucket wedges and canonical edges on the min
+    endpoint, then run ``close_fn(matched_wedge_table)`` per bucket on
+    the wedges whose (wu, wv) pair IS an edge — a sorted searchsorted
+    membership test per bucket (exact, no hashing of pairs)."""
+    from docling_graph_ray.stages.bucketing import add_part
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        data = {"wu": t.column("u"), "wv": t.column("v")}
+        if carry_center:
+            data["wc"] = pa.array(np.full(t.num_rows, -1, np.int64))
+        data["is_edge"] = pa.array(np.ones(t.num_rows, bool))
+        return pa.table(data)
+
+    tagged_e = canon_edges.map_batches(tag_edges, batch_format="pyarrow")
     tagged_w = wedges.map_batches(
         lambda t: t.append_column(
             "is_edge", pa.array(np.zeros(t.num_rows, bool))),
@@ -492,31 +502,119 @@ def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
 
     def close_partition(g: pa.Table) -> pa.Table:
         if g.num_rows == 0 or "wu" not in g.schema.names:
-            return pa.table({"n": pa.array([], pa.int64())})
+            return close_fn(None)
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
         mask = g.column("is_edge").to_numpy(zero_copy_only=False)
         wu = g.column("wu").to_numpy(zero_copy_only=False)
         wv = g.column("wv").to_numpy(zero_copy_only=False)
-        ek = np.sort(wu[mask] * (1 << 32) + wv[mask] if wu.size else
-                     np.array([], np.int64))
+        ek = np.sort(wu[mask] * (1 << 32) + wv[mask]) if mask.any() else \
+            np.array([], np.int64)
         qk = wu[~mask] * (1 << 32) + wv[~mask]
         if not len(qk) or not len(ek):
-            n = 0
-        else:
-            pos = np.searchsorted(ek, qk)
-            pos = np.minimum(pos, len(ek) - 1)
-            n = int((ek[pos] == qk).sum())
-        return pa.table({"n": pa.array([n], pa.int64())})
+            return close_fn(g.slice(0, 0))
+        pos = np.minimum(np.searchsorted(ek, qk), len(ek) - 1)
+        hit = ek[pos] == qk
+        wedge_rows = np.flatnonzero(~mask)[hit]
+        return close_fn(g.take(pa.array(wedge_rows)))
 
-    counts = (
+    return (
         tagged_e.union(tagged_w)
         .map_batches(add_part(["wu"], num_partitions),
                      batch_format="pyarrow")
         .groupby("_part")
         .map_groups(close_partition, batch_format="pyarrow")
     )
+
+
+def triangle_count(edges, *, src_col: str = "src", dst_col: str = "dst",
+                   num_partitions: int = 64):
+    """Exact triangle count of an undirected graph — the classic
+    MapReduce node-iterator with degree orientation (see
+    ``_oriented_graph``).  All five stages are bucketed; no
+    whole-graph state lands anywhere.  Returns a 1-row table
+    ``(n_nodes, n_edges, n_triangles)``."""
+    canon_edges, _, oriented, n_nodes, n_edges = _oriented_graph(
+        edges, src_col, dst_col, num_partitions)
+    wedges = _wedges(oriented, num_partitions, carry_center=False)
+
+    def count_closed(matched) -> pa.Table:
+        n = 0 if matched is None else matched.num_rows
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    counts = _closed_wedges(canon_edges, wedges, num_partitions,
+                            count_closed, carry_center=False)
     n_tri = sum(r["n"] for r in counts.take_all())
     return pa.table({
         "n_nodes": pa.array([n_nodes], pa.int64()),
         "n_edges": pa.array([n_edges], pa.int64()),
         "n_triangles": pa.array([n_tri], pa.int64()),
     })
+
+
+def local_clustering(edges, *, src_col: str = "src",
+                     dst_col: str = "dst", num_partitions: int = 64):
+    """Per-vertex triangle participation and local clustering
+    coefficient (Watts & Strogatz 1998): for each vertex with degree
+    ≥ 2, ``coeff = 2·tri(v) / (deg(v)·(deg(v)−1))``.  Wedges carry
+    their generating center so every closed triangle credits all three
+    corners; corner credits fold through one bucketed count and join
+    back to the exact degree table.  The single float division is one
+    IEEE-754 op on exact integers, so the coefficient is bit-identical
+    to any engine computing the same expression (the DuckDB oracle
+    does).  Returns a dataset of ``(vertex, deg, n_tri, coeff)`` for
+    all deg ≥ 2 vertices (deg-1 vertices have no defined coefficient
+    and can close no triangle)."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.joins import lookup_join_auto
+
+    canon_edges, degrees, oriented, n_nodes, _ = _oriented_graph(
+        edges, src_col, dst_col, num_partitions)
+    wedges = _wedges(oriented, num_partitions, carry_center=True)
+
+    corner_schema = pa.schema([("vertex", pa.int64()),
+                               ("n_tri", pa.int64())])
+
+    def corner_credits(matched) -> pa.Table:
+        if matched is None or matched.num_rows == 0:
+            return corner_schema.empty_table()
+        corners = np.concatenate([
+            matched.column("wu").to_numpy(zero_copy_only=False),
+            matched.column("wv").to_numpy(zero_copy_only=False),
+            matched.column("wc").to_numpy(zero_copy_only=False)])
+        vals, cnts = np.unique(corners, return_counts=True)
+        return pa.table({"vertex": pa.array(vals, pa.int64()),
+                         "n_tri": pa.array(cnts, pa.int64())})
+
+    credits = _closed_wedges(canon_edges, wedges, num_partitions,
+                             corner_credits, carry_center=True)
+    tri_per_vertex = bucketed_aggregate(
+        credits, ["vertex"], [("n_tri", "sum")],
+        rename=["vertex", "n_tri"], combine=True,
+        num_partitions=num_partitions,
+    )
+
+    # lookup_join is left-outer: deg≥2 vertices in no triangle keep a
+    # null n_tri, folded to 0 below
+    deg2 = degrees.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("deg"), 2)),
+        batch_format="pyarrow")
+    joined = lookup_join_auto(
+        deg2, tri_per_vertex, on="vertex", key_col="vertex",
+        value_cols=["n_tri"], probe_rows=n_nodes,
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        deg = b.column("deg").to_numpy(zero_copy_only=False)
+        tri = pc.fill_null(b.column("n_tri"), 0).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        coeff = (2.0 * tri) / (deg * (deg - 1)).astype(np.float64)
+        return pa.table({
+            "vertex": b.column("vertex").cast(pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "n_tri": pa.array(tri, pa.int64()),
+            "coeff": pa.array(coeff, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -136,3 +136,54 @@ def test_triangle_count_rejects_ids_outside_packing_range(ray_session):
         "dst": pa.array([3], pa.int64())}))
     with pytest.raises(Exception, match="2\\^31|vertex ids"):
         triangle_count(ds, num_partitions=2)
+
+
+def test_local_clustering_matches_brute_force(ray_session):
+    import numpy as np
+
+    from docling_graph_ray.stages.graphalgo import local_clustering
+
+    rng = np.random.default_rng(11)
+    n, m = 50, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    got = local_clustering(ds, num_partitions=8).to_pandas() \
+        .set_index("vertex")
+
+    A = np.zeros((n, n), bool)
+    for a, b in zip(src, dst):
+        if a != b:
+            A[a, b] = A[b, a] = True
+    Ai = A.astype(np.int64)
+    tri_v = np.diag(Ai @ Ai @ Ai) // 2
+    deg_v = Ai.sum(axis=1)
+    for v in range(n):
+        if deg_v[v] >= 2:
+            row = got.loc[v]
+            assert row["deg"] == deg_v[v]
+            assert row["n_tri"] == tri_v[v]
+            # bit-identical: 2.0*tri exact, int denominator exact, one
+            # IEEE division
+            assert row["coeff"] == (2.0 * tri_v[v]) / float(
+                deg_v[v] * (deg_v[v] - 1))
+        else:
+            assert v not in got.index
+
+
+def test_local_clustering_triangle_plus_pendant(ray_session):
+    # K3 with a pendant on vertex 0: coeffs 1/3 (deg-3 vertex 0),
+    # 1.0, 1.0; the pendant (deg 1) is excluded
+    from docling_graph_ray.stages.graphalgo import local_clustering
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 0], pa.int64()),
+        "dst": pa.array([1, 2, 0, 9], pa.int64())}))
+    got = {r["vertex"]: r for r in
+           local_clustering(ds, num_partitions=4).take_all()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["deg"] == 3 and got[0]["n_tri"] == 1
+    assert got[0]["coeff"] == 2.0 / 6.0
+    assert got[1]["coeff"] == 1.0 and got[2]["coeff"] == 1.0
