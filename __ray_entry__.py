@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
+        # weighted without-replacement sample + unbiased estimator
+        # (oracle-checked r5: mix32 priorities are exact IEEE floats,
+        # so the DuckDB window-rank twin hashes bit-identically)
+        "doc_priority_sample": t.doc_priority_sample,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
@@ -3281,6 +3285,36 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # priority sampling: q = w / ((mix32(id)+1)/2^32); top-50 by
+        # (q DESC, id); w_hat = GREATEST(w, tau) with tau = rank-51
+        # priority — every float one correctly-rounded IEEE op
+        "doc_priority_sample": """
+            WITH m1 AS (
+                SELECT doc_id, n_chars,
+                       xor(doc_id >> 16, doc_id) * 73244475
+                           % 4294967296 AS x
+                FROM documents WHERE n_chars > 0
+            ),
+            m2 AS (SELECT doc_id, n_chars,
+                          xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            pr AS (SELECT doc_id, n_chars AS weight,
+                          CAST(n_chars AS DOUBLE) /
+                              ((CAST(xor(x >> 16, x) AS DOUBLE) + 1.0)
+                               / 4294967296.0) AS priority
+                   FROM m2),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    ORDER BY priority DESC, doc_id) AS rk
+                FROM pr
+            ),
+            tau AS (SELECT COALESCE(MAX(CASE WHEN rk = 51
+                                    THEN priority END), 0.0) AS tau
+                    FROM ranked)
+            SELECT doc_id, weight, priority,
+                   GREATEST(CAST(weight AS DOUBLE), tau.tau) AS w_hat
+            FROM ranked CROSS JOIN tau WHERE rk <= 50
+        """,
         "doc_temperature_mix": """
             WITH c AS (SELECT lang, COUNT(*) AS n
                        FROM documents GROUP BY lang),

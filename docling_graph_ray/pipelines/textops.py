@@ -1551,6 +1551,21 @@ def doc_stratified_sample(sf_dir: str, k: int = 40):
     )
 
 
+def doc_priority_sample(sf_dir: str, k: int = 50):
+    """Size-weighted document sample (priority sampling, Duffield–
+    Lund–Thorup 2007): k docs drawn without replacement with
+    probability proportional to n_chars, plus the unbiased w_hat
+    estimator.  Priorities are w / ((mix32(id)+1)/2^32) — one IEEE
+    division on exact inputs — so selection AND floats hash
+    bit-identically against the DuckDB window-rank oracle
+    (stages/sampling.py:priority_sample)."""
+    from docling_graph_ray.stages.sampling import priority_sample
+
+    return priority_sample(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        id_col="doc_id", weight_col="n_chars", k=k)
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter

@@ -250,3 +250,70 @@ def temperature_mix(
     return ds.select_columns([id_col, source_col]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted without replacement, deterministic)
+
+
+def priority_sample(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+) -> pa.Table:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a weighted
+    without-replacement sample of size ``k`` with unbiased subset-sum
+    estimates.  Each row gets priority ``q = w / u`` with
+    ``u = (mix32(id)+1) / 2^32`` ∈ (0, 1]; the k highest-priority rows
+    are the sample and ``w_hat = max(w, tau)`` (``tau`` = the (k+1)-th
+    priority) estimates each row's contribution to the population
+    weight sum.
+
+    Every float is exactly reproducible in SQL: ``mix32`` is integer
+    arithmetic, ``u`` is an exactly-representable 32-bit numerator over
+    a power of two, and ``q`` is ONE correctly-rounded IEEE division —
+    so the DuckDB oracle hashes bit-identically.
+
+    Distribution: per-block deterministic partial top-(k+1) (lexsort by
+    (-q, id) — consistent with the global tie-break), then one small
+    sort+limit over the ~blocks×(k+1) candidate rows.  Nothing
+    corpus-sized is sorted or driver-materialized; rows with w ≤ 0 are
+    excluded (their priority is undefined)."""
+    kk = k + 1  # carry the threshold row through the merge
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("weight", pa.int64()),
+        ("priority", pa.float64()),
+    ])
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = b.column(weight_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        if not len(ids):
+            return out_schema.empty_table()
+        u = (mix32(ids).astype(np.float64) + 1.0) / 4294967296.0
+        q = w.astype(np.float64) / u
+        if len(q) > kk:
+            order = np.lexsort((ids, -q))[:kk]
+            ids, w, q = ids[order], w[order], q[order]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "weight": pa.array(w, pa.int64()),
+                         "priority": pa.array(q, pa.float64())})
+
+    cands = ds.select_columns([id_col, weight_col]).map_batches(
+        partial_topk, batch_format="pyarrow")
+    top = pa.Table.from_pandas(
+        cands.sort(["priority", id_col], descending=[True, False])
+        .limit(kk).to_pandas(),
+        schema=out_schema, preserve_index=False)
+    tau = top.column("priority")[k].as_py() if top.num_rows > k else 0.0
+    top = top.slice(0, k)
+    w_hat = np.maximum(
+        top.column("weight").to_numpy(zero_copy_only=False)
+        .astype(np.float64), tau)
+    return top.append_column("w_hat", pa.array(w_hat, pa.float64()))

@@ -248,3 +248,75 @@ def test_incremental_dedup_two_passes(ray_session):
     finally:
         for s in shards:
             ray.kill(s)
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield-Lund-Thorup weighted without replacement)
+
+
+def test_priority_sample_matches_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.sampling import mix32, priority_sample
+
+    rng = np.random.default_rng(3)
+    n, k = 500, 20
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 10_000, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_chars": pa.array(w, pa.int64())})).repartition(7)
+
+    got = priority_sample(ds, id_col="doc_id", weight_col="n_chars",
+                          k=k).to_pandas()
+
+    u = (mix32(ids).astype(np.float64) + 1.0) / 4294967296.0
+    q = w.astype(np.float64) / u
+    order = np.lexsort((ids, -q))
+    want_ids = ids[order[:k]]
+    tau = q[order[k]]
+    assert list(got["doc_id"]) == list(want_ids)
+    assert list(got["priority"]) == list(q[order[:k]])
+    assert list(got["w_hat"]) == [max(float(x), tau)
+                                  for x in w[order[:k]]]
+
+
+def test_priority_sample_estimator_is_unbiased_over_salts(ray_session):
+    # the w_hat estimator's defining property: for any fixed item,
+    # E[w_hat * 1(selected)] = w.  With ONE deterministic hash draw the
+    # population-sum identity sum(w_hat) ≈ sum(w) holds only up to the
+    # estimator's sampling variance (relative sd ~ 1/sqrt(k)), so the
+    # bound is loose — the bit-exact selection/estimator arithmetic is
+    # pinned by the brute-force test above and the DuckDB oracle
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.sampling import priority_sample
+
+    rng = np.random.default_rng(5)
+    n, k = 3000, 200
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "n_chars": pa.array(w, pa.int64())}))
+    got = priority_sample(ds, k=k).to_pandas()
+    assert len(got) == k
+    est, true = got["w_hat"].sum(), float(w.sum())
+    assert abs(est - true) / true < 0.30, (est, true)
+
+
+def test_priority_sample_excludes_nonpositive_weights(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.sampling import priority_sample
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "n_chars": pa.array([0, -5, 10, 20], pa.int64())}))
+    got = priority_sample(ds, k=10).to_pandas()
+    assert set(got["doc_id"]) == {3, 4}
