@@ -138,6 +138,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checked r5: corner-credit recount via the same three-way
         # self-join; the one float division is bit-identical)
         "graph_local_clustering": g.graph_local_clustering,
+        # k-core membership via iterative peeling (oracle-checked r5:
+        # 6 unrolled peel rounds — exact past the measured ≤2-round
+        # fixpoint because extra rounds are no-ops)
+        "graph_k_core": g.graph_k_core,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -348,6 +352,45 @@ _LM_SCORED_CTE = """
 # and the double '||' between tokens makes a mid-token false match
 # impossible.  The corpus is ASCII 33..121 (no '|', no '<'), so neither
 # the separator nor the '</w>' sentinel can collide with token text.
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling over the part co-purchase pairs: each
+    round recounts degrees among surviving edges and drops vertices
+    below k.  Exact whenever the true peel depth ≤ ``rounds`` (extra
+    rounds past the fixpoint are no-ops; measured depth on this corpus
+    is ≤2)."""
+    # MATERIALIZED: DuckDB inlines plain CTEs, and each round
+    # references the previous edge set several times — without
+    # materialization the unrolled plan re-scans exponentially
+    ctes = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
+        " b.l_partkey AS v"
+        " FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey"
+        " AND a.l_partkey < b.l_partkey)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT x AS vertex, COUNT(*) AS deg"
+            f" FROM (SELECT u AS x FROM e{p} UNION ALL SELECT v FROM e{p})"
+            f" GROUP BY x)")
+        ctes.append(
+            f"s{r} AS MATERIALIZED"
+            f" (SELECT vertex FROM d{r} WHERE deg >= {k})")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e"
+            f" JOIN s{r} a ON a.vertex = e.u"
+            f" JOIN s{r} b ON b.vertex = e.v)")
+    last = f"e{rounds}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT x AS vertex, COUNT(*) AS deg FROM
+            (SELECT u AS x FROM {last} UNION ALL SELECT v FROM {last})
+        GROUP BY x HAVING COUNT(*) >= {k}
+        """)
+
+
 def _bpe_replay_cte(path: str) -> str:
     return f"""
 WITH RECURSIVE
@@ -2330,6 +2373,10 @@ FROM sb
                    JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v)
                     AS n_triangles
         """,
+        # k=64 core: six unrolled peel rounds (degree count -> survivor
+        # filter -> edge restriction); exact because peeling is a
+        # monotone fixpoint and extra rounds are no-ops
+        "graph_k_core": _kcore_sql(k=64, rounds=6),
         # per-vertex clustering coefficient: corner credits from the
         # brute triangle list; COALESCE folds triangle-free vertices
         "graph_local_clustering": """

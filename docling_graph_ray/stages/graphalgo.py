@@ -618,3 +618,96 @@ def local_clustering(edges, *, src_col: str = "src",
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+
+
+def k_core(edges, *, k: int, src_col: str = "src", dst_col: str = "dst",
+           num_partitions: int = 64, max_rounds: int = 60,
+           label_blocks: int = 8):
+    """The k-core of an undirected graph: the (unique) maximal subgraph
+    in which every vertex has degree ≥ k, computed by the classic
+    peeling fixpoint — drop all vertices of degree < k, recount, repeat
+    (Matula & Beck 1983; distributed form as in Montresor et al. 2013).
+
+    Each round is three bucketed dataset ops (degree count → survivor
+    filter → two semi-joins restricting edges to surviving endpoints)
+    behind a ``round_barrier`` — the same iterate-materialize shape as
+    ``connected_components``; nothing graph-sized lands on the driver
+    (the convergence check is one edge ``count()`` per round, and
+    peeling is monotone so the count is strictly decreasing until
+    fixpoint).  Rounds are bounded by the peel depth (degeneracy
+    ordering length), not the diameter.
+
+    Returns ``(vertex, deg)`` for every k-core member, ``deg`` the
+    within-core degree (≥ k by the fixpoint)."""
+    import ray
+
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.joins import semi_join_auto
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).cast(pa.int64())
+        d = b.column(dst_col).cast(pa.int64())
+        u = pc.min_element_wise(s, d)
+        v = pc.max_element_wise(s, d)
+        t = pa.table({"u": u, "v": v}).filter(pc.not_equal(u, v))
+        return t.group_by(["u", "v"]).aggregate([])
+
+    def vert_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "u" not in b.schema.names:
+            return pa.table({"vertex": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        t = pa.table({"vertex": pa.concat_arrays([
+            b.column("u").combine_chunks(),
+            b.column("v").combine_chunks()])})
+        g = t.group_by("vertex").aggregate([([], "count_all")])
+        return pa.table({"vertex": g.column("vertex"),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    def degree_table(edge_ds):
+        return bucketed_aggregate(
+            edge_ds.map_batches(vert_partial, batch_format="pyarrow"),
+            ["vertex"], [("deg", "sum")], rename=["vertex", "deg"],
+            combine=True, num_partitions=num_partitions,
+        ).materialize()
+
+    active = bucketed_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"], [("", "count_all")],
+        rename=["u", "v", "_n"], combine=True,
+        num_partitions=num_partitions,
+    ).map_batches(lambda t: t.select(["u", "v"]),
+                  batch_format="pyarrow").materialize()
+    n_edges = active.count()
+
+    empty_deg = pa.table({"vertex": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return ray.data.from_arrow(empty_deg)
+
+    for _ in range(max_rounds):
+        degrees = degree_table(active)
+        good = degrees.map_batches(
+            lambda t: (t.filter(pc.greater_equal(t.column("deg"), k))
+                       if t.num_rows and "deg" in t.schema.names
+                       else empty_deg),
+            batch_format="pyarrow").materialize()
+        n_good = good.count()
+        if n_good == 0:
+            return ray.data.from_arrow(empty_deg)
+        e = semi_join_auto(active, good, on="u", key_col="vertex",
+                           probe_rows=n_good,
+                           num_partitions=num_partitions)
+        e = semi_join_auto(e, good, on="v", key_col="vertex",
+                           probe_rows=n_good,
+                           num_partitions=num_partitions)
+        e = round_barrier(e, label_blocks)
+        cnt = e.count()
+        if cnt == n_edges:      # no edge lost → every survivor has
+            active = e          # in-core degree ≥ k: fixpoint
+            break
+        active, n_edges = e, cnt
+    return degree_table(active)

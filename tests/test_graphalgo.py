@@ -187,3 +187,72 @@ def test_local_clustering_triangle_plus_pendant(ray_session):
     assert got[0]["deg"] == 3 and got[0]["n_tri"] == 1
     assert got[0]["coeff"] == 2.0 / 6.0
     assert got[1]["coeff"] == 1.0 and got[2]["coeff"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# k-core: iterative peeling vs brute force
+
+
+def _kcore_brute(src, dst, k, nmax):
+    import numpy as np
+
+    m = src != dst
+    a = np.minimum(src[m], dst[m])
+    b = np.maximum(src[m], dst[m])
+    pairs = sorted(set(zip(a.tolist(), b.tolist())))
+    uu = np.array([p[0] for p in pairs], np.int64)
+    vv = np.array([p[1] for p in pairs], np.int64)
+    while True:
+        deg = np.bincount(uu, minlength=nmax) + \
+            np.bincount(vv, minlength=nmax)
+        alive = deg >= k
+        keep = alive[uu] & alive[vv] if len(uu) else \
+            np.array([], bool)
+        if keep.all():
+            break
+        uu, vv = uu[keep], vv[keep]
+    deg = np.bincount(uu, minlength=nmax) + np.bincount(vv, minlength=nmax)
+    return {v: int(deg[v]) for v in range(nmax) if deg[v] >= k}
+
+
+def test_k_core_peels_tendrils_multiround(ray_session):
+    # K6 clique + a 5-link chain off vertex 0: k=2 must peel the chain
+    # one link per round (multi-round fixpoint), keeping exactly the
+    # clique
+    from docling_graph_ray.stages.graphalgo import k_core
+
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    edges += [(0, 6), (6, 7), (7, 8), (8, 9), (9, 10)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+    got = {r["vertex"]: r["deg"]
+           for r in k_core(ds, k=2, num_partitions=4).take_all()}
+    assert got == {i: 5 for i in range(6)}
+
+
+def test_k_core_matches_brute_force(ray_session):
+    import numpy as np
+
+    from docling_graph_ray.stages.graphalgo import k_core
+
+    rng = np.random.default_rng(9)
+    n, m = 80, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    for k in (2, 4, 6):
+        got = {r["vertex"]: r["deg"]
+               for r in k_core(ds, k=k, num_partitions=8).take_all()}
+        assert got == _kcore_brute(src, dst, k, n), k
+
+
+def test_k_core_empty_when_overpeeled(ray_session):
+    from docling_graph_ray.stages.graphalgo import k_core
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([2, 3], pa.int64())}))
+    assert k_core(ds, k=5, num_partitions=2).count() == 0
