@@ -142,6 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 6 unrolled peel rounds — exact past the measured ≤2-round
         # fixpoint because extra rounds are no-ops)
         "graph_k_core": g.graph_k_core,
+        # Newman degree assortativity (oracle-checked r5: exact int64
+        # sums + one fixed float64 expression)
+        "graph_degree_assortativity": g.graph_degree_assortativity,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -2377,6 +2380,54 @@ FROM sb
         # filter -> edge restriction); exact because peeling is a
         # monotone fixpoint and extra rounds are no-ops
         "graph_k_core": _kcore_sql(k=64, rounds=6),
+        # Newman assortativity: exact integer sums over both edge
+        # orientations; the final r mirrors the Ray side's float64
+        # expression tree op-for-op so it hashes bit-identically
+        "graph_degree_assortativity": """
+            WITH op AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS MATERIALIZED (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            deg AS MATERIALIZED (
+                SELECT x AS vertex, COUNT(*) AS deg FROM (
+                    SELECT u AS x FROM pairs
+                    UNION ALL SELECT v FROM pairs)
+                GROUP BY x
+            ),
+            wd AS (
+                SELECT du.deg AS deg_u, dv.deg AS deg_v
+                FROM pairs p
+                JOIN deg du ON du.vertex = p.u
+                JOIN deg dv ON dv.vertex = p.v
+            ),
+            sums AS (
+                SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2,
+                       CAST(SUM(deg_u + deg_v) AS BIGINT) AS s_deg,
+                       CAST(SUM(deg_u * deg_u + deg_v * deg_v)
+                            AS BIGINT) AS s_deg2,
+                       CAST(2 * SUM(deg_u * deg_v) AS BIGINT) AS s_prod
+                FROM wd
+            )
+            SELECT m2, s_deg, s_deg2, s_prod,
+                   CASE WHEN CAST(m2 AS DOUBLE) * CAST(s_deg2 AS DOUBLE)
+                             - CAST(s_deg AS DOUBLE)
+                               * CAST(s_deg AS DOUBLE) = 0.0
+                        THEN NULL
+                        ELSE (CAST(m2 AS DOUBLE) * CAST(s_prod AS DOUBLE)
+                              - CAST(s_deg AS DOUBLE)
+                                * CAST(s_deg AS DOUBLE))
+                             / (CAST(m2 AS DOUBLE)
+                                * CAST(s_deg2 AS DOUBLE)
+                                - CAST(s_deg AS DOUBLE)
+                                  * CAST(s_deg AS DOUBLE))
+                   END AS r
+            FROM sums
+        """,
         # per-vertex clustering coefficient: corner credits from the
         # brute triangle list; COALESCE folds triangle-free vertices
         "graph_local_clustering": """

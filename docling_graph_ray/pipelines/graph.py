@@ -869,6 +869,17 @@ def graph_k_core(sf_dir: str, k: int = 64):
     return k_core(_copurchase_edges(sf_dir), k=k, num_partitions=64)
 
 
+def graph_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the part co-purchase graph: all
+    sums exact int64 (order-free block partials), one fixed float64
+    expression at the end — bit-identical to the DuckDB oracle's same
+    expression tree (stages/graphalgo.py:degree_assortativity)."""
+    from docling_graph_ray.stages.graphalgo import degree_assortativity
+
+    return degree_assortativity(_copurchase_edges(sf_dir),
+                                num_partitions=64)
+
+
 def graph_pagerank(sf_dir: str, iters: int = 5):
     """PageRank over the supplier→nation→region hierarchy (suppliers
     endorse their nation, nations their region; regions are dangling).

@@ -711,3 +711,71 @@ def k_core(edges, *, k: int, src_col: str = "src", dst_col: str = "dst",
             break
         active, n_edges = e, cnt
     return degree_table(active)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Newman 2002)
+
+
+def degree_assortativity(edges, *, src_col: str = "src",
+                         dst_col: str = "dst",
+                         num_partitions: int = 64):
+    """Degree assortativity coefficient r (Newman 2002): the Pearson
+    correlation of the degrees at either end of an edge, over both
+    orientations of every canonical edge.
+
+    All sums are EXACT int64 (order-free, so partial-per-block +
+    driver-side fold of the tiny per-block rows is deterministic);
+    the final r is a fixed float64 expression over those integers —
+    every op correctly rounded, so the result hashes bit-identically
+    to a SQL engine evaluating the same expression tree.  Int64 is
+    exact while Σdeg² < 2^63 (fine to ~1e12 edges of degree ~1e5;
+    beyond that widen to float partials and accept last-ulp drift).
+
+    Returns 1 row: ``(m2, s_deg, s_deg2, s_prod, r)`` where m2 = 2·|E|
+    and the sums run over orientations; r is NULL for degree-regular
+    graphs (zero variance)."""
+    from docling_graph_ray.stages.joins import lookup_join_auto
+
+    canon_edges, degrees, _, n_nodes, n_edges = _oriented_graph(
+        edges, src_col, dst_col, num_partitions)
+
+    with_deg = lookup_join_auto(
+        lookup_join_auto(
+            canon_edges, degrees, on="u", key_col="vertex",
+            value_cols=["deg"], probe_rows=n_nodes,
+            num_partitions=num_partitions,
+        ).map_batches(lambda t: t.rename_columns(["u", "v", "deg_u"]),
+                      batch_format="pyarrow"),
+        degrees, on="v", key_col="vertex", value_cols=["deg"],
+        probe_rows=n_nodes, num_partitions=num_partitions,
+    ).map_batches(lambda t: t.rename_columns(["u", "v", "deg_u", "deg_v"]),
+                  batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        du = b.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = b.column("deg_v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "sx": pa.array([int((du + dv).sum())], pa.int64()),
+            "sxx": pa.array([int((du * du + dv * dv).sum())], pa.int64()),
+            "sxy": pa.array([int((du * dv).sum())], pa.int64()),
+        })
+
+    parts = with_deg.map_batches(partial, batch_format="pyarrow").take_all()
+    m2 = 2 * sum(p["n"] for p in parts)
+    sx = sum(p["sx"] for p in parts)
+    sxx = sum(p["sxx"] for p in parts)
+    sxy = 2 * sum(p["sxy"] for p in parts)
+
+    fm2, fsx = np.float64(m2), np.float64(sx)
+    num = fm2 * np.float64(sxy) - fsx * fsx
+    den = fm2 * np.float64(sxx) - fsx * fsx
+    r = None if den == 0.0 else float(num / den)
+    return pa.table({
+        "m2": pa.array([m2], pa.int64()),
+        "s_deg": pa.array([sx], pa.int64()),
+        "s_deg2": pa.array([sxx], pa.int64()),
+        "s_prod": pa.array([sxy], pa.int64()),
+        "r": pa.array([r], pa.float64()),
+    })

@@ -256,3 +256,41 @@ def test_k_core_empty_when_overpeeled(ray_session):
         "src": pa.array([1, 2], pa.int64()),
         "dst": pa.array([2, 3], pa.int64())}))
     assert k_core(ds, k=5, num_partitions=2).count() == 0
+
+
+def test_degree_assortativity_matches_corrcoef(ray_session):
+    import numpy as np
+
+    from docling_graph_ray.stages.graphalgo import degree_assortativity
+
+    rng = np.random.default_rng(13)
+    n, m = 70, 350
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())})).repartition(5)
+    got = degree_assortativity(ds, num_partitions=8).to_pydict()
+
+    mm = src != dst
+    a = np.minimum(src[mm], dst[mm])
+    b = np.maximum(src[mm], dst[mm])
+    pairs = sorted(set(zip(a.tolist(), b.tolist())))
+    uu = np.array([p[0] for p in pairs])
+    vv = np.array([p[1] for p in pairs])
+    deg = np.bincount(uu, minlength=n) + np.bincount(vv, minlength=n)
+    x = np.r_[deg[uu], deg[vv]].astype(float)
+    y = np.r_[deg[vv], deg[uu]].astype(float)
+    assert abs(got["r"][0] - np.corrcoef(x, y)[0, 1]) < 1e-9
+    assert got["m2"][0] == 2 * len(pairs)
+
+
+def test_degree_assortativity_regular_graph_is_null(ray_session):
+    # a 4-cycle is degree-regular: zero variance, r undefined -> NULL
+    from docling_graph_ray.stages.graphalgo import degree_assortativity
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 0], pa.int64())}))
+    got = degree_assortativity(ds, num_partitions=2).to_pydict()
+    assert got["r"][0] is None
