@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle-checked r5: mix32 priorities are exact IEEE floats,
         # so the DuckDB window-rank twin hashes bit-identically)
         "doc_priority_sample": t.doc_priority_sample,
+        # chunked inverted-index postings (oracle-checked r5: DuckDB
+        # string_agg over the same tokenization; chunking by
+        # doc_id//64 keeps hot tokens off single workers)
+        "doc_inverted_index": t.doc_inverted_index,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
@@ -3383,6 +3387,27 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # chunked inverted index: same whitespace tokenization as the
+        # tf-idf oracle; chunk_id = doc_id // 64; postings as ordered
+        # string_agg so lists hash identically across engines
+        "doc_inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(TRIM(text), '\\s+'))
+                           AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            )
+            SELECT token, doc_id // 64 AS chunk_id,
+                   CAST(COUNT(*) AS BIGINT) AS df_chunk,
+                   CAST(SUM(tf) AS BIGINT) AS tf_sum,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM tf GROUP BY token, chunk_id
+        """,
         # priority sampling: q = w / ((mix32(id)+1)/2^32); top-50 by
         # (q DESC, id); w_hat = GREATEST(w, tau) with tau = rank-51
         # priority — every float one correctly-rounded IEEE op

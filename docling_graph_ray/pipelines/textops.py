@@ -1566,6 +1566,19 @@ def doc_priority_sample(sf_dir: str, k: int = 50):
         id_col="doc_id", weight_col="n_chars", k=k)
 
 
+def doc_inverted_index(sf_dir: str, chunk_span: int = 64):
+    """Chunked inverted-index postings over the documents table
+    (stages/postings.py:build_postings): one explode pass, one bucketed
+    shuffle keyed on (token, doc_id // 64) so a stop-word's posting
+    list never lands whole on one worker.  Postings are comma-joined
+    id strings — deterministic and hash-comparable to the DuckDB
+    string_agg oracle."""
+    from docling_graph_ray.stages.postings import build_postings
+
+    return build_postings(
+        _docs(sf_dir, ["doc_id", "text"]), chunk_span=chunk_span)
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
