@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
         "doc_inverted_index": t.doc_inverted_index,
+        # BM25 top-10 per query (oracle-checked r5: nano-quantized
+        # per-term contributions sum exactly in int64, so ranking is
+        # float-order-free and bit-identical to the SQL twin)
+        "doc_bm25_topk": t.doc_bm25_topk,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
@@ -3387,6 +3391,67 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # BM25: per-(query,term,doc) contribution mirrors the Ray
+        # expression tree op-for-op, nano-quantized to BIGINT before
+        # the per-doc sum (order-free), then a window rank
+        "doc_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(TRIM(text), '\\s+'))
+                           AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE token <> '' GROUP BY doc_id, token
+            ),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                   FROM tf GROUP BY doc_id),
+            stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                             CAST(SUM(dl) AS BIGINT) AS n_tokens
+                      FROM dl),
+            q(query_id, term) AS (VALUES
+                ('q1', 'scan'), ('q1', 'column'),
+                ('q2', 'join'), ('q2', 'merge'), ('q2', 'key'),
+                ('q3', 'sort'), ('q3', 'order')),
+            dfq AS (
+                SELECT qt.term,
+                       CAST(COUNT(DISTINCT tf.doc_id) AS BIGINT) AS df
+                FROM (SELECT DISTINCT term FROM q) qt
+                LEFT JOIN tf ON tf.token = qt.term
+                GROUP BY qt.term
+            ),
+            contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                       CAST(ROUND(
+                           ln(1.0 + (CAST(s.n_docs AS DOUBLE)
+                                     - CAST(d.df AS DOUBLE) + 0.5)
+                                    / (CAST(d.df AS DOUBLE) + 0.5))
+                           * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                              / (CAST(tf.tf AS DOUBLE)
+                                 + 1.2 * (1.0 - 0.75
+                                          + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                    / (CAST(s.n_tokens
+                                                            AS DOUBLE)
+                                                       / CAST(s.n_docs
+                                                              AS DOUBLE))))))
+                           * 1e9) AS BIGINT) AS e9
+                FROM q
+                JOIN tf ON tf.token = q.term
+                JOIN dl USING (doc_id)
+                JOIN dfq d ON d.term = q.term
+                CROSS JOIN stats s
+            ),
+            scored AS (SELECT query_id, doc_id,
+                              CAST(SUM(e9) AS BIGINT) AS score_e9
+                       FROM contrib GROUP BY query_id, doc_id),
+            ranked AS (SELECT *, row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_e9 DESC, doc_id) AS rk
+                       FROM scored)
+            SELECT query_id, doc_id, score_e9
+            FROM ranked WHERE rk <= 10
+        """,
         # chunked inverted index: same whitespace tokenization as the
         # tf-idf oracle; chunk_id = doc_id // 64; postings as ordered
         # string_agg so lists hash identically across engines

@@ -1579,6 +1579,26 @@ def doc_inverted_index(sf_dir: str, chunk_span: int = 64):
         _docs(sf_dir, ["doc_id", "text"]), chunk_span=chunk_span)
 
 
+#: Fixed demo query set for the BM25 oracle (terms from the synthetic
+#: corpus vocabulary; stable across scale factors).
+BM25_QUERIES = {
+    "q1": ["scan", "column"],
+    "q2": ["join", "merge", "key"],
+    "q3": ["sort", "order"],
+}
+
+
+def doc_bm25_topk(sf_dir: str, k: int = 10):
+    """BM25 top-10 per query (stages/retrieval.py:bm25_topk): stats
+    pass folds to scalars, scoring pass does per-block partial top-k,
+    per-term contributions are nano-quantized so ranking is an exact
+    int64 sum — bit-identical to the DuckDB window-rank oracle."""
+    from docling_graph_ray.stages.retrieval import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                     BM25_QUERIES, k=k)
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
