@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_brand_type": r.distinct_brand_type,
         "anti_join_customers": r.anti_join_customers,
         "events_daily": r.events_daily,
+        # KMV distinct sketch (oracle-checked r5: the k-th smallest
+        # distinct mix32 hash is a SQL window rank; one IEEE division)
+        "events_kmv_distinct": r.events_kmv_distinct,
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
@@ -3472,6 +3475,34 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # KMV sketch: k smallest distinct mix32 hashes; estimate =
+        # (k-1)*2^32 / h_k as one division on exact inputs
+        "events_kmv_distinct": """
+            WITH m1 AS (
+                SELECT DISTINCT user_id,
+                       xor(user_id >> 16, user_id) * 73244475
+                           % 4294967296 AS x
+                FROM events
+            ),
+            m2 AS (SELECT DISTINCT
+                       xor(x >> 16, x) * 73244475 % 4294967296 AS x
+                   FROM m1),
+            h AS (SELECT DISTINCT xor(x >> 16, x) AS h FROM m2),
+            ranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                       FROM h),
+            mins AS (SELECT h, rk FROM ranked WHERE rk <= 256),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mins,
+                           MAX(CASE WHEN rk = 256 THEN h END) AS hk
+                    FROM mins)
+            SELECT CAST(256 AS BIGINT) AS k, n_mins,
+                   CAST(COALESCE(hk, -1) AS BIGINT) AS kth_hash,
+                   CASE WHEN hk IS NULL
+                        THEN CAST(n_mins AS DOUBLE)
+                        ELSE (255.0 * 4294967296.0)
+                             / CAST(hk AS DOUBLE)
+                   END AS estimate
+            FROM agg
         """,
         # priority sampling: q = w / ((mix32(id)+1)/2^32); top-50 by
         # (q DESC, id); w_hat = GREATEST(w, tau) with tau = rank-51

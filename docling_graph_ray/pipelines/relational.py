@@ -384,6 +384,18 @@ def latest_event_per_user(sf_dir: str):
     )
 
 
+def events_kmv_distinct(sf_dir: str, k: int = 256):
+    """KMV distinct-user sketch over events (stages/sketch.py:
+    kmv_distinct): per-block k smallest distinct mix32 hashes fold to
+    one bounded candidate set; the k-th smallest hash and the single
+    estimate division are exactly reproducible in SQL (window rank +
+    one IEEE division), so the sketch itself is oracle-gated."""
+    from docling_graph_ray.stages.sketch import kmv_distinct
+
+    return kmv_distinct(_read(sf_dir, "events", ["user_id"]),
+                        col="user_id", k=k)
+
+
 def events_daily(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "value"])
 

@@ -510,3 +510,61 @@ def cms_estimate(counters: np.ndarray, tokens: list) -> np.ndarray:
     buckets = _cms_buckets(tokens, d, w)
     return np.min(
         np.stack([counters[i, buckets[i]] for i in range(d)]), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) distinct sketch
+
+
+KMV_SCHEMA = pa.schema([("k", pa.int64()), ("n_mins", pa.int64()),
+                        ("kth_hash", pa.int64()),
+                        ("estimate", pa.float64())])
+
+
+def kmv_distinct(ds, *, col: str, k: int = 256):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the k smallest DISTINCT hash values; if the k-th smallest is
+    h_k, the cardinality estimate is (k−1)·2^32 / h_k (hashes are
+    mix32, uniform on [0, 2^32)).  Unlike HLL the whole sketch state is
+    exactly reproducible in SQL — the k-th smallest distinct hash is a
+    window rank — so this one is oracle-gated, not just error-banded.
+
+    Distribution: per-block k smallest distinct hashes (a true
+    combiner — mins of mins are mins), then one small sort+limit over
+    the ≤ blocks×k candidates.  Exact count is returned instead when
+    fewer than k distinct hashes exist.  The single estimate division
+    runs on exactly-representable inputs, so it hashes bit-identically
+    across engines."""
+    from docling_graph_ray.stages.sampling import mix32
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column(col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if not len(ids):
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = np.unique(mix32(ids))[:k]
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    cands = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    # candidate set is ≤ blocks×k int64 rows — a bounded sketch fold,
+    # safe on the driver (the same shape every mergeable sketch here
+    # uses); np.unique both dedups cross-block hash repeats and sorts
+    mins = np.unique(
+        cands.to_pandas()["h"].to_numpy(dtype=np.int64))[:k]
+
+    n_mins = len(mins)
+    if n_mins < k:
+        est = np.float64(n_mins)
+        kth = -1
+    else:
+        kth = int(mins[k - 1])
+        est = (np.float64(k - 1) * np.float64(4294967296.0)) \
+            / np.float64(kth)
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_mins": pa.array([n_mins], pa.int64()),
+        "kth_hash": pa.array([kth], pa.int64()),
+        "estimate": pa.array([float(est)], pa.float64()),
+    })

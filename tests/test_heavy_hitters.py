@@ -64,3 +64,50 @@ def test_heavy_hitters_skewed_blocks(ray_session):
 
 def test_heavy_hitters_empty_corpus(ray_session):
     assert _run(["", None, "   "], 0.01) == {}
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+
+
+def test_kmv_matches_brute_and_is_accurate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.sampling import mix32
+    from docling_graph_ray.stages.sketch import kmv_distinct
+
+    rng = np.random.default_rng(17)
+    true_n = 5000
+    ids = rng.choice(np.arange(true_n, dtype=np.int64) * 7 + 3,
+                     size=40_000)  # heavy repeats
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(ids, pa.int64())})).repartition(9)
+    k = 256
+    got = kmv_distinct(ds, col="user_id", k=k).to_pydict()
+
+    mins = np.unique(mix32(np.unique(ids)))[:k]
+    kth = int(mins[k - 1])
+    assert got["kth_hash"][0] == kth
+    assert got["n_mins"][0] == k
+    want_est = float((np.float64(k - 1) * np.float64(4294967296.0))
+                     / np.float64(kth))
+    assert got["estimate"][0] == want_est
+    # accuracy: relative error ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(want_est - true_n) / true_n < 0.25
+
+
+def test_kmv_small_domain_returns_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from docling_graph_ray.stages.sketch import kmv_distinct
+
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 2, 3, 2, 1], pa.int64())}))
+    got = kmv_distinct(ds, col="user_id", k=256).to_pydict()
+    assert got["n_mins"][0] == 3
+    assert got["kth_hash"][0] == -1
+    assert got["estimate"][0] == 3.0
