@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV distinct sketch (oracle-checked r5: the k-th smallest
         # distinct mix32 hash is a SQL window rank; one IEEE division)
         "events_kmv_distinct": r.events_kmv_distinct,
+        # TPC-H Q5 shape: deepest join chain in the suite (oracle-
+        # checked r5: 5-way join + locality filter, exact e4 revenue)
+        "q5_local_supplier_revenue": r.q5_local_supplier_revenue,
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
@@ -3475,6 +3478,25 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # Q5: local-supplier revenue per ASIA nation, 1995 window;
+        # revenue in exact e4 minor units like q1
+        "q5_local_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 10000, 0)
+                                 AS BIGINT)) AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region rg ON rg.r_regionkey = n.n_regionkey
+            WHERE rg.r_name = 'ASIA'
+              AND s.s_nationkey = c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY n.n_name
         """,
         # KMV sketch: k smallest distinct mix32 hashes; estimate =
         # (k-1)*2^32 / h_k as one division on exact inputs

@@ -384,6 +384,107 @@ def latest_event_per_user(sf_dir: str):
     )
 
 
+def q5_local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q5 shape — local-supplier revenue per ASIA nation for
+    1995 orders: the deepest join chain in the suite
+    (region→nation→{customer, supplier} dims on the driver; orders
+    filtered AT THE READ by the date window; orders⋈customer via
+    lookup_join_auto; lineitem⋈orders via the native hash-shuffle
+    Dataset.join of the two O(rows) tables; supplier nation attached
+    by a second lookup; the c_nation = s_nation locality filter and
+    the revenue partials fold before the 5-row groupby).  Revenue is
+    exact e4 minor units (the q1 convention)."""
+    import datetime
+
+    from docling_graph_ray.stages.joins import lookup_join_auto
+
+    # nation/region are true dims (25/5 rows) — driver-side dict
+    nat = {}
+    for ref in _read(sf_dir, "nation").to_arrow_refs():
+        t = ray.get(ref)
+        for r in t.to_pylist():
+            nat[r["n_nationkey"]] = (r["n_name"], r["n_regionkey"])
+    region_asia = {
+        r["r_regionkey"]
+        for ref in _read(sf_dir, "region").to_arrow_refs()
+        for r in ray.get(ref).to_pylist() if r["r_name"] == "ASIA"
+    }
+    asia_nations = {k for k, (_, rk) in nat.items()
+                    if rk in region_asia}
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1996, 1, 1)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: b.filter(pc.and_(
+                pc.greater_equal(b.column("o_orderdate"),
+                                 pa.scalar(lo)),
+                pc.less(b.column("o_orderdate"), pa.scalar(hi))))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ordc = lookup_join_auto(
+        orders, cust, on="o_custkey", key_col="c_custkey",
+        value_cols=["c_nationkey"], num_partitions=num_partitions,
+        probe_rows=cust.count(),
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b.column("c_nationkey")))
+        .select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    joined = li.join(ordc, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    full = lookup_join_auto(
+        joined, supp, on="l_suppkey", key_col="s_suppkey",
+        value_cols=["s_nationkey"], num_partitions=num_partitions,
+        probe_rows=supp.count(),
+    )
+
+    asia_arr = pa.array(sorted(asia_nations), pa.int64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b.column("c_nationkey").cast(pa.int64()),
+                     pc.fill_null(b.column("s_nationkey"),
+                                  -1).cast(pa.int64())),
+            pc.is_in(b.column("c_nationkey").cast(pa.int64()),
+                     value_set=asia_arr))
+        t = b.filter(keep)
+        rev = _cents(pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount"))), 10000)
+        g = pa.table({
+            "n_nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "revenue_e4": rev,
+        }).group_by("n_nationkey").aggregate([("revenue_e4", "sum")])
+        return g.rename_columns(["n_nationkey", "revenue_e4"])
+
+    agg = (full.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_nationkey").sum("revenue_e4")
+           .map_batches(
+               lambda t: t.rename_columns(["n_nationkey", "revenue_e4"]),
+               batch_format="pyarrow"))
+
+    name_map = {k: v[0] for k, v in nat.items()}
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b.column("n_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([name_map[k] for k in keys], pa.string()),
+            "revenue_e4": b.column("revenue_e4").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def events_kmv_distinct(sf_dir: str, k: int = 256):
     """KMV distinct-user sketch over events (stages/sketch.py:
     kmv_distinct): per-block k smallest distinct mix32 hashes fold to
