@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-term contributions sum exactly in int64, so ranking is
         # float-order-free and bit-identical to the SQL twin)
         "doc_bm25_topk": t.doc_bm25_topk,
+        # PMI collocations (oracle-checked r5: exact counts, nano-
+        # quantized ln ratio, DuckDB lockstep-unnest bigrams)
+        "doc_bigram_pmi": t.doc_bigram_pmi,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
@@ -3397,6 +3400,41 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # PMI collocations: DuckDB unnests the two aligned list slices
+        # in lockstep for adjacent pairs; pmi mirrors the Ray float
+        # expression and quantizes to nano-units before ranking
+        "doc_bigram_pmi": """
+            WITH lists AS (
+                SELECT regexp_split_to_array(TRIM(text), '\\s+') AS l
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(l) AS token FROM lists)
+                    WHERE token <> '' GROUP BY token),
+            tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+            big AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_xy
+                    FROM (SELECT unnest(l[1:len(l)-1]) AS a,
+                                 unnest(l[2:len(l)]) AS b
+                          FROM lists WHERE len(l) >= 2)
+                    GROUP BY a, b),
+            nbi AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM big),
+            j AS (SELECT bg.a, bg.b, bg.c_xy, ux.c AS c_x, uy.c AS c_y
+                  FROM big bg
+                  JOIN uni ux ON ux.token = bg.a
+                  JOIN uni uy ON uy.token = bg.b
+                  WHERE bg.c_xy >= 5),
+            scored AS (SELECT a || ' ' || b AS bigram, c_xy, c_x, c_y,
+                CAST(ROUND(ln((CAST(c_xy AS DOUBLE)
+                               / CAST(nbi.n AS DOUBLE))
+                              / ((CAST(c_x AS DOUBLE)
+                                  / CAST(tot.n AS DOUBLE))
+                                 * (CAST(c_y AS DOUBLE)
+                                    / CAST(tot.n AS DOUBLE)))) * 1e9)
+                     AS BIGINT) AS pmi_e9
+                FROM j CROSS JOIN nbi CROSS JOIN tot)
+            SELECT bigram, c_xy, c_x, c_y, pmi_e9
+            FROM scored ORDER BY pmi_e9 DESC, bigram LIMIT 50
+        """,
         # BM25: per-(query,term,doc) contribution mirrors the Ray
         # expression tree op-for-op, nano-quantized to BIGINT before
         # the per-doc sum (order-free), then a window rank

@@ -1599,6 +1599,16 @@ def doc_bm25_topk(sf_dir: str, k: int = 10):
                      BM25_QUERIES, k=k)
 
 
+def doc_bigram_pmi(sf_dir: str, k: int = 50):
+    """Top-50 adjacent-bigram collocations by PMI (Church & Hanks) —
+    stages/collocations.py:bigram_pmi.  Counts exact, PMI
+    nano-quantized for an order-free ranking that hashes identically
+    to the DuckDB lockstep-unnest oracle."""
+    from docling_graph_ray.stages.collocations import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir, ["text"]), min_count=5, k=k)
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
