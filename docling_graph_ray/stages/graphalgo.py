@@ -706,6 +706,8 @@ def k_core(edges, *, k: int, src_col: str = "src", dst_col: str = "dst",
                            num_partitions=num_partitions)
         e = round_barrier(e, label_blocks)
         cnt = e.count()
+        if cnt == 0:            # peeled to nothing (k above the
+            return ray.data.from_arrow(empty_deg)  # graph's degeneracy)
         if cnt == n_edges:      # no edge lost → every survivor has
             active = e          # in-core degree ≥ k: fixpoint
             break

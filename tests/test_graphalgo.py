@@ -294,3 +294,16 @@ def test_degree_assortativity_regular_graph_is_null(ray_session):
         "dst": pa.array([1, 2, 3, 0], pa.int64())}))
     got = degree_assortativity(ds, num_partitions=2).to_pydict()
     assert got["r"][0] is None
+
+
+def test_k_core_cascade_to_empty_midround(ray_session):
+    # path 1-2-3 with k=2: vertex 2 survives the degree filter but
+    # both its edges die (each has a degree-1 endpoint), so the edge
+    # set empties MID-round — the peeled-to-nothing path, not the
+    # no-survivors path
+    from docling_graph_ray.stages.graphalgo import k_core
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([1, 2], pa.int64()),
+        "dst": pa.array([2, 3], pa.int64())}))
+    assert k_core(ds, k=2, num_partitions=2).count() == 0
