@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Newman degree assortativity (oracle-checked r5: exact int64
         # sums + one fixed float64 expression)
         "graph_degree_assortativity": g.graph_degree_assortativity,
+        # HITS hubs/authorities (oracle-checked r5: three unrolled
+        # sum-normalized iterations, 8-digit rounding per pagerank)
+        "graph_hits": g.graph_hits,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -372,6 +375,42 @@ _LM_SCORED_CTE = """
 # and the double '||' between tokens makes a mid-token false match
 # impossible.  The corpus is ASCII 33..121 (no '|', no '<'), so neither
 # the separator nor the '</w>' sentinel can collide with token text.
+def _hits_sql(iters: int) -> str:
+    """Unrolled sum-normalized HITS over the customer→part purchase
+    digraph; mirrors stages/graphalgo.py:hits with final ROUND(_, 8)
+    absorbing float-sum-order drift (the graph_pagerank pattern)."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT"
+        " CAST(o.o_custkey AS BIGINT) AS a,"
+        " CAST(l.l_partkey AS BIGINT) + 1000000 AS b"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT a AS node, 1.0 AS s"
+        " FROM e)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.b AS node, SUM(h.s) AS s"
+            f" FROM e JOIN {prev_h} h ON h.node = e.a GROUP BY e.b)")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node,"
+            f" s / (SELECT SUM(s) FROM a{i}r) AS s FROM a{i}r)")
+        ctes.append(
+            f"h{i}r AS MATERIALIZED (SELECT e.a AS node, SUM(x.s) AS s"
+            f" FROM e JOIN a{i} x ON x.node = e.b GROUP BY e.a)")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node,"
+            f" s / (SELECT SUM(s) FROM h{i}r) AS s FROM h{i}r)")
+        prev_h = f"h{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT node, 'hub' AS kind, ROUND(s, 8) AS score FROM h{iters}
+        UNION ALL
+        SELECT node, 'authority' AS kind, ROUND(s, 8) AS score
+        FROM a{iters}
+        """)
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled k-core peeling over the part co-purchase pairs: each
     round recounts degrees among surviving edges and drops vertices
@@ -2397,6 +2436,8 @@ FROM sb
         # filter -> edge restriction); exact because peeling is a
         # monotone fixpoint and extra rounds are no-ops
         "graph_k_core": _kcore_sql(k=64, rounds=6),
+        # HITS: unrolled MATERIALIZED iterations (see _hits_sql)
+        "graph_hits": _hits_sql(3),
         # Newman assortativity: exact integer sums over both edge
         # orientations; the final r mirrors the Ray side's float64
         # expression tree op-for-op so it hashes bit-identically

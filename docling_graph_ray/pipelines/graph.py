@@ -869,6 +869,35 @@ def graph_k_core(sf_dir: str, k: int = 64):
     return k_core(_copurchase_edges(sf_dir), k=k, num_partitions=64)
 
 
+def graph_hits(sf_dir: str, iters: int = 3):
+    """HITS hubs/authorities over the customer→part purchase digraph
+    (customers are hubs, parts authorities; distinct purchase pairs
+    from orders⋈lineitem).  Oracle: the three sum-normalized power
+    iterations unrolled as MATERIALIZED DuckDB CTEs; final 8-digit
+    rounding absorbs float-sum-order drift (the graph_pagerank
+    pattern).  stages/graphalgo.py:hits."""
+    from docling_graph_ray.stages.graphalgo import hits
+    from docling_graph_ray.stages.joins import lookup_join_auto
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    joined = lookup_join_auto(
+        li, orders, on="l_orderkey", key_col="o_orderkey",
+        value_cols=["o_custkey"], probe_rows=orders.count(),
+    )
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("o_custkey")))
+        return pa.table({
+            "src": t.column("o_custkey").cast(pa.int64()),
+            "dst": pc.add(t.column("l_partkey").cast(pa.int64()),
+                          pa.scalar(1_000_000, pa.int64())),
+        })
+
+    return hits(joined.map_batches(as_edges, batch_format="pyarrow"),
+                iters=iters, ndigits=8)
+
+
 def graph_degree_assortativity(sf_dir: str):
     """Newman degree assortativity of the part co-purchase graph: all
     sums exact int64 (order-free block partials), one fixed float64

@@ -781,3 +781,126 @@ def degree_assortativity(edges, *, src_col: str = "src",
         "s_prod": pa.array([sxy], pa.int64()),
         "r": pa.array([r], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs and authorities)
+
+
+def hits(edges, *, iters: int = 3, src_col: str = "src",
+         dst_col: str = "dst", num_partitions: int = 64,
+         label_blocks: int = 8, ndigits: int = 8):
+    """HITS (Kleinberg 1999), fixed ``iters`` sum-normalized power
+    iterations over a directed edge dataset.
+
+    Per iteration: authority(v) ← Σ_{u→v} hub(u) (one lookup join on
+    the src side + one bucketed sum keyed by dst), normalized by the
+    global sum (one tiny aggregate); then hub(u) ← Σ_{u→v} auth(v)
+    symmetrically.  The same round-barrier discipline as
+    :func:`pagerank`; scores round to ``ndigits`` at the END only
+    (documented float-sum-order tolerance — the DuckDB oracle unrolls
+    the same iterations and the final rounding absorbs ≤1e-12 drift).
+
+    Returns ``(node, kind, score)`` rows, kind ∈ {hub, authority} —
+    hubs are nodes with out-edges, authorities nodes with in-edges."""
+    import ray
+
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.joins import lookup_join
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or src_col not in b.schema.names:
+            return pair_schema.empty_table()
+        t = pa.table({"a": b.column(src_col).cast(pa.int64()),
+                      "b": b.column(dst_col).cast(pa.int64())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    out_empty = pa.schema([("node", pa.int64()), ("kind", pa.string()),
+                           ("score", pa.float64())]).empty_table()
+    raw = edges.map_batches(pairs, batch_format="pyarrow").materialize()
+    # a fully-empty dataset reports schema()=None, which the bucketed
+    # helpers can't consume — answer the degenerate case here
+    if raw.count() == 0:
+        return ray.data.from_arrow(out_empty)
+    epairs = bucketed_aggregate(
+        raw,
+        ["a", "b"], [("", "count_all")], rename=["a", "b", "_n"],
+        combine=True, num_partitions=num_partitions,
+    ).map_batches(lambda t: t.select(["a", "b"]),
+                  batch_format="pyarrow").materialize()
+
+    score_schema = pa.schema([("node", pa.int64()),
+                              ("score", pa.float64())])
+
+    def side_nodes(col):
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or col not in b.schema.names:
+                return score_schema.empty_table()
+            g = b.group_by(col).aggregate([])
+            return pa.table({
+                "node": g.column(col),
+                "score": pa.array(np.ones(g.num_rows), pa.float64()),
+            })
+        return fn
+
+    def distinct_scores(ds):
+        return bucketed_aggregate(
+            ds, ["node"], [("score", "min")], rename=["node", "score"],
+            combine=True, num_partitions=num_partitions)
+
+    hubs = round_barrier(distinct_scores(
+        epairs.map_batches(side_nodes("a"), batch_format="pyarrow")),
+        label_blocks)
+
+    def gather(edge_key: str, node_key: str, scores):
+        """Σ scores(edge_key) grouped by node_key, over the edges."""
+        attached = lookup_join(
+            epairs, scores, on=edge_key, key_col="node",
+            value_cols=["score"], num_partitions=num_partitions)
+
+        def partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "score" not in b.schema.names:
+                return score_schema.empty_table()
+            t = pa.table({
+                "node": b.column(node_key).cast(pa.int64()),
+                "score": pc.fill_null(b.column("score"),
+                                      0.0).cast(pa.float64()),
+            })
+            g = t.group_by("node").aggregate([("score", "sum")])
+            return g.rename_columns(["node", "score"])
+
+        return bucketed_aggregate(
+            attached.map_batches(partial, batch_format="pyarrow"),
+            ["node"], [("score", "sum")], rename=["node", "score"],
+            combine=True, num_partitions=num_partitions)
+
+    def normalize(ds):
+        ds = round_barrier(ds, label_blocks)
+        total = float(ds.sum("score") or 0.0)
+        if total == 0.0:
+            return ds
+        return round_barrier(ds.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "score": pc.divide(t.column("score"),
+                                   pa.scalar(total, pa.float64())),
+            }), batch_format="pyarrow"), label_blocks)
+
+    auths = None
+    for _ in range(iters):
+        auths = normalize(gather("a", "b", hubs))
+        hubs = normalize(gather("b", "a", auths))
+
+    def tag(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node").cast(pa.int64()),
+                "kind": pa.array([kind] * t.num_rows, pa.string()),
+                "score": pc.round(t.column("score"), ndigits=ndigits),
+            })
+        return fn
+
+    return hubs.map_batches(tag("hub"), batch_format="pyarrow").union(
+        auths.map_batches(tag("authority"), batch_format="pyarrow"))

@@ -307,3 +307,50 @@ def test_k_core_cascade_to_empty_midround(ray_session):
         "src": pa.array([1, 2], pa.int64()),
         "dst": pa.array([2, 3], pa.int64())}))
     assert k_core(ds, k=2, num_partitions=2).count() == 0
+
+
+def test_hits_matches_dense_reference(ray_session):
+    import numpy as np
+
+    from docling_graph_ray.stages.graphalgo import hits
+
+    rng = np.random.default_rng(31)
+    edges = sorted({(int(rng.integers(0, 30)),
+                     int(100 + rng.integers(0, 20)))
+                    for _ in range(200)})
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+    got = {(r["kind"], r["node"]): r["score"]
+           for r in hits(ds, iters=3).take_all()}
+
+    hub_nodes = sorted({a for a, _ in edges})
+    auth_nodes = sorted({b for _, b in edges})
+    hi = {n: i for i, n in enumerate(hub_nodes)}
+    ai = {n: i for i, n in enumerate(auth_nodes)}
+    A = np.zeros((len(hub_nodes), len(auth_nodes)))
+    for a, b in edges:
+        A[hi[a], ai[b]] = 1.0
+    h = np.ones(len(hub_nodes))
+    for _ in range(3):
+        aa = A.T @ h
+        aa = aa / aa.sum()
+        h = A @ aa
+        h = h / h.sum()
+    for n in hub_nodes:
+        assert abs(got[("hub", n)] - round(h[hi[n]], 8)) <= 2e-8
+    for n in auth_nodes:
+        assert abs(got[("authority", n)]
+                   - round(aa[ai[n]], 8)) <= 2e-8
+    # sum-normalized: each side sums to 1 (within rounding)
+    assert abs(sum(v for (k, _), v in got.items()
+                   if k == "hub") - 1.0) < 1e-6
+
+
+def test_hits_empty_edges(ray_session):
+    from docling_graph_ray.stages.graphalgo import hits
+
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64())}))
+    assert hits(ds, iters=2).count() == 0
