@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H Q5 shape: deepest join chain in the suite (oracle-
         # checked r5: 5-way join + locality filter, exact e4 revenue)
         "q5_local_supplier_revenue": r.q5_local_supplier_revenue,
+        # Pareto revenue deciles (oracle-checked r5: distributed rank
+        # via sorted-block offsets; exact integer decile rollup)
+        "customer_revenue_pareto": r.customer_revenue_pareto,
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
@@ -3557,6 +3560,31 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # Pareto deciles: rank by (cents DESC, custkey); decile =
+        # (rk-1)*10 // N integer math; exact cumulative cents
+        "customer_revenue_pareto": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ),
+            n AS (SELECT COUNT(*) AS c FROM rev),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    ORDER BY cents DESC, o_custkey) AS rk
+                FROM rev
+            ),
+            dec AS (SELECT *, ((rk - 1) * 10) // (SELECT c FROM n)
+                        AS decile FROM ranked),
+            per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                           CAST(SUM(cents) AS BIGINT) AS value_sum
+                    FROM dec GROUP BY decile)
+            SELECT decile, n_keys, value_sum,
+                   CAST(SUM(value_sum) OVER (ORDER BY decile)
+                        AS BIGINT) AS cum_value_sum
+            FROM per
         """,
         # Q5: local-supplier revenue per ASIA nation, 1995 window;
         # revenue in exact e4 minor units like q1

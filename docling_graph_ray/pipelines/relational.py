@@ -485,6 +485,31 @@ def q5_local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def customer_revenue_pareto(sf_dir: str, n_tiles: int = 10):
+    """Customer revenue concentration (Pareto/ABC deciles): exact
+    per-customer cents fold, then the distributed-rank pattern
+    (stages/ranking.py — sort → block-offset metadata pass → rank
+    assignment, no per-row shuffle) and an exact integer decile
+    rollup.  Oracle: SQL row_number + window cumulative sum."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.ranking import pareto_deciles
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b.column("o_custkey").cast(pa.int64()),
+                      "cents": _cents(b.column("o_totalprice"), 100)})
+        g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    rev = bucketed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum")], rename=["o_custkey", "cents"],
+        combine=True)
+    return pareto_deciles(rev, val_col="cents", key_col="o_custkey",
+                          n_tiles=n_tiles)
+
+
 def events_kmv_distinct(sf_dir: str, k: int = 256):
     """KMV distinct-user sketch over events (stages/sketch.py:
     kmv_distinct): per-block k smallest distinct mix32 hashes fold to
