@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Pareto revenue deciles (oracle-checked r5: distributed rank
         # via sorted-block offsets; exact integer decile rollup)
         "customer_revenue_pareto": r.customer_revenue_pareto,
+        # per-type inter-arrival stats (oracle-checked r5: lead()
+        # window gaps, exact int64 stats, quantile_disc median)
+        "events_interarrival": r.events_interarrival,
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
@@ -3560,6 +3563,33 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # inter-arrival: per-user consecutive gaps via lead(); stats
+        # exact int64; mean one division; median quantile_disc over
+        # second-quantized gaps
+        "events_interarrival": """
+            WITH seq AS (
+                SELECT user_id, event_type, ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events
+            ),
+            gaps AS (
+                SELECT event_type,
+                       CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT)
+                           AS gap_us
+                FROM seq WHERE nxt IS NOT NULL
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+                   CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+                   CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_gap_us,
+                   CAST(quantile_disc(gap_us // 1000000, 0.5) AS BIGINT)
+                       AS median_gap_s
+            FROM gaps GROUP BY event_type
         """,
         # Pareto deciles: rank by (cents DESC, custkey); decile =
         # (rk-1)*10 // N integer math; exact cumulative cents

@@ -485,6 +485,99 @@ def q5_local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def events_interarrival(sf_dir: str):
+    """Per-event-type inter-arrival statistics: gaps between a user's
+    consecutive events (ordered by ts, event_id), attributed to the
+    earlier event's type.  Counts/sums/extrema are exact int64
+    microseconds; the mean is one IEEE division; the median runs over
+    second-quantized gaps through the exact grouped value histogram
+    (text_analysis.py:grouped_value_quantiles — bounded domain, no
+    per-type whole-group sort).  Oracle: SQL lead() window +
+    quantile_disc."""
+    from docling_graph_ray.stages.bucketing import (
+        add_part,
+        bucketed_aggregate,
+        run_starts,
+    )
+    from docling_graph_ray.stages.text_analysis import (
+        grouped_value_quantiles,
+    )
+
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "event_id"])
+    in_schema = pa.schema([("user_id", pa.int64()),
+                           ("ts", pa.timestamp("us")),
+                           ("event_type", pa.string()),
+                           ("event_id", pa.int64())])
+    gap_schema = pa.schema([("event_type", pa.string()),
+                            ("gap_us", pa.int64()),
+                            ("gap_s", pa.int64())])
+
+    def gaps_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return gap_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx).combine_chunks()
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        same = users[:-1] == users[1:]
+        gap = (ts[1:] - ts[:-1])[same]
+        types = g.column("event_type").slice(0, g.num_rows - 1) \
+            .filter(pa.array(same))
+        return pa.table({
+            "event_type": types,
+            "gap_us": pa.array(gap, pa.int64()),
+            "gap_s": pa.array(gap // 1_000_000, pa.int64()),
+        })
+
+    gaps = (
+        ev.map_batches(add_part(["user_id"], 64, in_schema),
+                       batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(gaps_partition, batch_format="pyarrow")
+    ).materialize()
+
+    stats = bucketed_aggregate(
+        gaps, ["event_type"],
+        [("gap_us", "sum"), ("gap_us", "count"), ("gap_us", "min"),
+         ("gap_us", "max")],
+        rename=["event_type", "sum_gap_us", "n_gaps", "min_gap_us",
+                "max_gap_us"], combine=False,
+    ).take_all()
+
+    med = {r[0]: r[2] for r in zip(
+        *[grouped_value_quantiles(gaps, "event_type", "gap_s",
+                                  [0.5]).column(c).to_pylist()
+          for c in ("event_type", "q", "value")])}
+
+    rows = sorted(stats, key=lambda r: r["event_type"])
+    out = {
+        "event_type": [r["event_type"] for r in rows],
+        "n_gaps": [int(r["n_gaps"]) for r in rows],
+        "sum_gap_us": [int(r["sum_gap_us"]) for r in rows],
+        "min_gap_us": [int(r["min_gap_us"]) for r in rows],
+        "max_gap_us": [int(r["max_gap_us"]) for r in rows],
+        "mean_gap_us": [
+            float(np.float64(r["sum_gap_us"]) / np.float64(r["n_gaps"]))
+            for r in rows],
+        "median_gap_s": [int(med[r["event_type"]]) for r in rows],
+    }
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+        "sum_gap_us": pa.array(out["sum_gap_us"], pa.int64()),
+        "min_gap_us": pa.array(out["min_gap_us"], pa.int64()),
+        "max_gap_us": pa.array(out["max_gap_us"], pa.int64()),
+        "mean_gap_us": pa.array(out["mean_gap_us"], pa.float64()),
+        "median_gap_s": pa.array(out["median_gap_s"], pa.int64()),
+    })
+
+
 def customer_revenue_pareto(sf_dir: str, n_tiles: int = 10):
     """Customer revenue concentration (Pareto/ABC deciles): exact
     per-customer cents fold, then the distributed-rank pattern
