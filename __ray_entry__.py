@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PMI collocations (oracle-checked r5: exact counts, nano-
         # quantized ln ratio, DuckDB lockstep-unnest bigrams)
         "doc_bigram_pmi": t.doc_bigram_pmi,
+        # crawl host link graph (oracle-checked r5: DuckDB regexp
+        # recompute over the decoded-pages parquet the harvest emits)
+        "pages_link_hostgraph": t.pages_link_hostgraph,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
@@ -3447,6 +3450,35 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # host link graph: same href/host regexes over the SAME
+        # decoded pages the Ray harvest wrote; relative links resolve
+        # to the page's own host
+        "pages_link_hostgraph": """
+            WITH pages AS (
+                SELECT url, html_text
+                FROM read_parquet(
+                    '/tmp/graft_oracle_linkgraph_pages/*.parquet')
+            ),
+            hrefs AS (
+                SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+                           AS src_host,
+                       unnest(regexp_extract_all(
+                           html_text, 'href="([^"]+)"', 1)) AS href
+                FROM pages
+            ),
+            edges AS (
+                SELECT src_host,
+                       CASE WHEN href LIKE 'http%'
+                            THEN COALESCE(NULLIF(regexp_extract(
+                                href, '^https?://([^/]+)', 1), ''),
+                                src_host)
+                            ELSE src_host END AS dst_host
+                FROM hrefs WHERE src_host <> ''
+            )
+            SELECT src_host, dst_host,
+                   CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM edges GROUP BY src_host, dst_host
+        """,
         # PMI collocations: DuckDB unnests the two aligned list slices
         # in lockstep for adjacent pairs; pmi mirrors the Ray float
         # expression and quantizes to nano-units before ranking

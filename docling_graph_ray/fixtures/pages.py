@@ -51,6 +51,11 @@ PROFILES = {
     "t1": {"normal_max_paras": 12, "giant_paras": 60, "patho_chars": 120_000},
     "t2": {"normal_max_paras": 30, "giant_paras": 200, "patho_chars": 500_000},
     "bench": {"normal_max_paras": 30, "giant_paras": 1200, "patho_chars": 4_000_000},
+    # "linked": t1 sizes + deterministic cross-host footer links — the
+    # host link-graph fixture.  A separate profile so existing
+    # profiles' html bytes (and the flagship goldens) never change.
+    "linked": {"normal_max_paras": 12, "giant_paras": 60,
+               "patho_chars": 120_000, "cross_links": 6},
 }
 
 LANGS = ["en", "fr", "de", "es"]
@@ -153,9 +158,16 @@ def _build_html(
         + _nav_links(rng, int(rng.integers(4, 12)), site)
         + "</header>"
     )
+    n_cross = profile.get("cross_links", 0)
+    cross = "".join(
+        f'<a href="https://site{(base_id * 31 + j * 97) % 997}.example'
+        f'/x/{j}">partner {j}</a> '
+        for j in range(n_cross)
+    )
     footer = (
         '<footer><p>© 2025 example corp. All rights reserved. '
-        '<a href="/terms">terms</a> <a href="/privacy">privacy</a></p></footer>'
+        + cross
+        + '<a href="/terms">terms</a> <a href="/privacy">privacy</a></p></footer>'
     )
     sidebar = (
         '<aside class="sidebar">' + _nav_links(rng, int(rng.integers(5, 15)), site) + "</aside>"

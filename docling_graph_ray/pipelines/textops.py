@@ -731,6 +731,30 @@ _SF_ROWS = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 6000}
 # before its DuckDB twin reads it back).
 FLAGSHIP_LINEAGE_OUT = "/tmp/graft_oracle_flagship_lineage"
 
+#: Decoded-pages parquet the link-graph harvest emits; the oracle's
+#: regexp recompute reads the same artifact.
+LINKGRAPH_PAGES_OUT = "/tmp/graft_oracle_linkgraph_pages"
+
+
+def pages_link_hostgraph(sf_dir: str):
+    """Host-level link graph from the crawl (stages/linkgraph.py):
+    decode once, leave the decoded pages as parquet evidence, harvest
+    hrefs (relative → own host, absolute → target host), fold to a
+    weighted (src_host, dst_host, n_links) edge list.  The "linked"
+    fixture profile adds deterministic cross-host footer links so the
+    graph is genuinely multi-host.  Oracle: DuckDB regexp_extract_all
+    over the emitted parquet."""
+    import shutil
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.linkgraph import host_link_graph
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    shutil.rmtree(LINKGRAPH_PAGES_OUT, ignore_errors=True)
+    return host_link_graph(pages_dataset(n, profile="linked"),
+                           LINKGRAPH_PAGES_OUT)
+
 
 def pages_flagship_lineage(sf_dir: str):
     """The FULL flagship composite (``run_extract_pipeline`` with
