@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type inter-arrival stats (oracle-checked r5: lead()
         # window gaps, exact int64 stats, quantile_disc median)
         "events_interarrival": r.events_interarrival,
+        # conditional-aggregate pivot (oracle-checked r5: FILTER aggs)
+        "events_pivot_type_counts": r.events_pivot_type_counts,
+        # ROLLUP revenue levels (oracle-checked r5: GROUP BY ROLLUP)
+        "orders_rollup_revenue": r.orders_rollup_revenue,
         "doc_url_canonical": t.doc_url_canonical,
         "doc_split_assign": t.doc_split_assign,
         "doc_temperature_mix": t.doc_temperature_mix,
@@ -3595,6 +3599,30 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # pivot: one count column per fixed event type
+        "events_pivot_type_counts": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        # ROLLUP: exact cents at (status, priority), (status), ()
+        "orders_rollup_revenue": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         # inter-arrival: per-user consecutive gaps via lead(); stats
         # exact int64; mean one division; median quantile_disc over

@@ -485,6 +485,140 @@ def q5_local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def events_pivot_type_counts(sf_dir: str):
+    """Per-user event-type pivot: one row per user, one count column
+    per event type (the fixed corpus type set).  A conditional-
+    aggregate pivot — per-batch grouped counts per (user, type) fold
+    through one bucketed sum, then widen per bucket; no per-user
+    group ever exceeds the type count.  Oracle: SQL FILTER
+    aggregates."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                      "event_type": b.column("event_type")})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    narrow = bucketed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("n", "sum")],
+        rename=["user_id", "event_type", "n"], combine=True)
+
+    out_schema = pa.schema([("user_id", pa.int64())] + [
+        (f"n_{t}", pa.int64()) for t in types])
+
+    def widen(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.schema.names:
+            return out_schema.empty_table()
+        users = b.column("user_id").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(users, return_inverse=True)
+        cols = {t: np.zeros(len(uniq), np.int64) for t in types}
+        tv = b.column("event_type").to_pylist()
+        nv = b.column("n").to_numpy(zero_copy_only=False)
+        for i, t in enumerate(tv):
+            if t in cols:
+                cols[t][inv[i]] += nv[i]
+        data = {"user_id": pa.array(uniq, pa.int64())}
+        for t in types:
+            data[f"n_{t}"] = pa.array(cols[t], pa.int64())
+        return pa.table(data)
+
+    # widen per hash bucket of users: each user's narrow rows co-live
+    # in one bucket already (bucketed_aggregate keyed them by user
+    # too), so a per-block widen is complete per user
+    from docling_graph_ray.stages.bucketing import add_part
+
+    narrow_schema = pa.schema([("user_id", pa.int64()),
+                               ("event_type", pa.string()),
+                               ("n", pa.int64())])
+    return (narrow.map_batches(add_part(["user_id"], 64, narrow_schema),
+                               batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: widen(
+                g.drop_columns(["_part"])
+                if "_part" in g.schema.names else g),
+                batch_format="pyarrow"))
+
+
+def orders_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority) revenue in
+    exact cents: three grouping levels (status+priority, status,
+    grand total) computed as one narrow partial fold reused three
+    times — the ROLLUP union never re-reads the source.  NULL marks
+    the rolled-up level, as in SQL."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": _cents(b.column("o_totalprice"), 100),
+        })
+        g = t.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            ["o_orderstatus", "o_orderpriority", "cents", "n"])
+
+    base = bucketed_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [("cents", "sum"), ("n", "sum")],
+        rename=["o_orderstatus", "o_orderpriority", "cents", "n"],
+        combine=True).materialize()
+
+    def lift(keep_status: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            status = (b.column("o_orderstatus") if keep_status
+                      else pa.nulls(b.num_rows, pa.string()))
+            return pa.table({
+                "o_orderstatus": status,
+                "o_orderpriority": pa.nulls(b.num_rows, pa.string()),
+                "cents": b.column("cents").cast(pa.int64()),
+                "n": b.column("n").cast(pa.int64()),
+            })
+        return fn
+
+    lvl1 = bucketed_aggregate(
+        base.map_batches(lift(True), batch_format="pyarrow"),
+        ["o_orderstatus"], [("cents", "sum"), ("n", "sum")],
+        rename=["o_orderstatus", "cents", "n"], combine=True,
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "o_orderpriority": pa.nulls(t.num_rows, pa.string()),
+            "cents": t.column("cents").cast(pa.int64()),
+            "n": t.column("n").cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+    total_cents = int(base.sum("cents") or 0)
+    total_n = int(base.sum("n") or 0)
+    import ray as _ray
+
+    lvl0 = _ray.data.from_arrow(pa.table({
+        "o_orderstatus": pa.nulls(1, pa.string()),
+        "o_orderpriority": pa.nulls(1, pa.string()),
+        "cents": pa.array([total_cents], pa.int64()),
+        "n": pa.array([total_n], pa.int64()),
+    }))
+
+    base_cast = base.map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t.column("o_orderstatus"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "cents": t.column("cents").cast(pa.int64()),
+            "n": t.column("n").cast(pa.int64()),
+        }), batch_format="pyarrow")
+    return base_cast.union(lvl1, lvl0)
+
+
 def events_interarrival(sf_dir: str):
     """Per-event-type inter-arrival statistics: gaps between a user's
     consecutive events (ordered by ts, event_id), attributed to the
