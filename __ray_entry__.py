@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl host link graph (oracle-checked r5: DuckDB regexp
         # recompute over the decoded-pages parquet the harvest emits)
         "pages_link_hostgraph": t.pages_link_hostgraph,
+        # crawl -> link graph -> PageRank composite (oracle-checked
+        # r5: unrolled iterations over the emitted edge parquet)
+        "pages_host_pagerank": t.pages_host_pagerank,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,
@@ -388,6 +391,41 @@ _LM_SCORED_CTE = """
 # and the double '||' between tokens makes a mid-token false match
 # impossible.  The corpus is ASCII 33..121 (no '|', no '<'), so neither
 # the separator nor the '</w>' sentinel can collide with token text.
+def _pagerank_sql(edges_cte: str, iters: int) -> str:
+    """Unrolled damped power iterations over an arbitrary edge CTE —
+    the graph_pagerank oracle arithmetic, parameterized (same per-op
+    float64 expressions incl. the 1-sent dangling redistribution;
+    callers round to 8 digits to absorb sum-order drift)."""
+    parts = [
+        f"edges AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM"
+        " (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT a AS node,"
+        " CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY a)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank"
+        " FROM nodes)",
+    ]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"i{k} AS MATERIALIZED (SELECT e.b AS node,"
+            f" SUM(r.rank / d.deg) AS m FROM edges e"
+            f" JOIN {prev} r ON r.node = e.a"
+            f" JOIN deg d ON d.node = e.a GROUP BY e.b)")
+        parts.append(
+            f"s{k} AS (SELECT COALESCE(SUM(m), 0) AS sent FROM i{k})")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT n.node,"
+            f" (COALESCE(i.m, 0) + greatest(0, 1 - (SELECT sent"
+            f" FROM s{k})) / (SELECT n FROM nn)) * 0.85"
+            f" + (1 - 0.85) / (SELECT n FROM nn) AS rank"
+            f" FROM nodes n LEFT JOIN i{k} i ON i.node = n.node)")
+        prev = f"r{k}"
+    return ("WITH " + ",\n".join(parts)
+            + f" SELECT node, ROUND(rank, 8) AS rank FROM r{iters}")
+
+
 def _hits_sql(iters: int) -> str:
     """Unrolled sum-normalized HITS over the customer→part purchase
     digraph; mirrors stages/graphalgo.py:hits with final ROUND(_, 8)
@@ -3454,6 +3492,11 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # crawl PageRank: the same five unrolled iterations as
+        # graph_pagerank, over the edge parquet the composite emitted
+        "pages_host_pagerank": _pagerank_sql(
+            "SELECT a, b FROM read_parquet("
+            "'/tmp/graft_oracle_hostgraph_edges/*.parquet')", 5),
         # host link graph: same href/host regexes over the SAME
         # decoded pages the Ray harvest wrote; relative links resolve
         # to the page's own host

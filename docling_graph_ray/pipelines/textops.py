@@ -756,6 +756,52 @@ def pages_link_hostgraph(sf_dir: str):
                            LINKGRAPH_PAGES_OUT)
 
 
+#: Host-graph edge parquet emitted by pages_host_pagerank for its
+#: unrolled-iteration oracle.
+HOSTGRAPH_EDGES_OUT = "/tmp/graft_oracle_hostgraph_edges"
+
+
+def pages_host_pagerank(sf_dir: str, iters: int = 5):
+    """The canonical crawl composite: pages → href harvest → host link
+    graph → PageRank over hosts.  Host ids are the fixture's site
+    numbers (``site{N}.example`` → N); the distinct edge list is left
+    as parquet evidence and the DuckDB oracle runs the same five
+    unrolled float64 power iterations over it (the graph_pagerank
+    pattern, 8-digit rounding absorbs sum-order drift)."""
+    import shutil
+
+    import ray as _ray
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.graphalgo import pagerank
+    from docling_graph_ray.stages.linkgraph import host_link_graph
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    shutil.rmtree(LINKGRAPH_PAGES_OUT, ignore_errors=True)
+    shutil.rmtree(HOSTGRAPH_EDGES_OUT, ignore_errors=True)
+    edges = host_link_graph(pages_dataset(n, profile="linked"),
+                            LINKGRAPH_PAGES_OUT)
+
+    host_re = r"^site([0-9]+)\.example$"
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src_host" not in b.schema.names:
+            return pa.schema([("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+        a = pc.replace_substring_regex(
+            b.column("src_host"), host_re, r"\1").cast(pa.int64())
+        d = pc.replace_substring_regex(
+            b.column("dst_host"), host_re, r"\1").cast(pa.int64())
+        return pa.table({"a": a, "b": d})
+
+    edge_ids = edges.map_batches(to_ids, batch_format="pyarrow")
+    edge_ids.write_parquet(HOSTGRAPH_EDGES_OUT)
+    return pagerank(
+        _ray.data.read_parquet(HOSTGRAPH_EDGES_OUT),
+        src_col="a", dst_col="b", iters=iters, ndigits=8)
+
+
 def pages_flagship_lineage(sf_dir: str):
     """The FULL flagship composite (``run_extract_pipeline`` with
     ``out_dir``: extract → url-hash partition dedup → atomic partition
