@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HITS hubs/authorities (oracle-checked r5: three unrolled
         # sum-normalized iterations, 8-digit rounding per pagerank)
         "graph_hits": g.graph_hits,
+        # Bellman-Ford hop distances (oracle-checked r5: six unrolled
+        # relax rounds, exact past the <=3-hop diameter fixpoint)
+        "graph_sssp": g.graph_sssp,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -391,6 +394,34 @@ _LM_SCORED_CTE = """
 # and the double '||' between tokens makes a mid-token false match
 # impossible.  The corpus is ASCII 33..121 (no '|', no '<'), so neither
 # the separator nor the '</w>' sentinel can collide with token text.
+def _sssp_sql(rounds: int, source: int = 1) -> str:
+    """Unrolled Bellman-Ford hop relaxation over the part co-purchase
+    graph — exact whenever the hop diameter ≤ ``rounds`` (extra rounds
+    past the fixpoint are no-ops on a monotone min)."""
+    parts = [
+        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
+        " FROM lineitem)",
+        "pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
+        " b.l_partkey AS v FROM op a JOIN op b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+        "e2 AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs"
+        " UNION ALL SELECT v, u FROM pairs)",
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS node,"
+        f" CAST(0 AS BIGINT) AS dist)",
+    ]
+    prev = "d0"
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT node,"
+            f" CAST(MIN(dist) AS BIGINT) AS dist FROM ("
+            f" SELECT node, dist FROM {prev}"
+            f" UNION ALL SELECT e.b, d.dist + 1 FROM e2 e"
+            f" JOIN {prev} d ON d.node = e.a) GROUP BY node)")
+        prev = f"d{k}"
+    return ("WITH " + ",\n".join(parts)
+            + f" SELECT node, dist FROM d{rounds}")
+
+
 def _pagerank_sql(edges_cte: str, iters: int) -> str:
     """Unrolled damped power iterations over an arbitrary edge CTE —
     the graph_pagerank oracle arithmetic, parameterized (same per-op
@@ -2487,6 +2518,8 @@ FROM sb
         # filter -> edge restriction); exact because peeling is a
         # monotone fixpoint and extra rounds are no-ops
         "graph_k_core": _kcore_sql(k=64, rounds=6),
+        # SSSP: unrolled relaxation (see _sssp_sql)
+        "graph_sssp": _sssp_sql(6),
         # HITS: unrolled MATERIALIZED iterations (see _hits_sql)
         "graph_hits": _hits_sql(3),
         # Newman assortativity: exact integer sums over both edge

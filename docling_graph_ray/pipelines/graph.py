@@ -898,6 +898,19 @@ def graph_hits(sf_dir: str, iters: int = 3):
                 iters=iters, ndigits=8)
 
 
+def graph_sssp(sf_dir: str, source: int = 1):
+    """Hop distances from part 1 across the co-purchase graph via
+    distributed Bellman-Ford (stages/graphalgo.py:sssp — per-round
+    relax + bucketed min-fold behind round_barrier; rounds bounded by
+    the hop diameter, ≤3 on this corpus).  Oracle: six unrolled
+    relaxation rounds (exact past the fixpoint — extra rounds are
+    no-ops on a monotone min)."""
+    from docling_graph_ray.stages.graphalgo import sssp
+
+    return sssp(_copurchase_edges(sf_dir), source=source,
+                src_col="src", dst_col="dst", undirected=True)
+
+
 def graph_degree_assortativity(sf_dir: str):
     """Newman degree assortativity of the part co-purchase graph: all
     sums exact int64 (order-free block partials), one fixed float64

@@ -904,3 +904,84 @@ def hits(edges, *, iters: int = 3, src_col: str = "src",
 
     return hubs.map_batches(tag("hub"), batch_format="pyarrow").union(
         auths.map_batches(tag("authority"), batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# single-source shortest paths (distributed Bellman-Ford)
+
+
+def sssp(edges, *, source: int, src_col: str = "src",
+         dst_col: str = "dst", weight_col: str | None = None,
+         undirected: bool = True, max_rounds: int = 30,
+         num_partitions: int = 64, label_blocks: int = 8):
+    """Single-source shortest paths by distributed Bellman-Ford
+    relaxation (the Pregel/MapReduce classic): per round every edge
+    offers ``dist(u) + w`` to its target, a bucketed min-fold contracts
+    the offers, and the round barrier is the same repartition +
+    materialize + stats-cut as :func:`connected_components`.
+
+    Distances only DECREASE and nodes only get ADDED, so the pair
+    ``(count, sum)`` of the distance table is strictly monotone until
+    fixpoint — two tiny aggregates per round are the whole convergence
+    check.  Rounds are bounded by the hop diameter (not the graph
+    size); integer weights keep every arithmetic exact.
+
+    Returns ``(node, dist)`` for every node reachable from
+    ``source``."""
+    import ray  # noqa: F401
+
+    w_default = 1
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or src_col not in b.schema.names:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("w", pa.int64())]).empty_table()
+        s = b.column(src_col).cast(pa.int64())
+        d = b.column(dst_col).cast(pa.int64())
+        if weight_col is not None:
+            w = b.column(weight_col).cast(pa.int64())
+        else:
+            w = pa.array(np.full(b.num_rows, w_default, np.int64))
+        t = pa.table({"a": s, "b": d, "w": w})
+        if undirected:
+            t = pa.concat_tables([
+                t, pa.table({"a": d, "b": s, "w": w})])
+        return t
+
+    epairs = edges.map_batches(pairs,
+                               batch_format="pyarrow").materialize()
+
+    from docling_graph_ray.stages.joins import lookup_join
+
+    dist = round_barrier(ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "label": pa.array([0], pa.int64()),
+    })), label_blocks)
+    prev = (1, 0)
+
+    for _ in range(max_rounds):
+        attached = lookup_join(epairs, dist, on="a", key_col="node",
+                               value_cols=["label"],
+                               num_partitions=num_partitions)
+
+        def offers(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or "label" not in b.schema.names:
+                return _LBL_SCHEMA.empty_table()
+            t = b.filter(pc.is_valid(b.column("label")))
+            return pa.table({
+                "node": t.column("b").cast(pa.int64()),
+                "label": pc.add(t.column("label").cast(pa.int64()),
+                                t.column("w").cast(pa.int64())),
+            }).cast(_LBL_SCHEMA)
+
+        dist = round_barrier(_min_fold(dist.union(
+            attached.map_batches(offers, batch_format="pyarrow"))),
+            label_blocks)
+        cur = (int(dist.count()), int(dist.sum("label") or 0))
+        if cur == prev:
+            break
+        prev = cur
+
+    return dist.map_batches(
+        lambda t: t.rename_columns(["node", "dist"]),
+        batch_format="pyarrow")

@@ -354,3 +354,45 @@ def test_hits_empty_edges(ray_session):
         "src": pa.array([], pa.int64()),
         "dst": pa.array([], pa.int64())}))
     assert hits(ds, iters=2).count() == 0
+
+
+def test_sssp_weighted_matches_bellman_ford(ray_session):
+    import numpy as np
+
+    from docling_graph_ray.stages.graphalgo import sssp
+
+    rng = np.random.default_rng(41)
+    n, m = 40, 120
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.integers(1, 10, m)
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "w": pa.array(w, pa.int64())}))
+    got = {r["node"]: r["dist"] for r in
+           sssp(ds, source=0, weight_col="w").take_all()}
+
+    INF = 10**15
+    d = np.full(n, INF, np.int64)
+    d[0] = 0
+    for _ in range(n):
+        nd = d.copy()
+        for a, b, ww in zip(src, dst, w):
+            nd[b] = min(nd[b], d[a] + ww)
+            nd[a] = min(nd[a], d[b] + ww)
+        if (nd == d).all():
+            break
+        d = nd
+    assert got == {i: int(d[i]) for i in range(n) if d[i] < INF}
+
+
+def test_sssp_hop_distance_and_unreachable(ray_session):
+    from docling_graph_ray.stages.graphalgo import sssp
+
+    # chain 0-1-2-3 plus a disconnected 5-6: unreachable nodes absent
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 5], pa.int64()),
+        "dst": pa.array([1, 2, 3, 6], pa.int64())}))
+    got = {r["node"]: r["dist"] for r in sssp(ds, source=0).take_all()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
