@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": r.events_interarrival,
         # conditional-aggregate pivot (oracle-checked r5: FILTER aggs)
         "events_pivot_type_counts": r.events_pivot_type_counts,
+        # partitioned cumulative window (oracle-checked r5: SUM OVER)
+        "orders_running_total": r.orders_running_total,
         # ROLLUP revenue levels (oracle-checked r5: GROUP BY ROLLUP)
         "orders_rollup_revenue": r.orders_rollup_revenue,
         "doc_url_canonical": t.doc_url_canonical,
@@ -3675,6 +3677,18 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # running total: exact cents cumulative per customer
+        "orders_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                       AS cents,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)
+                                 AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                       AS running_cents
+            FROM orders
         """,
         # pivot: one count column per fixed event type
         "events_pivot_type_counts": """

@@ -485,6 +485,57 @@ def q5_local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def orders_running_total(sf_dir: str):
+    """Per-customer running revenue total ordered by (orderdate,
+    orderkey) — the classic partitioned cumulative window, computed
+    per customer-hash bucket with one sort + vectorized cumsum per
+    bucket (per-customer runs are tiny; the bucket, not the customer,
+    is the unit of work).  Exact cents.  Oracle: SUM OVER (PARTITION
+    BY ... ORDER BY ...)."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice"])
+    in_schema = pa.schema([("o_custkey", pa.int64()),
+                           ("o_orderkey", pa.int64()),
+                           ("o_orderdate", pa.timestamp("us")),
+                           ("o_totalprice", pa.float64())])
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("o_orderkey", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("running_cents", pa.int64())])
+
+    def running_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "o_custkey" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending")])
+        g = g.take(idx).combine_chunks()
+        cents = _cents(g.column("o_totalprice"), 100) \
+            .to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["o_custkey"])
+        cum = np.cumsum(cents)
+        # subtract each run's preceding prefix so the cumsum restarts
+        # at every customer boundary
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]]
+                         if len(starts) > 1 else np.array([0]), lens)
+        return pa.table({
+            "o_custkey": g.column("o_custkey").cast(pa.int64()),
+            "o_orderkey": g.column("o_orderkey").cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "running_cents": pa.array(cum - base, pa.int64()),
+        })
+
+    return (orders.map_batches(add_part(["o_custkey"], 64, in_schema),
+                               batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(running_partition, batch_format="pyarrow"))
+
+
 def events_pivot_type_counts(sf_dir: str):
     """Per-user event-type pivot: one row per user, one count column
     per event type (the fixed corpus type set).  A conditional-
