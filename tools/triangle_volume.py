@@ -85,6 +85,30 @@ def main() -> None:
                         "core_vertices": n_core, "sec": round(dt, 2)})
         print(json.dumps(results[-1]), flush=True)
 
+    # SSSP hop distances from node 0 on the 4M graph (diameter ~5)
+    from docling_graph_ray.stages.graphalgo import hits, sssp
+
+    t0 = time.monotonic()
+    n_reach = sssp(ds, source=0, num_partitions=64).count()
+    results.append({"op": "sssp", "n_edges": 4_000_000,
+                    "reachable": n_reach,
+                    "sec": round(time.monotonic() - t0, 2)})
+    print(json.dumps(results[-1]), flush=True)
+
+    # HITS on a 4M-edge bipartite graph (100k hubs x 50k authorities)
+    rngb = np.random.default_rng(6)
+    tb = pa.table({
+        "src": pa.array(rngb.integers(0, 100_000, 4_000_000), pa.int64()),
+        "dst": pa.array(rngb.integers(1_000_000, 1_050_000, 4_000_000),
+                        pa.int64())})
+    dsb = ray.data.from_arrow(tb).repartition(64).materialize()
+    t0 = time.monotonic()
+    n_scores = hits(dsb, iters=3, num_partitions=64).count()
+    results.append({"op": "hits", "n_edges": 4_000_000, "iters": 3,
+                    "rows": n_scores,
+                    "sec": round(time.monotonic() - t0, 2)})
+    print(json.dumps(results[-1]), flush=True)
+
     ray.shutdown()
 
 
