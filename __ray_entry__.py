@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_type_counts": r.events_pivot_type_counts,
         # partitioned cumulative window (oracle-checked r5: SUM OVER)
         "orders_running_total": r.orders_running_total,
+        # grouped OLS slopes (oracle-checked r5: exact int64 moment
+        # sums, mirrored float64 slope/intercept expressions)
+        "brand_price_regression": r.brand_price_regression,
         # ROLLUP revenue levels (oracle-checked r5: GROUP BY ROLLUP)
         "orders_rollup_revenue": r.orders_rollup_revenue,
         "doc_url_canonical": t.doc_url_canonical,
@@ -3677,6 +3680,40 @@ FROM sb
                    string_agg(CAST(doc_id AS VARCHAR), ','
                               ORDER BY doc_id) AS postings
             FROM tf GROUP BY token, chunk_id
+        """,
+        # grouped OLS: the same moment integers, the same float tree
+        "brand_price_regression": """
+            WITH m AS (
+                SELECT p.p_brand,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(l.l_quantity AS BIGINT))
+                            AS BIGINT) AS sx,
+                       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS sy,
+                       CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                                * CAST(l.l_quantity AS BIGINT))
+                            AS BIGINT) AS sxx,
+                       CAST(SUM(CAST(l.l_quantity AS BIGINT)
+                                * CAST(ROUND(l.l_extendedprice * 100, 0)
+                                       AS BIGINT)) AS BIGINT) AS sxy
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                GROUP BY p.p_brand
+            )
+            SELECT p_brand, n,
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                       AS intercept
+            FROM m
         """,
         # running total: exact cents cumulative per customer
         "orders_running_total": """

@@ -485,6 +485,78 @@ def q5_local_supplier_revenue(sf_dir: str, num_partitions: int = 8):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def brand_price_regression(sf_dir: str, num_partitions: int = 16):
+    """Grouped OLS: per part brand, regress line-item price (cents) on
+    quantity.  The distributed shape is pure moment sums — per-batch
+    exact int64 partials of (n, Σx, Σy, Σxx, Σxy) per brand fold
+    through one bucketed aggregate; slope/intercept are fixed float64
+    expressions over those integers, mirrored op-for-op in the SQL
+    twin (the degree-assortativity arithmetic, grouped).  Lineitem
+    joins its brand via the auto lookup on partkey."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.joins import lookup_join_auto
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = lookup_join_auto(
+        li, part, on="l_partkey", key_col="p_partkey",
+        value_cols=["p_brand"], num_partitions=num_partitions,
+        probe_rows=part.count(),
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("p_brand")))
+        x = t.column("l_quantity").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        y = _cents(t.column("l_extendedprice"), 100) \
+            .to_numpy(zero_copy_only=False)
+        tb = pa.table({
+            "p_brand": t.column("p_brand"),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxx": pa.array(x * x, pa.int64()),
+            "sxy": pa.array(x * y, pa.int64()),
+        })
+        g = tb.group_by("p_brand").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns(
+            ["p_brand", "n", "sx", "sy", "sxx", "sxy"])
+
+    agg = bucketed_aggregate(
+        joined.map_batches(moments, batch_format="pyarrow"),
+        ["p_brand"],
+        [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+         ("sxy", "sum")],
+        rename=["p_brand", "n", "sx", "sy", "sxx", "sxy"],
+        combine=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        den = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "n": b.column("n").cast(pa.int64()),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def orders_running_total(sf_dir: str):
     """Per-customer running revenue total ordered by (orderdate,
     orderkey) — the classic partitioned cumulative window, computed
