@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Bellman-Ford hop distances (oracle-checked r5: six unrolled
         # relax rounds, exact past the <=3-hop diameter fixpoint)
         "graph_sssp": g.graph_sssp,
+        # 2-pivot sampled closeness (oracle-checked r5: two unrolled
+        # Bellman-Ford chains joined; one quantized division)
+        "graph_closeness_sampled": g.graph_closeness_sampled,
         # LM-training sequence packing (oracle-checked: window cumsum)
         "doc_pack_sequences": t.doc_pack_sequences,
         # alias reconciliation (oracle-checked r5: mentions pre-deduped
@@ -399,32 +402,58 @@ _LM_SCORED_CTE = """
 # and the double '||' between tokens makes a mid-token false match
 # impossible.  The corpus is ASCII 33..121 (no '|', no '<'), so neither
 # the separator nor the '</w>' sentinel can collide with token text.
-def _sssp_sql(rounds: int, source: int = 1) -> str:
-    """Unrolled Bellman-Ford hop relaxation over the part co-purchase
-    graph — exact whenever the hop diameter ≤ ``rounds`` (extra rounds
-    past the fixpoint are no-ops on a monotone min)."""
+_SSSP_GRAPH_CTES = [
+    "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
+    " FROM lineitem)",
+    "pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
+    " b.l_partkey AS v FROM op a JOIN op b"
+    " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
+    "e2 AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs"
+    " UNION ALL SELECT v, u FROM pairs)",
+]
+
+
+def _sssp_chain(prefix: str, source: int, rounds: int) -> list[str]:
+    """CTE chain of unrolled Bellman-Ford hop relaxations from one
+    source over the ``e2`` co-purchase arcs (exact whenever the hop
+    diameter ≤ rounds — extra rounds are no-ops on a monotone min)."""
     parts = [
-        "op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey"
-        " FROM lineitem)",
-        "pairs AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,"
-        " b.l_partkey AS v FROM op a JOIN op b"
-        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)",
-        "e2 AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs"
-        " UNION ALL SELECT v, u FROM pairs)",
-        f"d0 AS (SELECT CAST({source} AS BIGINT) AS node,"
+        f"{prefix}0 AS (SELECT CAST({source} AS BIGINT) AS node,"
         f" CAST(0 AS BIGINT) AS dist)",
     ]
-    prev = "d0"
+    prev = f"{prefix}0"
     for k in range(1, rounds + 1):
         parts.append(
-            f"d{k} AS MATERIALIZED (SELECT node,"
+            f"{prefix}{k} AS MATERIALIZED (SELECT node,"
             f" CAST(MIN(dist) AS BIGINT) AS dist FROM ("
             f" SELECT node, dist FROM {prev}"
             f" UNION ALL SELECT e.b, d.dist + 1 FROM e2 e"
             f" JOIN {prev} d ON d.node = e.a) GROUP BY node)")
-        prev = f"d{k}"
+        prev = f"{prefix}{k}"
+    return parts
+
+
+def _sssp_sql(rounds: int, source: int = 1) -> str:
+    parts = _SSSP_GRAPH_CTES + _sssp_chain("d", source, rounds)
     return ("WITH " + ",\n".join(parts)
             + f" SELECT node, dist FROM d{rounds}")
+
+
+def _closeness_sql(rounds: int, s1: int, s2: int) -> str:
+    """Two-source sampled closeness: join both distance fixpoints on
+    nodes both sources reach; the e9 quantization mirrors the Ray
+    side's single float division."""
+    parts = (_SSSP_GRAPH_CTES + _sssp_chain("p", s1, rounds)
+             + _sssp_chain("q", s2, rounds))
+    return ("WITH " + ",\n".join(parts) + f"""
+        SELECT p.node, p.dist AS d1, q.dist AS d2,
+               CAST(ROUND(2000000000.0
+                          / (CAST(p.dist AS DOUBLE)
+                             + CAST(q.dist AS DOUBLE)))
+                    AS BIGINT) AS closeness_e9
+        FROM p{rounds} p JOIN q{rounds} q ON q.node = p.node
+        WHERE p.dist + q.dist > 0
+        """)
 
 
 def _pagerank_sql(edges_cte: str, iters: int) -> str:
@@ -2523,6 +2552,8 @@ FROM sb
         # filter -> edge restriction); exact because peeling is a
         # monotone fixpoint and extra rounds are no-ops
         "graph_k_core": _kcore_sql(k=64, rounds=6),
+        # closeness: two unrolled chains (see _closeness_sql)
+        "graph_closeness_sampled": _closeness_sql(6, 1, 2),
         # SSSP: unrolled relaxation (see _sssp_sql)
         "graph_sssp": _sssp_sql(6),
         # HITS: unrolled MATERIALIZED iterations (see _hits_sql)

@@ -911,6 +911,47 @@ def graph_sssp(sf_dir: str, source: int = 1):
                 src_col="src", dst_col="dst", undirected=True)
 
 
+def graph_closeness_sampled(sf_dir: str, s1: int = 1, s2: int = 2):
+    """Sampled closeness centrality (Eppstein–Wang style, 2 pivots):
+    two Bellman-Ford fixpoints joined on nodes both pivots reach;
+    closeness_e9 = round(2·1e9 / (d1 + d2)) — one float division on
+    exact integers, bit-identical to the SQL twin.  The sampling-based
+    estimator is the standard scale substitute for exact all-pairs
+    closeness (O(k·m) instead of O(n·m))."""
+    from docling_graph_ray.stages.graphalgo import sssp
+    from docling_graph_ray.stages.joins import lookup_join
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    d1 = sssp(edges, source=s1, undirected=True,
+              src_col="src", dst_col="dst")
+    d2 = sssp(edges, source=s2, undirected=True,
+              src_col="src", dst_col="dst")
+    joined = lookup_join(
+        d1.map_batches(lambda t: t.rename_columns(["node", "d1"]),
+                       batch_format="pyarrow"),
+        d2.map_batches(lambda t: t.rename_columns(["node", "d2"]),
+                       batch_format="pyarrow"),
+        on="node", key_col="node", value_cols=["d2"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b.column("d2")))
+        dsum = pc.add(t.column("d1").cast(pa.int64()),
+                      t.column("d2").cast(pa.int64()))
+        t = t.append_column("_s", dsum).filter(
+            pc.greater(dsum, 0))
+        sd = t.column("_s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        e9 = np.round(np.float64(2000000000.0) / sd).astype(np.int64)
+        return pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "d1": t.column("d1").cast(pa.int64()),
+            "d2": t.column("d2").cast(pa.int64()),
+            "closeness_e9": pa.array(e9, pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def graph_degree_assortativity(sf_dir: str):
     """Newman degree assortativity of the part co-purchase graph: all
     sums exact int64 (order-free block partials), one fixed float64
