@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl -> link graph -> PageRank composite (oracle-checked
         # r5: unrolled iterations over the emitted edge parquet)
         "pages_host_pagerank": t.pages_host_pagerank,
+        # perceptual-hash image near-dup clusters (rows-only: PNG
+        # decode is not SQL-expressible; planted pairs pytest-pinned)
+        "media_phash_dedup": t.media_phash_dedup,
         # rendered-template trial-run evaluation (oracle-checked; the
         # enum gate / grounding arithmetic is plain SQL on this corpus)
         "template_trial_eval": t.template_trial_eval,

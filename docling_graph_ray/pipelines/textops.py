@@ -1679,6 +1679,27 @@ def doc_bigram_pmi(sf_dir: str, k: int = 50):
     return bigram_pmi(_docs(sf_dir, ["text"]), min_count=5, k=k)
 
 
+def media_phash_dedup(sf_dir: str):
+    """Perceptual-hash image near-duplicate clusters
+    (stages/multimodal.py:media_phash_clusters): real PNG decode →
+    64-bit dHash per item in an actor pool → one bucketed fold keyed
+    by hash.  The planted fixture nudges one pixel per near-dup, so
+    exact byte dedup misses every pair and the perceptual hash must
+    catch all of them.  Rows-only (PNG decode is not SQL-expressible);
+    the clustering is pinned by pytest on the planted pairs."""
+    from docling_graph_ray.stages.multimodal import (
+        make_media_dup_table,
+        media_phash_clusters,
+    )
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = {"sf0.001": 60, "sf0.01": 300, "sf0.1": 1200}.get(tier, 60)
+    import ray as _ray
+
+    return media_phash_clusters(
+        _ray.data.from_arrow(make_media_dup_table(n)).repartition(8))
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter

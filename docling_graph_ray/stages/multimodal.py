@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from docling_graph_ray.stages.media_codec import (
     decode_png,
@@ -283,3 +284,132 @@ def frame_sample(ds, *, every_ms: int = 250, max_frames: int = 8,
         FrameSampler, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) image near-duplicate detection
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash — standard perceptual-hash family,
+    widely documented public algorithm): grayscale → block-mean resize
+    to 9×8 → horizontal gradient bits.  Robust to small pixel
+    perturbations and re-encodes that break exact byte dedup."""
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    rows = (np.arange(h) * 8) // h
+    cols = (np.arange(w) * 9) // w
+    cells = np.zeros((8, 9), np.float64)
+    counts = np.zeros((8, 9), np.float64)
+    np.add.at(cells, (rows[:, None], cols[None, :]), g)
+    np.add.at(counts, (rows[:, None], cols[None, :]),
+              np.ones_like(g))
+    cells /= counts
+    bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # keep the hash in signed-int64 range (Arrow int64 column)
+    return out & ((1 << 63) - 1)
+
+
+class MediaPHashActor:
+    """Actor-pool stage: PNG payload → (media_id, phash).  Real decode
+    for PNGs; non-PNG payloads hash their bytes' blake2b (opaque-lane
+    fallback) so the stage is total."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            p = p or b""
+            if sniff_format(p) == "png":
+                try:
+                    h = dhash64(decode_png(p))
+                except ValueError:
+                    h = int.from_bytes(
+                        hashlib.blake2b(p, digest_size=8).digest(),
+                        "big") >> 1
+            else:
+                h = int.from_bytes(
+                    hashlib.blake2b(p, digest_size=8).digest(),
+                    "big") >> 1
+            ids.append(int(mid))
+            hashes.append(h)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "phash": pa.array(hashes, pa.int64()),
+        })
+
+
+def media_phash_clusters(ds, *, concurrency=(1, 4),
+                         batch_size: int = 16,
+                         num_partitions: int = 32):
+    """Media dataset → perceptual-duplicate clusters: dHash per item
+    (actor pool — decode state none, but the pool bounds concurrent
+    decode memory), then one bucketed fold keyed by hash emitting
+    ``(phash, n_members, member_ids)`` with members comma-joined in
+    id order (deterministic)."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    hashed = ds.map_batches(MediaPHashActor, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=concurrency)
+    in_schema = pa.schema([("media_id", pa.int64()),
+                           ("phash", pa.int64())])
+    out_schema = pa.schema([("phash", pa.int64()),
+                            ("n_members", pa.int64()),
+                            ("member_ids", pa.string())])
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "phash" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("phash", "ascending"), ("media_id", "ascending")])
+        g = g.take(idx).combine_chunks()
+        starts, lens = run_starts(g, ["phash"])
+        ids = g.column("media_id").to_numpy(zero_copy_only=False) \
+            .astype("U")
+        ends = starts + lens
+        return pa.table({
+            "phash": g.column("phash").take(pa.array(starts)),
+            "n_members": pa.array(lens, pa.int64()),
+            "member_ids": pa.array(
+                [",".join(ids[s:e]) for s, e in zip(starts, ends)],
+                pa.string()),
+        })
+
+    return (hashed.map_batches(add_part(["phash"], num_partitions,
+                                        in_schema),
+                               batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+def make_media_dup_table(n: int, seed: int = 42) -> pa.Table:
+    """PNG-only media table with PLANTED near-duplicates: every row
+    with ``i % 5 == 1`` is the previous image with one pixel nudged by
+    +1 — byte-level different (exact dedup misses it), perceptually
+    identical (dHash must cluster the pair)."""
+    ids, payloads = [], []
+    prev_img = None
+    for i in range(n):
+        key = f"{seed}:dupmedia:{i}".encode()
+        seed_i = int.from_bytes(
+            hashlib.blake2b(key, digest_size=8).digest(), "big")
+        rng = np.random.Generator(np.random.PCG64(seed_i))
+        if i % 5 == 1 and prev_img is not None:
+            img = prev_img.copy()
+            img[0, 0, 0] = np.uint8((int(img[0, 0, 0]) + 1) % 256)
+        else:
+            img = rng.integers(0, 256, size=(16, 24, 3),
+                               dtype=np.uint8)
+        prev_img = img
+        ids.append(i)
+        payloads.append(encode_png(img))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })

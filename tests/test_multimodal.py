@@ -239,3 +239,46 @@ def test_media_probe_batch(ray_session):
     assert (df.loc[[1, 4, 7, 10], "sample_rate"] == 16000).all()
     # fake video payloads sniff unknown (bytes, not metadata, decide)
     assert (df.loc[[2, 5, 8, 11], "format"] == "unknown").all()
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) near-duplicate clustering
+
+
+def test_dhash_invariant_to_single_pixel_nudge():
+    import numpy as np
+
+    from docling_graph_ray.stages.multimodal import dhash64
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    nudged = img.copy()
+    nudged[0, 0, 0] = np.uint8((int(nudged[0, 0, 0]) + 1) % 256)
+    assert dhash64(img) == dhash64(nudged)
+    # a genuinely different image hashes differently
+    other = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    assert dhash64(img) != dhash64(other)
+    assert 0 <= dhash64(img) < (1 << 63)
+
+
+def test_phash_clusters_catch_all_planted_pairs(ray_session):
+    import ray
+
+    from docling_graph_ray.stages.multimodal import (
+        make_media_dup_table,
+        media_phash_clusters,
+    )
+
+    n = 50
+    out = media_phash_clusters(
+        ray.data.from_arrow(make_media_dup_table(n)).repartition(4)
+    ).to_pandas()
+    pairs = [(i - 1, i) for i in range(1, n) if i % 5 == 1]
+    members = [set(m.split(",")) for m in out["member_ids"]]
+    for a, b in pairs:
+        assert any({str(a), str(b)} <= m for m in members), (a, b)
+    # exact byte dedup would NOT merge the planted pairs
+    t = make_media_dup_table(n)
+    payloads = t.column("payload").to_pylist()
+    for a, b in pairs:
+        assert payloads[a] != payloads[b]
