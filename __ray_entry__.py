@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (oracle-checked r5: mix32 priorities are exact IEEE floats,
         # so the DuckDB window-rank twin hashes bit-identically)
         "doc_priority_sample": t.doc_priority_sample,
+        # group-aware leakage-safe split (oracle-checked r5: CRC CTE
+        # + mix32 chain on the SOURCE, so recrawls never straddle)
+        "doc_group_split": t.doc_group_split,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -3884,6 +3887,37 @@ FROM sb
                    END AS estimate
             FROM agg
         """,
+        # group split: crc32(source) via the CRC table CTE, then the
+        # same mix32 chain % 100 as doc_split_assign
+        "doc_group_split": """
+WITH RECURSIVE
+{CRCTAB},
+srcs AS (SELECT DISTINCT source FROM documents),
+fold AS (
+  SELECT source, 1 AS pos, CAST(4294967295 AS UBIGINT) AS crc FROM srcs
+  UNION ALL
+  SELECT f.source, f.pos + 1, xor(t.entry, f.crc // 256)
+  FROM fold f JOIN crctab t
+    ON t.idx = CAST(xor(f.crc % 256,
+                        ord(substr(f.source, f.pos, 1))::UBIGINT)
+                    AS INTEGER)
+  WHERE f.pos <= length(f.source)
+),
+crc AS (SELECT source,
+               CAST(xor(crc, CAST(4294967295 AS UBIGINT)) AS BIGINT)
+                   AS c
+        FROM fold WHERE pos = length(source) + 1),
+m1 AS (SELECT source, xor(c >> 16, c) * 73244475 % 4294967296 AS x
+       FROM crc),
+m2 AS (SELECT source, xor(x >> 16, x) * 73244475 % 4294967296 AS x
+       FROM m1),
+h AS (SELECT source, xor(x >> 16, x) % 100 AS bucket FROM m2)
+SELECT d.doc_id, d.source, CAST(h.bucket AS BIGINT) AS bucket,
+       CASE WHEN h.bucket < 80 THEN 'train'
+            WHEN h.bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d JOIN h USING (source)
+        """.format(CRCTAB=_ND_CRCTAB_SQL),
         # priority sampling: q = w / ((mix32(id)+1)/2^32); top-50 by
         # (q DESC, id); w_hat = GREATEST(w, tau) with tau = rank-51
         # priority — every float one correctly-rounded IEEE op

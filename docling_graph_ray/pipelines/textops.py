@@ -1700,6 +1700,40 @@ def media_phash_dedup(sf_dir: str):
         _ray.data.from_arrow(make_media_dup_table(n)).repartition(8))
 
 
+def doc_group_split(sf_dir: str):
+    """GROUP-AWARE train/val/test split: the assignment hashes the
+    SOURCE (mix32 of crc32(source)), not the document, so every doc of
+    one crawl source lands in the same split — the standard guard
+    against near-duplicate leakage across eval boundaries (same-source
+    recrawls can never straddle train/test; see the companion
+    doc_split_leakage audit for the per-doc variant's exposure).
+    Pure per-row arithmetic, zero shuffle; oracle recomputes
+    crc32+mix32 via the CRC CTE."""
+    import zlib
+
+    from docling_graph_ray.stages.sampling import mix32
+
+    def assign(b: pa.Table) -> pa.Table:
+        enc = b.column("source").combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        crc = np.array([zlib.crc32((s or "").encode()) for s in uniq],
+                       np.int64)
+        bucket_u = mix32(crc) % 100
+        bucket = bucket_u[idx]
+        split = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test"))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "source": b.column("source"),
+            "bucket": pa.array(bucket, pa.int64()),
+            "split": pa.array(split, pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
