@@ -166,6 +166,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl -> link graph -> PageRank composite (oracle-checked
         # r5: unrolled iterations over the emitted edge parquet)
         "pages_host_pagerank": t.pages_host_pagerank,
+        # HITS over the same harvested host graph (oracle-checked r5)
+        "pages_host_hits": t.pages_host_hits,
+        # crawl-delta per-url change report (oracle-checked r5: md5-
+        # distinct recount over the emitted decoded pages)
+        "pages_crawl_delta": t.pages_crawl_delta,
         # perceptual-hash image near-dup clusters (rows-only: PNG
         # decode is not SQL-expressible; planted pairs pytest-pinned)
         "media_phash_dedup": t.media_phash_dedup,
@@ -497,15 +502,18 @@ def _pagerank_sql(edges_cte: str, iters: int) -> str:
             + f" SELECT node, ROUND(rank, 8) AS rank FROM r{iters}")
 
 
-def _hits_sql(iters: int) -> str:
-    """Unrolled sum-normalized HITS over the customer→part purchase
-    digraph; mirrors stages/graphalgo.py:hits with final ROUND(_, 8)
+_HITS_PURCHASE_EDGES = (
+    "SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS a,"
+    " CAST(l.l_partkey AS BIGINT) + 1000000 AS b"
+    " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey")
+
+
+def _hits_sql(iters: int, edges_cte: str = _HITS_PURCHASE_EDGES) -> str:
+    """Unrolled sum-normalized HITS over an arbitrary directed edge
+    CTE; mirrors stages/graphalgo.py:hits with final ROUND(_, 8)
     absorbing float-sum-order drift (the graph_pagerank pattern)."""
     ctes = [
-        "e AS MATERIALIZED (SELECT DISTINCT"
-        " CAST(o.o_custkey AS BIGINT) AS a,"
-        " CAST(l.l_partkey AS BIGINT) + 1000000 AS b"
-        " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)",
+        f"e AS MATERIALIZED ({edges_cte})",
         "h0 AS MATERIALIZED (SELECT DISTINCT a AS node, 1.0 AS s"
         " FROM e)",
     ]
@@ -3567,6 +3575,29 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # crawl delta: md5-distinct per url over the SAME decoded
+        # pages the Ray pass wrote
+        "pages_crawl_delta": """
+            WITH pages AS (
+                SELECT url, md5(html_text) AS d
+                FROM read_parquet(
+                    '/tmp/graft_oracle_crawl_delta_pages/*.parquet')
+            ),
+            per AS (
+                SELECT url, CAST(COUNT(*) AS BIGINT) AS n_crawls,
+                       CAST(COUNT(DISTINCT d) AS BIGINT) AS n_variants
+                FROM pages GROUP BY url
+            )
+            SELECT url, n_crawls, n_variants,
+                   CASE WHEN n_crawls = 1 THEN 'single'
+                        WHEN n_variants > 1 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM per
+        """,
+        # crawl HITS: unrolled iterations over the emitted edges
+        "pages_host_hits": _hits_sql(3,
+            "SELECT a, b FROM read_parquet("
+            "'/tmp/graft_oracle_hostgraph_edges/*.parquet')"),
         # crawl PageRank: the same five unrolled iterations as
         # graph_pagerank, over the edge parquet the composite emitted
         "pages_host_pagerank": _pagerank_sql(

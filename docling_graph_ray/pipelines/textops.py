@@ -802,6 +802,115 @@ def pages_host_pagerank(sf_dir: str, iters: int = 5):
         src_col="a", dst_col="b", iters=iters, ndigits=8)
 
 
+def pages_host_hits(sf_dir: str, iters: int = 3):
+    """HITS hubs/authorities over the harvested host link graph (the
+    crawl's second centrality lens: hubs = link-heavy sites,
+    authorities = link targets).  Reuses the edge parquet the
+    PageRank composite emits (written fresh here) and the same
+    unrolled-iteration oracle pattern."""
+    import shutil
+
+    import ray as _ray
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.graphalgo import hits
+    from docling_graph_ray.stages.linkgraph import host_link_graph
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    shutil.rmtree(LINKGRAPH_PAGES_OUT, ignore_errors=True)
+    shutil.rmtree(HOSTGRAPH_EDGES_OUT, ignore_errors=True)
+    edges = host_link_graph(pages_dataset(n, profile="linked"),
+                            LINKGRAPH_PAGES_OUT)
+
+    host_re = r"^site([0-9]+)\.example$"
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "src_host" not in b.schema.names:
+            return pa.schema([("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+        a = pc.replace_substring_regex(
+            b.column("src_host"), host_re, r"\1").cast(pa.int64())
+        d = pc.replace_substring_regex(
+            b.column("dst_host"), host_re, r"\1").cast(pa.int64())
+        return pa.table({"a": a, "b": d})
+
+    edges.map_batches(to_ids, batch_format="pyarrow") \
+        .write_parquet(HOSTGRAPH_EDGES_OUT)
+    return hits(_ray.data.read_parquet(HOSTGRAPH_EDGES_OUT),
+                src_col="a", dst_col="b", iters=iters, ndigits=8)
+
+
+#: Decoded-pages parquet emitted for the crawl-delta oracle.
+CRAWL_DELTA_PAGES_OUT = "/tmp/graft_oracle_crawl_delta_pages"
+
+
+def pages_crawl_delta(sf_dir: str):
+    """Crawl-delta report: per url, how many crawls landed and whether
+    the content CHANGED between them (the fixture re-crawls ~3% of
+    urls with regenerated html and duplicates ~1% byte-identically,
+    so all three statuses occur).  One decode pass leaves the pages as
+    parquet evidence; the per-url fold is a bucketed groupby of
+    (n_crawls, n_distinct_variants) with status derived from the two
+    counts.  Oracle: DuckDB md5-distinct recount over the emitted
+    parquet (python hashlib.md5 == DuckDB md5)."""
+    import hashlib as _hl
+    import shutil
+
+    import ray as _ray
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.linkgraph import decode_pages_batch
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    shutil.rmtree(CRAWL_DELTA_PAGES_OUT, ignore_errors=True)
+    pages_dataset(n, profile="t1").map_batches(
+        decode_pages_batch, batch_format="pyarrow",
+    ).write_parquet(CRAWL_DELTA_PAGES_OUT)
+
+    def partial(b: pa.Table) -> pa.Table:
+        digests = pa.array(
+            [_hl.md5((t or "").encode()).hexdigest()
+             for t in b.column("html_text").to_pylist()], pa.string())
+        t = pa.table({"url": b.column("url"), "d": digests})
+        g = t.group_by(["url", "d"]).aggregate([([], "count_all")])
+        return g.rename_columns(["url", "d", "n"])
+
+    per_variant = bucketed_aggregate(
+        _ray.data.read_parquet(CRAWL_DELTA_PAGES_OUT).map_batches(
+            partial, batch_format="pyarrow"),
+        ["url", "d"], [("n", "sum")], rename=["url", "d", "n"],
+        combine=True)
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = pa.table({"url": b.column("url"),
+                      "one": pa.array(np.ones(b.num_rows, np.int64)),
+                      "n": b.column("n").cast(pa.int64())})
+        g = t.group_by("url").aggregate([("one", "sum"), ("n", "sum")])
+        return g.rename_columns(["url", "n_variants", "n_crawls"])
+
+    counts = bucketed_aggregate(
+        per_variant.map_batches(fold, batch_format="pyarrow"),
+        ["url"], [("n_variants", "sum"), ("n_crawls", "sum")],
+        rename=["url", "n_variants", "n_crawls"], combine=True)
+
+    def status(b: pa.Table) -> pa.Table:
+        nv = b.column("n_variants").to_numpy(zero_copy_only=False)
+        nc = b.column("n_crawls").to_numpy(zero_copy_only=False)
+        st = np.where(nc == 1, "single",
+                      np.where(nv > 1, "changed", "unchanged"))
+        return pa.table({
+            "url": b.column("url"),
+            "n_crawls": pa.array(nc, pa.int64()),
+            "n_variants": pa.array(nv, pa.int64()),
+            "status": pa.array(st, pa.string()),
+        })
+
+    return counts.map_batches(status, batch_format="pyarrow")
+
+
 def pages_flagship_lineage(sf_dir: str):
     """The FULL flagship composite (``run_extract_pipeline`` with
     ``out_dir``: extract → url-hash partition dedup → atomic partition
