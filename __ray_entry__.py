@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl-delta per-url change report (oracle-checked r5: md5-
         # distinct recount over the emitted decoded pages)
         "pages_crawl_delta": t.pages_crawl_delta,
+        # robots-style path-prefix disallow (oracle-checked r5: regex
+        # host/path parse + longest-prefix CASE over emitted urls)
+        "pages_robots_filter": t.pages_robots_filter,
         # perceptual-hash image near-dup clusters (rows-only: PNG
         # decode is not SQL-expressible; planted pairs pytest-pinned)
         "media_phash_dedup": t.media_phash_dedup,
@@ -3575,6 +3578,31 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # robots filter: same host/path regexes; rule priority is the
+        # CASE order (most specific prefix first, exact host beats *)
+        "pages_robots_filter": """
+            WITH u AS (
+                SELECT url,
+                       regexp_extract(url, '^https?://([^/]+)', 1)
+                           AS host,
+                       COALESCE(NULLIF(regexp_extract(
+                           url, '^https?://[^/]+(/.*)$', 1), ''), '/')
+                           AS path
+                FROM read_parquet(
+                    '/tmp/graft_oracle_robots_urls/*.parquet')
+            )
+            SELECT url, host, path,
+                   CASE WHEN host = 'site123.example'
+                             AND path LIKE '/forum/archive%'
+                        THEN 'site123.example:/forum/archive'
+                        WHEN path LIKE '/forum/%' THEN '*:/forum/'
+                        WHEN path LIKE '/shop/%' THEN '*:/shop/'
+                        ELSE NULL END AS blocked_by,
+                   CASE WHEN path LIKE '/forum/%'
+                             OR path LIKE '/shop/%'
+                        THEN FALSE ELSE TRUE END AS allowed
+            FROM u
+        """,
         # crawl delta: md5-distinct per url over the SAME decoded
         # pages the Ray pass wrote
         "pages_crawl_delta": """

@@ -844,6 +844,41 @@ def pages_host_hits(sf_dir: str, iters: int = 3):
 #: Decoded-pages parquet emitted for the crawl-delta oracle.
 CRAWL_DELTA_PAGES_OUT = "/tmp/graft_oracle_crawl_delta_pages"
 
+#: Url parquet emitted for the robots-filter oracle.
+ROBOTS_URLS_OUT = "/tmp/graft_oracle_robots_urls"
+
+#: Fixed demo robots rules (SQL-expressible: '*' = every host, else an
+#: exact site host).  site123 gets a more specific /forum/archive rule
+#: that must beat the global /forum/ one.
+ROBOTS_RULES = [
+    ("*", "/forum/"),
+    ("*", "/shop/"),
+    ("site123.example", "/forum/archive"),
+]
+
+
+def pages_robots_filter(sf_dir: str):
+    """Robots-style path-prefix disallow annotation over the crawl's
+    urls (stages/robots.py): rules broadcast once, per-batch parse +
+    longest-prefix match, exact host beating '*' at equal length.
+    Urls are left as parquet evidence; the oracle recomputes host/path
+    regexes and the rule CASE over the same artifact."""
+    import shutil
+
+    import ray as _ray
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.robots import robots_annotate
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    shutil.rmtree(ROBOTS_URLS_OUT, ignore_errors=True)
+    pages_dataset(n, profile="t1").map_batches(
+        lambda b: pa.table({"url": b.column("url")}),
+        batch_format="pyarrow").write_parquet(ROBOTS_URLS_OUT)
+    return robots_annotate(
+        _ray.data.read_parquet(ROBOTS_URLS_OUT), ROBOTS_RULES)
+
 
 def pages_crawl_delta(sf_dir: str):
     """Crawl-delta report: per url, how many crawls landed and whether
