@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # group-aware leakage-safe split (oracle-checked r5: CRC CTE
         # + mix32 chain on the SOURCE, so recrawls never straddle)
         "doc_group_split": t.doc_group_split,
+        # exact per-label embedding centroids (oracle-checked r5:
+        # floor(x*2^20) quantization -> order-free int sums)
+        "emb_label_centroids": t.emb_label_centroids,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -3944,6 +3947,28 @@ FROM sb
                         ELSE (255.0 * 4294967296.0)
                              / CAST(hk AS DOUBLE)
                    END AS estimate
+            FROM agg
+        """,
+        # centroids: floor(x*2^20) per element (exact multiply,
+        # tie-free floor), LATERAL range for dim indices
+        "emb_label_centroids": """
+            WITH el AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       i AS dim,
+                       CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0) AS BIGINT) AS q
+                FROM embeddings,
+                     LATERAL unnest(range(0, len(embedding))) AS t(i)
+            ),
+            agg AS (
+                SELECT label, dim,
+                       CAST(SUM(q) AS BIGINT) AS sum_q20,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM el GROUP BY label, dim
+            )
+            SELECT label, dim, n, sum_q20,
+                   CAST(sum_q20 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS centroid_q20
             FROM agg
         """,
         # group split: crc32(source) via the CRC table CTE, then the

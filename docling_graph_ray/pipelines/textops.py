@@ -1878,6 +1878,92 @@ def doc_group_split(sf_dir: str):
         assign, batch_format="pyarrow")
 
 
+def emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroids with EXACT distributed sums:
+    each float32 component quantizes by ``floor(x * 2^20)`` — the
+    multiply is exact (power of two) and floor is tie-free, so the
+    int64 per-(label, dim) sums are order-free and the centroid is one
+    IEEE division, bit-identical to the DuckDB LATERAL-unnest twin.
+    The shuffle payload is labels × dims integers, never the vectors."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    embs = _embs(sf_dir, ["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lists = b.column("embedding")
+        flat = pc.list_flatten(lists).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        lens = np.asarray(pc.list_value_length(lists)
+                          .to_numpy(zero_copy_only=False), np.int64)
+        d = int(lens.max()) if len(lens) else 0
+        q = np.floor(flat * np.float64(1048576.0)).astype(np.int64)
+        labs = np.repeat(lab, lens)
+        dims = np.concatenate([np.arange(n) for n in lens]) \
+            if len(lens) else np.array([], np.int64)
+        ones = np.zeros(len(q), np.int64)
+        # count rows once per vector: tag dim 0 only
+        ones[dims == 0] = 1
+        t = pa.table({
+            "label": pa.array(labs, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "s": pa.array(q, pa.int64()),
+            "n": pa.array(ones, pa.int64()),
+        })
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["label", "dim", "s", "n"])
+
+    agg = bucketed_aggregate(
+        embs.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("s", "sum"), ("n", "sum")],
+        rename=["label", "dim", "s", "n"], combine=True)
+
+    # n only counted at dim 0; spread it via a per-label max inside
+    # the finisher (labels × dims rows — tiny)
+    out_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                            ("n", pa.int64()), ("sum_q20", pa.int64()),
+                            ("centroid_q20", pa.float64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        import collections
+
+        if b.num_rows == 0 or "label" not in b.schema.names:
+            return out_schema.empty_table()
+        n_by_label = collections.defaultdict(int)
+        for r in zip(b.column("label").to_pylist(),
+                     b.column("n").to_pylist()):
+            n_by_label[r[0]] += r[1]
+        labs = b.column("label").to_pylist()
+        n = np.array([n_by_label[x] for x in labs], np.int64)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        cent = s.astype(np.float64) / n.astype(np.float64)
+        return pa.table({
+            "label": pa.array(labs, pa.int64()),
+            "dim": b.column("dim").cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "sum_q20": pa.array(s, pa.int64()),
+            "centroid_q20": pa.array(cent, pa.float64()),
+        })
+
+    # per-label rows co-live in one bucket (bucketed by (label, dim)
+    # hash)… they may NOT: (label, dim) hashing spreads one label's
+    # dims across buckets, so the n-spread must see ALL of a label's
+    # rows — re-bucket by label alone before finishing
+    from docling_graph_ray.stages.bucketing import add_part
+
+    agg_schema = pa.schema([("label", pa.int64()), ("dim", pa.int64()),
+                            ("s", pa.int64()), ("n", pa.int64())])
+    return (agg.map_batches(add_part(["label"], 16, agg_schema),
+                            batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(lambda g: finish(
+                g.drop_columns(["_part"])
+                if "_part" in g.schema.names else g),
+                batch_format="pyarrow"))
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
