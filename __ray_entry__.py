@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-type inter-arrival stats (oracle-checked r5: lead()
         # window gaps, exact int64 stats, quantile_disc median)
         "events_interarrival": r.events_interarrival,
+        # Markov transition matrix (oracle-checked r5: lead() pairs,
+        # exact counts, one division per cell)
+        "events_transition_matrix": r.events_transition_matrix,
         # conditional-aggregate pivot (oracle-checked r5: FILTER aggs)
         "events_pivot_type_counts": r.events_pivot_type_counts,
         # partitioned cumulative window (oracle-checked r5: SUM OVER)
@@ -3849,6 +3852,25 @@ FROM sb
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # transitions: lead() pairs per user; p = n / row_total
+        "events_transition_matrix": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS nxt
+                FROM events
+            ),
+            pairs AS (SELECT event_type AS from_type, nxt AS to_type,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM seq WHERE nxt IS NOT NULL
+                      GROUP BY event_type, nxt),
+            totals AS (SELECT from_type,
+                              CAST(SUM(n) AS BIGINT) AS tot
+                       FROM pairs GROUP BY from_type)
+            SELECT p.from_type, p.to_type, p.n,
+                   CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+            FROM pairs p JOIN totals t USING (from_type)
         """,
         # inter-arrival: per-user consecutive gaps via lead(); stats
         # exact int64; mean one division; median quantile_disc over

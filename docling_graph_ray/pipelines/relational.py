@@ -742,6 +742,74 @@ def orders_rollup_revenue(sf_dir: str):
     return base_cast.union(lvl1, lvl0)
 
 
+def events_transition_matrix(sf_dir: str):
+    """First-order Markov transition matrix of event types: per user,
+    consecutive (ordered by ts, event_id) event pairs count as
+    transitions; probabilities are one IEEE division per cell over
+    exact counts.  Same bucketed shifted-compare shape as the
+    inter-arrival op — no per-user group, no corpus sort.  Oracle:
+    lead() window + conditional aggregate."""
+    from docling_graph_ray.stages.bucketing import (
+        add_part,
+        bucketed_aggregate,
+    )
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type",
+                                  "event_id"])
+    in_schema = pa.schema([("user_id", pa.int64()),
+                           ("ts", pa.timestamp("us")),
+                           ("event_type", pa.string()),
+                           ("event_id", pa.int64())])
+    pair_schema = pa.schema([("from_type", pa.string()),
+                             ("to_type", pa.string()),
+                             ("n", pa.int64())])
+
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return pair_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx).combine_chunks()
+        users = g.column("user_id").to_numpy(zero_copy_only=False)
+        same = pa.array(users[:-1] == users[1:])
+        frm = g.column("event_type").slice(0, g.num_rows - 1) \
+            .filter(same)
+        to = g.column("event_type").slice(1).filter(same)
+        t = pa.table({"from_type": frm, "to_type": to})
+        agg = t.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["from_type", "to_type", "n"]) \
+            .cast(pair_schema)
+
+    counts = bucketed_aggregate(
+        (ev.map_batches(add_part(["user_id"], 64, in_schema),
+                        batch_format="pyarrow")
+         .groupby("_part")
+         .map_groups(pairs_partition, batch_format="pyarrow")),
+        ["from_type", "to_type"], [("n", "sum")],
+        rename=["from_type", "to_type", "n"], combine=True).take_all()
+
+    # the matrix is |types|^2 rows — a driver-side dimension
+    row_totals: dict[str, int] = {}
+    for r in counts:
+        row_totals[r["from_type"]] = \
+            row_totals.get(r["from_type"], 0) + r["n"]
+    rows = sorted(counts, key=lambda r: (r["from_type"], r["to_type"]))
+    return pa.table({
+        "from_type": pa.array([r["from_type"] for r in rows],
+                              pa.string()),
+        "to_type": pa.array([r["to_type"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+        "p": pa.array(
+            [float(np.float64(r["n"])
+                   / np.float64(row_totals[r["from_type"]]))
+             for r in rows], pa.float64()),
+    })
+
+
 def events_interarrival(sf_dir: str):
     """Per-event-type inter-arrival statistics: gaps between a user's
     consecutive events (ordered by ts, event_id), attributed to the
