@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # robots-style path-prefix disallow (oracle-checked r5: regex
         # host/path parse + longest-prefix CASE over emitted urls)
         "pages_robots_filter": t.pages_robots_filter,
+        # per-host politeness fetch schedule (oracle-checked r5:
+        # window row_number over the emitted url/ts parquet)
+        "pages_fetch_schedule": t.pages_fetch_schedule,
         # perceptual-hash image near-dup clusters (rows-only: PNG
         # decode is not SQL-expressible; planted pairs pytest-pinned)
         "media_phash_dedup": t.media_phash_dedup,
@@ -3584,6 +3587,23 @@ FROM sb
         # floor(pow(n_min/n_source, 0.5) * 2^32); pow/division are
         # correctly-rounded doubles in both engines, so thresholds are
         # bit-identical
+        # fetch schedule: slots by (warc_ts, url) per host
+        "pages_fetch_schedule": """
+            WITH u AS (
+                SELECT url, warc_ts,
+                       regexp_extract(url, '^https?://([^/]+)', 1)
+                           AS host
+                FROM read_parquet(
+                    '/tmp/graft_oracle_fetch_schedule/*.parquet')
+            )
+            SELECT url, host,
+                   CAST(row_number() OVER (PARTITION BY host
+                       ORDER BY warc_ts, url) - 1 AS BIGINT) AS slot,
+                   CAST((row_number() OVER (PARTITION BY host
+                       ORDER BY warc_ts, url) - 1) * 10 AS BIGINT)
+                       AS offset_s
+            FROM u
+        """,
         # robots filter: same host/path regexes; rule priority is the
         # CASE order (most specific prefix first, exact host beats *)
         "pages_robots_filter": """

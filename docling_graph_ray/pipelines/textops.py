@@ -847,6 +847,9 @@ CRAWL_DELTA_PAGES_OUT = "/tmp/graft_oracle_crawl_delta_pages"
 #: Url parquet emitted for the robots-filter oracle.
 ROBOTS_URLS_OUT = "/tmp/graft_oracle_robots_urls"
 
+#: (url, warc_ts) parquet emitted for the fetch-schedule oracle.
+FETCH_SCHED_OUT = "/tmp/graft_oracle_fetch_schedule"
+
 #: Fixed demo robots rules (SQL-expressible: '*' = every host, else an
 #: exact site host).  site123 gets a more specific /forum/archive rule
 #: that must beat the global /forum/ one.
@@ -944,6 +947,70 @@ def pages_crawl_delta(sf_dir: str):
         })
 
     return counts.map_batches(status, batch_format="pyarrow")
+
+
+def pages_fetch_schedule(sf_dir: str, delay_s: int = 10):
+    """Politeness fetch scheduling: per host, crawls order by
+    (warc_ts, url) and each gets a slot; its scheduled offset is
+    ``slot · delay_s`` seconds after the host's first fetch — the
+    standard per-host rate-limit plan a distributed frontier needs.
+    Same bucketed rank shape as the running-total op (the bucket, not
+    the host, is the unit of work).  Urls ride the robots artifact's
+    pattern: left as parquet evidence for the window-rank oracle."""
+    import shutil
+
+    import ray as _ray
+
+    from docling_graph_ray.fixtures.pages import pages_dataset
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = _SF_ROWS.get(tier, 300)
+    shutil.rmtree(FETCH_SCHED_OUT, ignore_errors=True)
+    pages_dataset(n, profile="t1").map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "warc_ts": b.column("warc_ts")}),
+        batch_format="pyarrow").write_parquet(FETCH_SCHED_OUT)
+
+    in_schema = pa.schema([("url", pa.string()),
+                           ("warc_ts", pa.timestamp("us"))])
+    out_schema = pa.schema([("url", pa.string()),
+                            ("host", pa.string()),
+                            ("slot", pa.int64()),
+                            ("offset_s", pa.int64())])
+
+    def sched_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "url" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("host", "ascending"), ("warc_ts", "ascending"),
+            ("url", "ascending")])
+        g = g.take(idx).combine_chunks()
+        starts, lens = run_starts(g, ["host"])
+        slot = np.concatenate([np.arange(x) for x in lens]) \
+            if len(lens) else np.array([], np.int64)
+        return pa.table({
+            "url": g.column("url"),
+            "host": g.column("host"),
+            "slot": pa.array(slot, pa.int64()),
+            "offset_s": pa.array(slot * delay_s, pa.int64()),
+        })
+
+    def add_host(b: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            b.column("url"), r"^https?://([^/]+).*$", r"\1")
+        return b.append_column("host", host)
+
+    hosted = _ray.data.read_parquet(FETCH_SCHED_OUT).map_batches(
+        add_host, batch_format="pyarrow")
+    hosted_schema = pa.schema(list(in_schema) +
+                              [pa.field("host", pa.string())])
+    return (hosted.map_batches(add_part(["host"], 64, hosted_schema),
+                               batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(sched_partition, batch_format="pyarrow"))
 
 
 def pages_flagship_lineage(sf_dir: str):
