@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-label embedding centroids (oracle-checked r5:
         # floor(x*2^20) quantization -> order-free int sums)
         "emb_label_centroids": t.emb_label_centroids,
+        # hive-partitioned sink round-trip (oracle-checked r5: the
+        # read-back rollup must equal the source rollup)
+        "doc_partitioned_export": t.doc_partitioned_export,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -3990,6 +3993,16 @@ FROM sb
                              / CAST(hk AS DOUBLE)
                    END AS estimate
             FROM agg
+        """,
+        # partitioned sink: recompute the rollup from the SOURCE —
+        # the written partitions must carry exactly these rows
+        "doc_partitioned_export": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_doc
+            FROM documents GROUP BY lang
         """,
         # centroids: floor(x*2^20) per element (exact multiply,
         # tie-free floor), LATERAL range for dim indices

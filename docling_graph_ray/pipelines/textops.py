@@ -2031,6 +2031,52 @@ def emb_label_centroids(sf_dir: str):
                 batch_format="pyarrow"))
 
 
+#: Hive-partitioned export root for the partitioned-sink oracle.
+PARTITIONED_EXPORT_OUT = "/tmp/graft_oracle_partitioned_export"
+
+
+def doc_partitioned_export(sf_dir: str):
+    """Hive-partitioned Parquet sink (the north rule's resumable-output
+    layout made literal): write documents partitioned BY COLUMN
+    (``partition_cols=["lang"]`` — one directory per language, so a
+    failed run can re-do one partition), then report the per-partition
+    rollup from a READ-BACK of the written dataset — the oracle
+    recomputes the same rollup from the SOURCE table, closing the
+    write→read loop (rows that land in lang=X must be exactly the
+    source's lang-X rows)."""
+    import shutil
+
+    import ray as _ray
+
+    shutil.rmtree(PARTITIONED_EXPORT_OUT, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "lang", "n_chars"]).write_parquet(
+        PARTITIONED_EXPORT_OUT, partition_cols=["lang"])
+
+    back = _ray.data.read_parquet(PARTITIONED_EXPORT_OUT)
+
+    def rollup(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": b.column("lang").cast(pa.string()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+        g = t.group_by("lang").aggregate(
+            [([], "count_all"), ("n_chars", "sum"), ("doc_id", "min"),
+             ("doc_id", "max")])
+        return g.rename_columns(
+            ["lang", "n_docs", "sum_chars", "min_doc", "max_doc"])
+
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    return bucketed_aggregate(
+        back.map_batches(rollup, batch_format="pyarrow"),
+        ["lang"],
+        [("n_docs", "sum"), ("sum_chars", "sum"), ("min_doc", "min"),
+         ("max_doc", "max")],
+        rename=["lang", "n_docs", "sum_chars", "min_doc", "max_doc"],
+        combine=False)
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
