@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Markov transition matrix (oracle-checked r5: lead() pairs,
         # exact counts, one division per cell)
         "events_transition_matrix": r.events_transition_matrix,
+        # daily new-vs-returning growth accounting (oracle-checked)
+        "events_growth_accounting": r.events_growth_accounting,
         # conditional-aggregate pivot (oracle-checked r5: FILTER aggs)
         "events_pivot_type_counts": r.events_pivot_type_counts,
         # partitioned cumulative window (oracle-checked r5: SUM OVER)
@@ -3875,6 +3877,26 @@ FROM sb
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # growth accounting: per-user first day vs active day
+        "events_growth_accounting": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       strftime(ts, '%Y-%m-%d') AS day
+                FROM events
+            ),
+            fd AS (SELECT user_id, MIN(day) AS first_day
+                   FROM ud GROUP BY user_id)
+            SELECT ud.day,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN ud.day = fd.first_day
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new,
+                   CAST(COUNT(*) - SUM(CASE WHEN ud.day = fd.first_day
+                                            THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returning
+            FROM ud JOIN fd USING (user_id)
+            GROUP BY ud.day
         """,
         # transitions: lead() pairs per user; p = n / row_total
         "events_transition_matrix": """

@@ -742,6 +742,68 @@ def orders_rollup_revenue(sf_dir: str):
     return base_cast.union(lvl1, lvl0)
 
 
+def events_growth_accounting(sf_dir: str):
+    """Daily growth accounting: per day, active users split into NEW
+    (first-ever event that day) vs RETURNING.  Two bucketed folds —
+    per-user first-day (min), then per-day counts with the new/
+    returning split attached by one lookup join — no window over the
+    corpus.  Oracle: MIN OVER user + conditional aggregate."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.joins import lookup_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        t = pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                      "day": day})
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g
+
+    user_days = bucketed_aggregate(
+        ev.map_batches(day_partial, batch_format="pyarrow"),
+        ["user_id", "day"], [("", "count_all")],
+        rename=["user_id", "day", "_n"], combine=True,
+    ).map_batches(lambda t: t.select(["user_id", "day"]),
+                  batch_format="pyarrow").materialize()
+
+    first_day = bucketed_aggregate(
+        user_days, ["user_id"], [("day", "min")],
+        rename=["user_id", "first_day"], combine=True)
+
+    joined = lookup_join(user_days, first_day, on="user_id",
+                         key_col="user_id", value_cols=["first_day"])
+
+    def split_partial(b: pa.Table) -> pa.Table:
+        is_new = pc.equal(b.column("day"), b.column("first_day")) \
+            .cast(pa.int64())
+        t = pa.table({
+            "day": b.column("day"),
+            "n_active": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_new": is_new,
+        })
+        g = t.group_by("day").aggregate(
+            [("n_active", "sum"), ("n_new", "sum")])
+        return g.rename_columns(["day", "n_active", "n_new"])
+
+    agg = bucketed_aggregate(
+        joined.map_batches(split_partial, batch_format="pyarrow"),
+        ["day"], [("n_active", "sum"), ("n_new", "sum")],
+        rename=["day", "n_active", "n_new"], combine=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        na = b.column("n_active").cast(pa.int64())
+        nn = b.column("n_new").cast(pa.int64())
+        return pa.table({
+            "day": b.column("day").cast(pa.string()),
+            "n_active": na,
+            "n_new": nn,
+            "n_returning": pc.subtract(na, nn),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def events_transition_matrix(sf_dir: str):
     """First-order Markov transition matrix of event types: per user,
     consecutive (ordered by ts, event_id) event pairs count as
