@@ -548,11 +548,19 @@ def kmv_distinct(ds, *, col: str, k: int = 256):
     cands = ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow")
 
-    # candidate set is ≤ blocks×k int64 rows — a bounded sketch fold,
-    # safe on the driver (the same shape every mergeable sketch here
-    # uses); np.unique both dedups cross-block hash repeats and sorts
-    mins = np.unique(
-        cands.to_pandas()["h"].to_numpy(dtype=np.int64))[:k]
+    # candidate set is ≤ blocks×k int64 rows; at extreme block counts
+    # even that is too big for the driver, so the fold stays
+    # dataset-native: bucketed distinct over the candidates, then a
+    # sort+limit(k) whose take ships exactly k rows to the driver
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    distinct = bucketed_aggregate(
+        cands, ["h"], [("", "count_all")], rename=["h", "_n"],
+        combine=True,
+    ).map_batches(lambda t: t.select(["h"]), batch_format="pyarrow")
+    mins = np.array(
+        [r["h"] for r in distinct.sort("h").limit(k).take_all()],
+        np.int64)
 
     n_mins = len(mins)
     if n_mins < k:
