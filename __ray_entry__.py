@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hive-partitioned sink round-trip (oracle-checked r5: the
         # read-back rollup must equal the source rollup)
         "doc_partitioned_export": t.doc_partitioned_export,
+        # grouped distribution moments (oracle-checked r5: exact
+        # integer power sums, mirrored float expressions)
+        "doc_source_moments": t.doc_source_moments,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -4015,6 +4018,44 @@ FROM sb
                              / CAST(hk AS DOUBLE)
                    END AS estimate
             FROM agg
+        """,
+        # moments: staged CTEs keep the float op tree identical to
+        # the Ray finisher (left-assoc products, one sqrt)
+        "doc_source_moments": """
+            WITH sums AS (
+                SELECT source,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                           AS s1,
+                       CAST(SUM(CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)) AS DOUBLE)
+                           AS s2,
+                       CAST(SUM(CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)) AS DOUBLE)
+                           AS s3,
+                       CAST(SUM(CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)
+                                * CAST(n_chars AS BIGINT)) AS DOUBLE)
+                           AS s4,
+                       CAST(COUNT(*) AS BIGINT) AS n_int
+                FROM documents GROUP BY source
+            ),
+            st1 AS (SELECT *, s1 / n AS mean FROM sums),
+            st2 AS (SELECT *,
+                        s2 / n - mean * mean AS m2,
+                        s3 / n - mean * (s2 / n) * 3.0
+                            + mean * mean * mean * 2.0 AS m3,
+                        s4 / n - mean * (s3 / n) * 4.0
+                            + mean * mean * (s2 / n) * 6.0
+                            - mean * mean * mean * mean * 3.0 AS m4
+                    FROM st1),
+            st3 AS (SELECT *, sqrt(m2) AS std FROM st2)
+            SELECT source, n_int AS n, mean, std,
+                   m3 / (std * std * std) AS skew,
+                   m4 / (m2 * m2) - 3.0 AS kurtosis
+            FROM st3
         """,
         # partitioned sink: recompute the rollup from the SOURCE —
         # the written partitions must carry exactly these rows

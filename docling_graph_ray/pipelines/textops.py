@@ -2077,6 +2077,74 @@ def doc_partitioned_export(sf_dir: str):
         combine=False)
 
 
+def doc_source_moments(sf_dir: str):
+    """Per-source length distribution moments (mean, population std,
+    skewness, excess kurtosis) from EXACT integer power sums — the
+    one-pass distributed-moments pattern: per-batch int64 partials of
+    (n, Σx, Σx², Σx³, Σx⁴) per source, one bucketed fold, then fixed
+    float64 expressions mirrored op-for-op in SQL.  Int sums are exact
+    while Σx⁴ < 2^63 (n_chars ≤ ~1e4 here; at larger scales switch the
+    upper moments to compensated float partials and accept last-ulp
+    drift)."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "source": b.column("source"),
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "s1": pa.array(x, pa.int64()),
+            "s2": pa.array(x * x, pa.int64()),
+            "s3": pa.array(x * x * x, pa.int64()),
+            "s4": pa.array(x * x * x * x, pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+             ("s3", "sum"), ("s4", "sum")])
+        return g.rename_columns(["source", "n", "s1", "s2", "s3", "s4"])
+
+    agg = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("n", "sum"), ("s1", "sum"), ("s2", "sum"), ("s3", "sum"),
+         ("s4", "sum")],
+        rename=["source", "n", "s1", "s2", "s3", "s4"], combine=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s1 = b.column("s1").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s3 = b.column("s3").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s4 = b.column("s4").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - mean * (s2 / n) * 3.0 + mean * mean * mean * 2.0
+        m4 = (s4 / n - mean * (s3 / n) * 4.0
+              + mean * mean * (s2 / n) * 6.0
+              - mean * mean * mean * mean * 3.0)
+        std = np.sqrt(m2)
+        skew = m3 / (std * std * std)
+        kurt = m4 / (m2 * m2) - 3.0
+        return pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "n": b.column("n").cast(pa.int64()),
+            "mean": pa.array(mean, pa.float64()),
+            "std": pa.array(std, pa.float64()),
+            "skew": pa.array(skew, pa.float64()),
+            "kurtosis": pa.array(kurt, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
