@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": r.events_transition_matrix,
         # daily new-vs-returning growth accounting (oracle-checked)
         "events_growth_accounting": r.events_growth_accounting,
+        # value-weighted cohort LTV matrix (oracle-checked r5)
+        "events_cohort_ltv": r.events_cohort_ltv,
         # conditional-aggregate pivot (oracle-checked r5: FILTER aggs)
         "events_pivot_type_counts": r.events_pivot_type_counts,
         # partitioned cumulative window (oracle-checked r5: SUM OVER)
@@ -3880,6 +3882,24 @@ FROM sb
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        # cohort LTV: epoch-day ints end-to-end; cents exact
+        "events_cohort_ltv": """
+            WITH ud AS (
+                SELECT user_id,
+                       CAST(epoch_ms(date_trunc('day', ts))
+                            // 86400000 AS BIGINT) AS day,
+                       CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM events GROUP BY user_id, day
+            ),
+            wc AS (SELECT *, MIN(day) OVER (PARTITION BY user_id)
+                       AS cohort_day FROM ud)
+            SELECT cohort_day,
+                   day - cohort_day AS day_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM wc GROUP BY cohort_day, day - cohort_day
         """,
         # growth accounting: per-user first day vs active day
         "events_growth_accounting": """

@@ -804,6 +804,76 @@ def events_growth_accounting(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def events_cohort_ltv(sf_dir: str):
+    """Value-weighted cohort matrix (LTV curve): users cohorted by
+    first active day; each (cohort, day-offset) cell carries the
+    active-user count AND the exact cents spent — the revenue twin of
+    ``events_retention``, same user-hash bucketed shape (events never
+    shuffle raw; (user, day, cents) partials do).  Oracle: MIN OVER
+    user for the cohort + exact-cents conditional rollup."""
+    from docling_graph_ray.stages.bucketing import add_part, run_starts
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def day_vals(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        days = (day.to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]").astype(np.int64))
+        t = pa.table({
+            "user_id": batch.column("user_id").cast(pa.int64()),
+            "day": pa.array(days, pa.int64()),
+            "cents": _cents(pc.fill_null(batch.column("value"), 0.0),
+                            100),
+        })
+        g = t.group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["user_id", "day", "cents"])
+
+    out_schema = pa.schema([("cohort_day", pa.int64()),
+                            ("day_offset", pa.int64()),
+                            ("n_users", pa.int64()),
+                            ("value_cents", pa.int64())])
+
+    def ltv_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return out_schema.empty_table()
+        if "_part" in g.schema.names:
+            g = g.drop_columns(["_part"])
+        g = g.group_by(["user_id", "day"]).aggregate([("cents", "sum")])
+        g = g.rename_columns(["user_id", "day", "cents"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("day", "ascending")])
+        g = g.take(idx).combine_chunks()
+        days = g.column("day").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        starts, lens = run_starts(g, ["user_id"])
+        cohort = np.repeat(days[starts], lens)
+        t = pa.table({
+            "cohort_day": pa.array(cohort, pa.int64()),
+            "day_offset": pa.array(days - cohort, pa.int64()),
+            "n_users": pa.array(np.ones(len(days), np.int64)),
+            "value_cents": pa.array(cents, pa.int64()),
+        })
+        agg = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [("n_users", "sum"), ("value_cents", "sum")])
+        return agg.rename_columns(
+            ["cohort_day", "day_offset", "n_users", "value_cents"])
+
+    partials = (
+        ev.map_batches(day_vals, batch_format="pyarrow")
+        .map_batches(add_part(["user_id"], 64), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(ltv_partition, batch_format="pyarrow")
+    )
+    return (
+        partials.groupby(["cohort_day", "day_offset"])
+        .sum(["n_users", "value_cents"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["cohort_day", "day_offset", "n_users", "value_cents"]),
+            batch_format="pyarrow")
+    )
+
+
 def events_transition_matrix(sf_dir: str):
     """First-order Markov transition matrix of event types: per user,
     consecutive (ordered by ts, event_id) event pairs count as
