@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped distribution moments (oracle-checked r5: exact
         # integer power sums, mirrored float expressions)
         "doc_source_moments": t.doc_source_moments,
+        # per-source Gini of doc lengths (oracle-checked r5: closed-
+        # form tied rank-sum vs SQL row_number)
+        "doc_source_gini": t.doc_source_gini,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -4037,6 +4040,32 @@ FROM sb
                         ELSE (255.0 * 4294967296.0)
                              / CAST(hk AS DOUBLE)
                    END AS estimate
+            FROM agg
+        """,
+        # Gini: rank-sum via row_number (ties broken arbitrarily
+        # within equal values cancel in the sum), mirrored division
+        "doc_source_gini": """
+            WITH ranked AS (
+                SELECT source, CAST(n_chars AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars) AS rk
+                FROM documents
+            ),
+            agg AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(v) AS BIGINT) AS total,
+                       CAST(SUM(rk * v) AS BIGINT) AS rank_sum
+                FROM ranked GROUP BY source
+            )
+            SELECT source, n, total, rank_sum,
+                   CASE WHEN total > 0
+                        THEN (2.0 * CAST(rank_sum AS DOUBLE))
+                             / (CAST(n AS DOUBLE)
+                                * CAST(total AS DOUBLE))
+                             - CAST(n + 1 AS DOUBLE)
+                               / CAST(n AS DOUBLE)
+                        ELSE 0.0 END AS gini
             FROM agg
         """,
         # moments: staged CTEs keep the float op tree identical to

@@ -2145,6 +2145,65 @@ def doc_source_moments(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def doc_source_gini(sf_dir: str):
+    """Per-source Gini coefficient of document lengths (corpus
+    inequality — is one source dominated by a few giant documents?).
+    Exact: the (source, value) histogram folds through one bucketed
+    sum (domain-bounded, the quantile machinery's shape), and the
+    rank-sum Σ i·x_i is computed CLOSED-FORM over tied blocks
+    (Σ ranks of a tied run = c·cum + c(c+1)/2), so no per-group sort
+    of raw rows anywhere.  G = 2S/(nT) − (n+1)/n as mirrored float64
+    ops over exact integers.  Oracle: SQL row_number rank-sum."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "v": b.column("n_chars").cast(pa.int64())})
+        g = t.group_by(["source", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "v", "c"])
+
+    hist = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "v"], [("c", "sum")], rename=["source", "v", "c"],
+        combine=True).take_all()
+
+    from collections import defaultdict
+
+    by_src: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for r in hist:
+        by_src[r["source"]].append((int(r["v"]), int(r["c"])))
+
+    rows = {"source": [], "n": [], "total": [], "rank_sum": [],
+            "gini": []}
+    for src in sorted(by_src):
+        pairs = sorted(by_src[src])
+        n = sum(c for _, c in pairs)
+        total = sum(v * c for v, c in pairs)
+        cum = 0
+        s = 0
+        for v, c in pairs:
+            s += v * (c * cum + c * (c + 1) // 2)
+            cum += c
+        g = float((np.float64(2.0) * np.float64(s))
+                  / (np.float64(n) * np.float64(total))
+                  - np.float64(n + 1) / np.float64(n)) \
+            if total > 0 else 0.0
+        rows["source"].append(src)
+        rows["n"].append(n)
+        rows["total"].append(total)
+        rows["rank_sum"].append(s)
+        rows["gini"].append(g)
+    return pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "total": pa.array(rows["total"], pa.int64()),
+        "rank_sum": pa.array(rows["rank_sum"], pa.int64()),
+        "gini": pa.array(rows["gini"], pa.float64()),
+    })
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
