@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source Gini of doc lengths (oracle-checked r5: closed-
         # form tied rank-sum vs SQL row_number)
         "doc_source_gini": t.doc_source_gini,
+        # trimmed mean per source (oracle-checked r5: quantile_disc
+        # bounds + filtered exact aggregate)
+        "doc_source_trimmed_mean": t.doc_source_trimmed_mean,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -4041,6 +4044,28 @@ FROM sb
                              / CAST(hk AS DOUBLE)
                    END AS estimate
             FROM agg
+        """,
+        # trimmed mean: [P10, P90] value window per source
+        "doc_source_trimmed_mean": """
+            WITH b AS (
+                SELECT source,
+                       CAST(quantile_disc(n_chars, 0.1) AS BIGINT)
+                           AS lo,
+                       CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+                           AS hi
+                FROM documents GROUP BY source
+            ),
+            kept AS (
+                SELECT d.source, CAST(d.n_chars AS BIGINT) AS v
+                FROM documents d JOIN b USING (source)
+                WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(v) AS BIGINT) AS sum_kept,
+                   CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS trimmed_mean
+            FROM kept GROUP BY source
         """,
         # Gini: rank-sum via row_number (ties broken arbitrarily
         # within equal values cancel in the sum), mirrored division

@@ -2204,6 +2204,69 @@ def doc_source_gini(sf_dir: str):
     })
 
 
+def doc_source_trimmed_mean(sf_dir: str):
+    """Per-source trimmed mean of document lengths (robust central
+    tendency): values outside the [P10, P90] value thresholds drop,
+    the rest average exactly.  Thresholds come from the exact grouped
+    value histogram (quantile_disc rule) and the trimmed sum/count
+    fold through one more bucketed pass — both passes domain-bounded,
+    no per-group sort.  Oracle: quantile_disc bounds + filtered
+    aggregate; one final division."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+    from docling_graph_ray.stages.text_analysis import (
+        grouped_value_quantiles,
+    )
+
+    docs = _docs(sf_dir, ["source", "n_chars"]).materialize()
+
+    q = grouped_value_quantiles(docs, "source", "n_chars", [0.1, 0.9])
+    lo, hi = {}, {}
+    for s_, qq, v in zip(q.column("source").to_pylist(),
+                         q.column("q").to_pylist(),
+                         q.column("value").to_pylist()):
+        (lo if qq == 0.1 else hi)[s_] = v
+
+    import ray as _ray
+
+    bounds_ref = _ray.put((lo, hi))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lo_m, hi_m = _ray.get(bounds_ref)
+        src = b.column("source").to_pylist()
+        x = b.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        los = np.array([lo_m.get(s_, 0) for s_ in src], np.int64)
+        his = np.array([hi_m.get(s_, 0) for s_ in src], np.int64)
+        keep = (x >= los) & (x <= his)
+        t = pa.table({
+            "source": pa.array([s_ for s_, k in zip(src, keep) if k],
+                               pa.string()),
+            "s": pa.array(x[keep], pa.int64()),
+            "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+        })
+        g = t.group_by("source").aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["source", "s", "n"])
+
+    agg = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source"], [("s", "sum"), ("n", "sum")],
+        rename=["source", "s", "n"], combine=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        s_ = b.column("s").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = b.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "n_kept": b.column("n").cast(pa.int64()),
+            "sum_kept": b.column("s").cast(pa.int64()),
+            "trimmed_mean": pa.array(s_ / n, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
