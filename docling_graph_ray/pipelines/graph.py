@@ -941,7 +941,10 @@ def graph_closeness_sampled(sf_dir: str, s1: int = 1, s2: int = 2):
             pc.greater(dsum, 0))
         sd = t.column("_s").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
-        e9 = np.round(np.float64(2000000000.0) / sd).astype(np.int64)
+        # positive values; floor(x + 0.5) = half-away, matching
+        # DuckDB ROUND (np.round ties to even)
+        e9 = np.floor(np.float64(2000000000.0) / sd
+                      + 0.5).astype(np.int64)
         return pa.table({
             "node": t.column("node").cast(pa.int64()),
             "d1": t.column("d1").cast(pa.int64()),

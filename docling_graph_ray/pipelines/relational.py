@@ -697,20 +697,15 @@ def orders_rollup_revenue(sf_dir: str):
         rename=["o_orderstatus", "o_orderpriority", "cents", "n"],
         combine=True).materialize()
 
-    def lift(keep_status: bool):
-        def fn(b: pa.Table) -> pa.Table:
-            status = (b.column("o_orderstatus") if keep_status
-                      else pa.nulls(b.num_rows, pa.string()))
-            return pa.table({
-                "o_orderstatus": status,
-                "o_orderpriority": pa.nulls(b.num_rows, pa.string()),
-                "cents": b.column("cents").cast(pa.int64()),
-                "n": b.column("n").cast(pa.int64()),
-            })
-        return fn
+    def to_status_level(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "cents": b.column("cents").cast(pa.int64()),
+            "n": b.column("n").cast(pa.int64()),
+        })
 
     lvl1 = bucketed_aggregate(
-        base.map_batches(lift(True), batch_format="pyarrow"),
+        base.map_batches(to_status_level, batch_format="pyarrow"),
         ["o_orderstatus"], [("cents", "sum"), ("n", "sum")],
         rename=["o_orderstatus", "cents", "n"], combine=True,
     ).map_batches(

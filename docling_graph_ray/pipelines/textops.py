@@ -761,59 +761,16 @@ def pages_link_hostgraph(sf_dir: str):
 HOSTGRAPH_EDGES_OUT = "/tmp/graft_oracle_hostgraph_edges"
 
 
-def pages_host_pagerank(sf_dir: str, iters: int = 5):
-    """The canonical crawl composite: pages → href harvest → host link
-    graph → PageRank over hosts.  Host ids are the fixture's site
-    numbers (``site{N}.example`` → N); the distinct edge list is left
-    as parquet evidence and the DuckDB oracle runs the same five
-    unrolled float64 power iterations over it (the graph_pagerank
-    pattern, 8-digit rounding absorbs sum-order drift)."""
+def _host_edge_ids(sf_dir: str):
+    """Shared harvest for the crawl centrality composites: generate
+    the linked fixture, build the host graph (leaving the decoded
+    pages at LINKGRAPH_PAGES_OUT), convert hosts to site-number ids
+    and write the edge parquet the unrolled-iteration oracles read."""
     import shutil
 
     import ray as _ray
 
     from docling_graph_ray.fixtures.pages import pages_dataset
-    from docling_graph_ray.stages.graphalgo import pagerank
-    from docling_graph_ray.stages.linkgraph import host_link_graph
-
-    tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    n = _SF_ROWS.get(tier, 300)
-    shutil.rmtree(LINKGRAPH_PAGES_OUT, ignore_errors=True)
-    shutil.rmtree(HOSTGRAPH_EDGES_OUT, ignore_errors=True)
-    edges = host_link_graph(pages_dataset(n, profile="linked"),
-                            LINKGRAPH_PAGES_OUT)
-
-    host_re = r"^site([0-9]+)\.example$"
-
-    def to_ids(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0 or "src_host" not in b.schema.names:
-            return pa.schema([("a", pa.int64()),
-                              ("b", pa.int64())]).empty_table()
-        a = pc.replace_substring_regex(
-            b.column("src_host"), host_re, r"\1").cast(pa.int64())
-        d = pc.replace_substring_regex(
-            b.column("dst_host"), host_re, r"\1").cast(pa.int64())
-        return pa.table({"a": a, "b": d})
-
-    edge_ids = edges.map_batches(to_ids, batch_format="pyarrow")
-    edge_ids.write_parquet(HOSTGRAPH_EDGES_OUT)
-    return pagerank(
-        _ray.data.read_parquet(HOSTGRAPH_EDGES_OUT),
-        src_col="a", dst_col="b", iters=iters, ndigits=8)
-
-
-def pages_host_hits(sf_dir: str, iters: int = 3):
-    """HITS hubs/authorities over the harvested host link graph (the
-    crawl's second centrality lens: hubs = link-heavy sites,
-    authorities = link targets).  Reuses the edge parquet the
-    PageRank composite emits (written fresh here) and the same
-    unrolled-iteration oracle pattern."""
-    import shutil
-
-    import ray as _ray
-
-    from docling_graph_ray.fixtures.pages import pages_dataset
-    from docling_graph_ray.stages.graphalgo import hits
     from docling_graph_ray.stages.linkgraph import host_link_graph
 
     tier = sf_dir.rstrip("/").rsplit("/", 1)[-1]
@@ -837,8 +794,32 @@ def pages_host_hits(sf_dir: str, iters: int = 3):
 
     edges.map_batches(to_ids, batch_format="pyarrow") \
         .write_parquet(HOSTGRAPH_EDGES_OUT)
-    return hits(_ray.data.read_parquet(HOSTGRAPH_EDGES_OUT),
-                src_col="a", dst_col="b", iters=iters, ndigits=8)
+    return _ray.data.read_parquet(HOSTGRAPH_EDGES_OUT)
+
+
+def pages_host_pagerank(sf_dir: str, iters: int = 5):
+    """The canonical crawl composite: pages → href harvest → host link
+    graph → PageRank over hosts.  Host ids are the fixture's site
+    numbers (``site{N}.example`` → N); the distinct edge list is left
+    as parquet evidence and the DuckDB oracle runs the same five
+    unrolled float64 power iterations over it (the graph_pagerank
+    pattern, 8-digit rounding absorbs sum-order drift)."""
+    from docling_graph_ray.stages.graphalgo import pagerank
+
+    return pagerank(_host_edge_ids(sf_dir), src_col="a", dst_col="b",
+                    iters=iters, ndigits=8)
+
+
+def pages_host_hits(sf_dir: str, iters: int = 3):
+    """HITS hubs/authorities over the harvested host link graph (the
+    crawl's second centrality lens: hubs = link-heavy sites,
+    authorities = link targets).  Shares the edge harvest with
+    pages_host_pagerank (_host_edge_ids) and the parameterized
+    unrolled-iteration oracle pattern."""
+    from docling_graph_ray.stages.graphalgo import hits
+
+    return hits(_host_edge_ids(sf_dir), src_col="a", dst_col="b",
+                iters=iters, ndigits=8)
 
 
 #: Decoded-pages parquet emitted for the crawl-delta oracle.
@@ -1964,7 +1945,6 @@ def emb_label_centroids(sf_dir: str):
             .to_numpy(zero_copy_only=False)
         lens = np.asarray(pc.list_value_length(lists)
                           .to_numpy(zero_copy_only=False), np.int64)
-        d = int(lens.max()) if len(lens) else 0
         q = np.floor(flat * np.float64(1048576.0)).astype(np.int64)
         labs = np.repeat(lab, lens)
         dims = np.concatenate([np.arange(n) for n in lens]) \

@@ -52,22 +52,14 @@ def bigram_pmi(docs, *, text_col: str = "text", min_count: int = 5,
     bi_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                            ("c", pa.int64())])
 
-    def explode(batch: pa.Table):
+    def flat_tokens(batch: pa.Table):
         toks = _token_lists(batch, text_col)
         flat = pc.list_flatten(toks).combine_chunks()
-        lens = np.asarray(pc.list_value_length(toks).fill_null(0)
-                          .to_numpy(zero_copy_only=False), np.int64)
-        # rows whose text is empty still produce [''] from the split;
-        # drop empty tokens and recompute boundaries
-        keep = pc.not_equal(flat, "")
-        # boundaries BEFORE the filter: empty tokens only arise from
-        # all-empty docs (split of '' -> ['']), so whole rows drop
-        nonempty = flat.to_numpy(zero_copy_only=False) != ""
-        starts = np.r_[0, np.cumsum(lens)][:-1]
-        return flat.filter(keep), lens, starts, nonempty
+        # rows whose text is empty still produce [''] from the split
+        return flat.filter(pc.not_equal(flat, ""))
 
     def uni_partial(batch: pa.Table) -> pa.Table:
-        flat, _, _, _ = explode(batch)
+        flat = flat_tokens(batch)
         if len(flat) == 0:
             return uni_schema.empty_table()
         t = pa.table({"token": flat})
@@ -113,7 +105,6 @@ def bigram_pmi(docs, *, text_col: str = "text", min_count: int = 5,
         docs.map_batches(bi_partial, batch_format="pyarrow"),
         ["a", "b"], [("c", "sum")], rename=["a", "b", "c"],
         combine=True, num_partitions=num_partitions)
-    n_bigrams = 0
     bi = bi.materialize()
     n_bigrams = int(bi.sum("c") or 0)
     if n_bigrams == 0:
@@ -150,7 +141,10 @@ def bigram_pmi(docs, *, text_col: str = "text", min_count: int = 5,
         cy = b.column("c_y").to_numpy(zero_copy_only=False) \
             .astype(np.float64)
         pmi = np.log((cxy / fnb) / ((cx / fn) * (cy / fn)))
-        e9 = np.round(pmi * np.float64(1e9)).astype(np.int64)
+        scaled = pmi * np.float64(1e9)
+        # half-away-from-zero to match DuckDB ROUND (PMI is signed)
+        e9 = (np.sign(scaled)
+              * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
         big = pc.binary_join_element_wise(
             b.column("a").cast(pa.string()),
             b.column("b").cast(pa.string()), " ")

@@ -688,6 +688,7 @@ def k_core(edges, *, k: int, src_col: str = "src", dst_col: str = "dst",
     if n_edges == 0:
         return ray.data.from_arrow(empty_deg)
 
+    converged = False
     for _ in range(max_rounds):
         degrees = degree_table(active)
         good = degrees.map_batches(
@@ -710,8 +711,16 @@ def k_core(edges, *, k: int, src_col: str = "src", dst_col: str = "dst",
             return ray.data.from_arrow(empty_deg)  # graph's degeneracy)
         if cnt == n_edges:      # no edge lost → every survivor has
             active = e          # in-core degree ≥ k: fixpoint
+            converged = True
             break
         active, n_edges = e, cnt
+    if not converged:
+        # a partially peeled edge set is NOT a k-core — never return a
+        # plausible-looking wrong membership (deep-peel graphs like
+        # long paths need rounds ≈ their peel depth)
+        raise RuntimeError(
+            f"k_core did not reach the peel fixpoint in {max_rounds} "
+            "rounds; raise max_rounds (rounds scale with peel depth)")
     return degree_table(active)
 
 
@@ -981,6 +990,13 @@ def sssp(edges, *, source: int, src_col: str = "src",
         if cur == prev:
             break
         prev = cur
+    else:
+        # exhausted without the (count, sum) fixpoint: distances may
+        # be missing or too large — refuse to return them silently
+        raise RuntimeError(
+            f"sssp did not converge in {max_rounds} rounds; raise "
+            "max_rounds (rounds scale with the shortest-path hop "
+            "diameter)")
 
     return dist.map_batches(
         lambda t: t.rename_columns(["node", "dist"]),

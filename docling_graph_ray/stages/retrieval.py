@@ -115,7 +115,11 @@ def bm25_topk(docs, queries: dict[str, list[str]], *, k: int = 10,
         contrib = idfs * ((tfs * (fk1 + np.float64(1.0)))
                           / (tfs + fk1 * (np.float64(1.0) - fb
                                           + fb * (dls / avgdl))))
-        e9 = np.round(contrib * np.float64(1e9)).astype(np.int64)
+        scaled = contrib * np.float64(1e9)
+        # ROUND half-away-from-zero to match DuckDB ROUND (np.round
+        # ties to even; the repo's _cents makes the same choice)
+        e9 = (np.sign(scaled)
+              * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
         out = {"query_id": [], "doc_id": [], "score_e9": []}
         tok_arr = np.array(toks)
         for qid, terms in queries.items():

@@ -396,3 +396,31 @@ def test_sssp_hop_distance_and_unreachable(ray_session):
         "dst": pa.array([1, 2, 3, 6], pa.int64())}))
     got = {r["node"]: r["dist"] for r in sssp(ds, source=0).take_all()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_k_core_raises_on_round_exhaustion(ray_session):
+    # deep-peel graph (long path): exhausting max_rounds must RAISE,
+    # never return a plausible-looking non-core
+    import pytest
+
+    from docling_graph_ray.stages.graphalgo import k_core
+
+    edges = [(i, i + 1) for i in range(30)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(ds, k=2, num_partitions=2, max_rounds=3)
+
+
+def test_sssp_raises_on_round_exhaustion(ray_session):
+    import pytest
+
+    from docling_graph_ray.stages.graphalgo import sssp
+
+    edges = [(i, i + 1) for i in range(20)]
+    ds = ray.data.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+    with pytest.raises(RuntimeError, match="converge"):
+        sssp(ds, source=0, max_rounds=3)
