@@ -159,6 +159,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact per-label embedding centroids (oracle-checked r5:
         # floor(x*2^20) quantization -> order-free int sums)
         "emb_label_centroids": t.emb_label_centroids,
+        # within-class scatter trace (oracle-checked r5: exact int
+        # numerator via HUGEINT sum, one conversion + one division)
+        "emb_label_scatter": t.emb_label_scatter,
         # hive-partitioned sink round-trip (oracle-checked r5: the
         # read-back rollup must equal the source rollup)
         "doc_partitioned_export": t.doc_partitioned_export,
@@ -4130,6 +4133,34 @@ FROM sb
                    m3 / (std * std * std) AS skew,
                    m4 / (m2 * m2) - 3.0 AS kurtosis
             FROM st3
+        """,
+        # scatter: numerator SUM(s2*n - s1^2) exact in HUGEINT, one
+        # cast to DOUBLE, one division by n^2
+        "emb_label_scatter": """
+            WITH el AS (
+                SELECT CAST(label AS BIGINT) AS label, i AS dim,
+                       CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                                  * 1048576.0) AS BIGINT) AS q
+                FROM embeddings,
+                     LATERAL unnest(range(0, len(embedding))) AS t(i)
+            ),
+            agg AS (
+                SELECT label, dim,
+                       CAST(SUM(q) AS BIGINT) AS s1,
+                       CAST(SUM(q * q) AS BIGINT) AS s2,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM el GROUP BY label, dim
+            ),
+            lab AS (
+                SELECT label,
+                       CAST(SUM(s2 * n - s1 * s1) AS DOUBLE) AS num,
+                       CAST(MAX(n) AS BIGINT) AS n
+                FROM agg GROUP BY label
+            )
+            SELECT label, n,
+                   num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                       AS trace
+            FROM lab
         """,
         # partitioned sink: recompute the rollup from the SOURCE —
         # the written partitions must carry exactly these rows

@@ -2247,6 +2247,77 @@ def doc_source_trimmed_mean(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def emb_label_scatter(sf_dir: str):
+    """Within-class scatter per label (the clustering-quality
+    companion to emb_label_centroids): trace of the per-label
+    covariance over the floor(x·2^20)-quantized components.  Exact
+    int64 sums of q and q² per (label, dim) fold once; the variance
+    trace Σ_dims (s2/n − (s1/n)²) is a fixed float64 expression —
+    summed in dim order both sides, so it hashes bit-identically.
+    Output: one row per label (n, trace)."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    embs = _embs(sf_dir, ["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lists = b.column("embedding")
+        flat = pc.list_flatten(lists).cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        lens = np.asarray(pc.list_value_length(lists)
+                          .to_numpy(zero_copy_only=False), np.int64)
+        q = np.floor(flat * np.float64(1048576.0)).astype(np.int64)
+        labs = np.repeat(lab, lens)
+        dims = np.concatenate([np.arange(n) for n in lens]) \
+            if len(lens) else np.array([], np.int64)
+        t = pa.table({
+            "label": pa.array(labs, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "s1": pa.array(q, pa.int64()),
+            "s2": pa.array(q * q, pa.int64()),
+            "n": pa.array((dims == 0).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by(["label", "dim"]).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")])
+        return g.rename_columns(["label", "dim", "s1", "s2", "n"])
+
+    agg = bucketed_aggregate(
+        embs.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], [("s1", "sum"), ("s2", "sum"), ("n", "sum")],
+        rename=["label", "dim", "s1", "s2", "n"],
+        combine=True).take_all()
+
+    # labels × dims rows — a driver-side dimension fold.  The trace
+    # numerator Σ_dims (s2·n − s1²) stays an EXACT python int (the SQL
+    # twin's HUGEINT sum), so summation order cannot matter; ONE
+    # correctly-rounded int→double conversion + one division finish it
+    from collections import defaultdict
+
+    per_label: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+    n_by_label: dict[int, int] = defaultdict(int)
+    for r in agg:
+        per_label[r["label"]].append(
+            (int(r["s1"]), int(r["s2"]), 0))
+        n_by_label[r["label"]] += int(r["n"])
+
+    rows = {"label": [], "n": [], "trace": []}
+    for lab in sorted(per_label):
+        n_int = n_by_label[lab]
+        num = sum(s2 * n_int - s1 * s1
+                  for s1, s2, _ in per_label[lab])
+        tr = np.float64(num) / (np.float64(n_int)
+                                * np.float64(n_int))
+        rows["label"].append(lab)
+        rows["n"].append(n_int)
+        rows["trace"].append(float(tr))
+    return pa.table({
+        "label": pa.array(rows["label"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "trace": pa.array(rows["trace"], pa.float64()),
+    })
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
