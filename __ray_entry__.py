@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trimmed mean per source (oracle-checked r5: quantile_disc
         # bounds + filtered exact aggregate)
         "doc_source_trimmed_mean": t.doc_source_trimmed_mean,
+        # type-token ratio per source (oracle-checked r5)
+        "doc_source_ttr": t.doc_source_ttr,
         # chunked inverted-index postings (oracle-checked r5: DuckDB
         # string_agg over the same tokenization; chunking by
         # doc_id//64 keeps hot tokens off single workers)
@@ -4046,6 +4048,27 @@ FROM sb
                         ELSE (255.0 * 4294967296.0)
                              / CAST(hk AS DOUBLE)
                    END AS estimate
+            FROM agg
+        """,
+        # TTR: distinct types / total tokens, one division
+        "doc_source_ttr": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_split_to_array(TRIM(text), '\s+'))
+                           AS token
+                FROM documents WHERE TRIM(text) <> ''
+            ),
+            t2 AS (SELECT source, token FROM toks WHERE token <> ''),
+            agg AS (
+                SELECT source,
+                       CAST(COUNT(DISTINCT token) AS BIGINT)
+                           AS n_types,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM t2 GROUP BY source
+            )
+            SELECT source, n_types, n_tokens,
+                   CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                       AS ttr
             FROM agg
         """,
         # trimmed mean: [P10, P90] value window per source

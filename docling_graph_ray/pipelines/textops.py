@@ -2318,6 +2318,68 @@ def emb_label_scatter(sf_dir: str):
     })
 
 
+def doc_source_ttr(sf_dir: str):
+    """Per-source type–token ratio (lexical diversity): distinct
+    token types over total tokens.  Types fold through one bucketed
+    distinct on (source, token) — the shuffle carries vocabulary-
+    bounded narrow rows, never text; totals ride the same partials.
+    TTR is one IEEE division over exact counts.  Oracle: COUNT
+    DISTINCT / COUNT over the same whitespace tokenization."""
+    from docling_graph_ray.stages.bucketing import bucketed_aggregate
+
+    docs = _docs(sf_dir, ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(b.column("text"),
+                                                 "")), r"\s+")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = np.asarray(pc.list_value_length(toks).fill_null(0)
+                          .to_numpy(zero_copy_only=False), np.int64)
+        src = np.repeat(np.asarray(b.column("source").to_pylist(),
+                                   dtype=object), lens)
+        keep = flat.to_numpy(zero_copy_only=False) != ""
+        t = pa.table({"source": pa.array(src[keep], pa.string()),
+                      "token": flat.filter(pa.array(keep))})
+        g = t.group_by(["source", "token"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "token", "n"])
+
+    per_type = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"], [("n", "sum")],
+        rename=["source", "token", "n"], combine=True)
+
+    def fold(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": b.column("source"),
+            "n_types": pa.array(np.ones(b.num_rows, np.int64)),
+            "n_tokens": b.column("n").cast(pa.int64()),
+        })
+        g = t.group_by("source").aggregate(
+            [("n_types", "sum"), ("n_tokens", "sum")])
+        return g.rename_columns(["source", "n_types", "n_tokens"])
+
+    agg = bucketed_aggregate(
+        per_type.map_batches(fold, batch_format="pyarrow"),
+        ["source"], [("n_types", "sum"), ("n_tokens", "sum")],
+        rename=["source", "n_types", "n_tokens"], combine=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ty = b.column("n_types").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        to = b.column("n_tokens").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "source": b.column("source").cast(pa.string()),
+            "n_types": b.column("n_types").cast(pa.int64()),
+            "n_tokens": b.column("n_tokens").cast(pa.int64()),
+            "ttr": pa.array(ty / to, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def doc_temperature_mix(sf_dir: str, alpha: float = 0.5):
     """Temperature-resampled corpus (alpha=0.5, XLM/mC4-style language
     mixing — the corpus is language-skewed, en ~3x fr, so the filter
